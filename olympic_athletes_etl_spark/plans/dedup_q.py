@@ -1,0 +1,350 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Training-data-pipeline dedup, each as a correctness-gated query:
+
+- exact dedup        — md5 hash-groupBy (d_exact_dup)
+- n-gram Jaccard     — bigram-shingle inverted-index pair join (d_ngram_jaccard)
+- MinHash + LSH      — shingle→minhash→band→bucket-join (d_minhash_lsh)
+- SimHash            — 16-bit signature + hamming pairs (d_simhash, d_simhash_pairs)
+- embedding near-dup — cosine-threshold pairs (d_embedding_neardup)
+
+Scale notes: everything is expressed as explode → hash-aggregate → equi-join,
+so the shuffles key on (shingle) or (band, signature) — exactly the keys
+that stay well-distributed at 100 TB. The pairwise joins only ever touch
+LSH/band candidates (or are threshold-gated inverted-index joins), never a
+full cross product — except d_simhash_pairs/d_embedding_neardup which are
+the *verification* stage and in production run on LSH candidates only.
+
+All hashes are integer-only polynomial hashes (bit-identical in DuckDB),
+so every query here has a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+from olympic_athletes_etl_spark.plans.textstats import polyhash_duck, polyhash_spark
+
+_P = 1_000_000_007
+
+# (k, a, b) parameters of the k-th minhash permutation h_k(x) = (a*x+b) mod P.
+_MINHASH_PARAMS = [(k, 37 + 2 * k, (1_000_003 * k) % _P) for k in range(8)]
+
+# --- shared shingling (word bigrams, distinct per doc) ---------------------
+_BIGRAMS_SPARK = (
+    "array_distinct(transform(sequence(0, size(split(text, '\\\\s+')) - 2),"
+    " i -> concat(element_at(split(text, '\\\\s+'), i + 1), ' ',"
+    "             element_at(split(text, '\\\\s+'), i + 2))))"
+)
+_BIGRAMS_DUCK = """
+    list_distinct(list_transform(range(1, len(regexp_split_to_array(text, '\\s+'))),
+      i -> regexp_split_to_array(text, '\\s+')[i] || ' ' ||
+           regexp_split_to_array(text, '\\s+')[i + 1]))
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word bigrams per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("shingle")
+    )
+
+
+_SHINGLES_DUCK = f"""
+    SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS shingle FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — hash groupBy
+# --------------------------------------------------------------------------
+@query(
+    "d_exact_dup",
+    oracle="""
+    SELECT md5(text) AS content_hash, count(*) AS n_docs,
+           min(doc_id) AS canonical_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def d_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on md5(text), keep the min
+    doc_id as canonical representative. One hash-aggregate shuffle keyed
+    on the digest — uniform by construction, no skew at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard — inverted-index pair join
+# --------------------------------------------------------------------------
+@query(
+    "d_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-set Jaccard near-dup pairs via inverted index: explode
+    shingles, self-equi-join on the shingle (shuffle keyed on shingle —
+    never a cross product), count shared, |A∪B| = |A|+|B|-shared. The
+    0.5 threshold gates output to true near-dups. At 100 TB, hot
+    shingles are the skew risk — production path would drop shingles
+    with document-frequency above a cap (they contribute only to
+    already-similar pairs) or pre-filter through d_minhash_lsh."""
+    shingles = _doc_shingles(spark, sf_dir)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH — signature, banding, bucket join
+# --------------------------------------------------------------------------
+def _minhash_values_sql() -> str:
+    rows = ", ".join(f"({k}, {a}, {b})" for k, a, b in _MINHASH_PARAMS)
+    return f"(VALUES {rows}) AS perm(k, a, b)"
+
+
+@query(
+    "d_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    hashed AS (SELECT doc_id, {polyhash_duck('shingle')} AS h FROM shingles),
+    mh AS (
+      SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
+      FROM hashed CROSS JOIN {_minhash_values_sql()}
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 2 AS band,
+             min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
+             min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
+      FROM mh GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+     AND a.doc_id < b.doc_id
+    """,
+)
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: shingle → 8 minhashes (h_k = (a_k·x+b_k)
+    mod P) → 4 bands × 2 rows → docs colliding in any band. Shuffles key
+    on (shingle) then (band, sig0, sig1); the band join only ever
+    compares docs inside a bucket — the whole point of LSH at scale.
+    Candidates feed d_ngram_jaccard-style verification in production."""
+    hashed = _doc_shingles(spark, sf_dir).select(
+        "doc_id", polyhash_spark("shingle").alias("h")
+    )
+    perms = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"), F.lit(a).alias("a"), F.lit(b).alias("b")
+                )
+                for k, a, b in _MINHASH_PARAMS
+            ]
+        )
+    ).alias("perm")
+    mh = (
+        hashed.select("doc_id", "h", perms)
+        .select(
+            "doc_id",
+            F.col("perm.k").alias("k"),
+            ((F.col("perm.a") * F.col("h") + F.col("perm.b")) % _P).alias("hk"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("hk").alias("mh"))
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("k") / 2).cast("int").alias("band")
+    ).agg(
+        F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("sig0"),
+        F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("sig1"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig0") == F.col("b.sig0"))
+            & (F.col("a.sig1") == F.col("b.sig1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash — 16-bit signature + hamming-distance pairs
+# --------------------------------------------------------------------------
+_SIMHASH_DUCK = f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    hashed AS (SELECT doc_id, {polyhash_duck('shingle')} AS h FROM shingles),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): per-bit ±1 vote over shingle hashes, bit set
+    where the vote is positive. 16 bits keeps the bits×shingles explode
+    bounded; production would use 64 and the same plan."""
+    hashed = _doc_shingles(spark, sf_dir).select(
+        "doc_id", polyhash_spark("shingle").alias("h")
+    )
+    bits = (
+        hashed.select(
+            "doc_id",
+            "h",
+            F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+@query("d_simhash", oracle=_SIMHASH_DUCK)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (integer-exact oracle)."""
+    return _simhash_df(spark, sf_dir)
+
+
+@query(
+    "d_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_DUCK})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 2 on the 16-bit
+    signatures. Written as the verification stage — at scale the pair
+    candidates come from banding the signature bytes (same LSH shape as
+    d_minhash_lsh), not from the O(n²) self-join used on this test table."""
+    sh = _simhash_df(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup — cosine-threshold pairs
+# --------------------------------------------------------------------------
+@query(
+    "d_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45). Dot products run
+    in double via zip_with+aggregate — verified bit-identical with
+    DuckDB's list_dot_product. The O(n²) join is the verification shape;
+    at scale candidates come from s_ann_lsh's hyperplane buckets."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    dot_self = F.expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    n = emb.select("vec_id", "v", F.sqrt(dot_self).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    dot_ab = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    cos = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,159 @@
+"""Event-stream analytics over the ``events`` table (batch form).
+
+The reference has no streaming operators (SURVEY.md §2.10) — these are
+beyond-reference extensions expressed first as deterministic batch
+queries (correctness-gated here); the same logic runs incrementally via
+Structured Streaming in ``olympic_athletes_etl_spark.streaming`` (windowed
+aggs + watermarks), which shares these semantics but is tested separately
+(streams aren't DuckDB-oracle-able).
+
+``events.ts`` is nanos parquet truncated to micros on load — identical to
+DuckDB's read (see plans.tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+
+
+# --------------------------------------------------------------------------
+# Tumbling window aggregation
+# --------------------------------------------------------------------------
+@query(
+    "e_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS VARCHAR) AS win_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling-window counts/sums per event type — the batch
+    twin of `groupBy(window(ts, '15 minutes'))` in Structured Streaming.
+    Both engines align buckets to the epoch. Shuffle keys on
+    (window, type): naturally well-distributed; at 100 TB add the date
+    partition column to the key for partition-pruned scans."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gaps-and-islands, 30-minute inactivity gap)
+# --------------------------------------------------------------------------
+@query(
+    "e_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) AS VARCHAR) AS session_end
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks after 30 min of
+    user inactivity. lag → flag → running sum → per-session agg; all
+    windows partition by user_id (one shuffle, reused across both window
+    steps and the final agg — same key). Streaming twin:
+    ``session_window(ts, '30 minutes')``."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").cast("string").alias("session_start"),
+            F.max("ts").cast("string").alias("session_end"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest-event-per-key (streaming upsert compaction, batch form)
+# --------------------------------------------------------------------------
+@query(
+    "e_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def e_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (deterministic: ts desc, event_id desc) —
+    the batch form of streaming dedup/upsert compaction. Window rank +
+    rn=1 filter benefits from Spark's rank-limit pushdown."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("ts").cast("string").alias("ts"), "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction
+# --------------------------------------------------------------------------
+@query(
+    "e_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_bucket
+    FROM events
+    """,
+)
+def e_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the string props column (beyond
+    reference — it has no JSON; a real event pipeline always does).
+    get_json_object is JVM-side; for many fields prefer from_json with an
+    explicit schema (single parse)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select(
+        "event_id",
+        k.alias("k"),
+        F.floor(k / 10).cast("bigint").alias("k_bucket"),
+    )

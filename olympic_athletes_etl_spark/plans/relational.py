@@ -1,0 +1,657 @@
+"""Operator-mapped relational queries (SURVEY.md §2.2-2.7).
+
+One named query per inventory row, expressed on the driver's tables, each
+with a DuckDB oracle. Where the reference's semantics need a decision
+(null-safe ``!=``, mode tie-break, deterministic surrogate ids), the
+decision from SURVEY.md §7's log is implemented and the docstring cites it.
+
+Scale notes are inline: every groupBy/join states why the shuffle is
+either necessary or avoided (broadcast), because at 100 TB these are the
+queries users copy as templates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+
+
+# --------------------------------------------------------------------------
+# F1/F2/F3 — projection, reorder, bulk rename
+# --------------------------------------------------------------------------
+@query(
+    "f_project_rename",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_mktsegment AS segment, round(c_acctbal, 2) AS balance
+    FROM customer
+    """,
+)
+def f_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column drop + projection/reorder + dict-driven rename (F1/F2/F3;
+    reference: columns_renaming_reordering_glue.py:82-89). Column pruning
+    reaches the parquet scan — ReadSchema lists only 4 of 5 columns."""
+    mapping = {
+        "c_custkey": "customer_id",
+        "c_name": "customer_name",
+        "c_mktsegment": "segment",
+        "c_acctbal": "balance",
+    }
+    customer = load(spark, sf_dir, "customer")
+    df = customer.drop("c_nationkey").withColumnsRenamed(mapping)
+    return df.select("customer_id", "customer_name", "segment",
+                     F.round("balance", 2).alias("balance"))
+
+
+# --------------------------------------------------------------------------
+# F5/C12 — not-null filter (on engineered nulls, since testdata is dense)
+# --------------------------------------------------------------------------
+@query(
+    "f_notnull_filter",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+    FROM orders
+    WHERE nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+    """,
+)
+def f_notnull_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Not-null filter (F5; reference: data_clean_glue.py:109). Nulls are
+    engineered with nullif so the null path is actually exercised."""
+    orders = load(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        orders.select("o_orderkey", pri.alias("pri"))
+        .filter(F.col("pri").isNotNull())
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 — inequality filter null semantics (SURVEY §7 decision: != drops NULLs)
+# --------------------------------------------------------------------------
+@query(
+    "f_neq_null_semantics",
+    oracle="""
+    WITH t AS (SELECT nullif(o_orderstatus, 'P') AS st FROM orders)
+    SELECT
+      (SELECT count(*) FROM t WHERE st != 'F')                    AS neq_sql,
+      (SELECT count(*) FROM t WHERE st IS DISTINCT FROM 'F')      AS neq_nullsafe
+    """,
+)
+def f_neq_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal inequality filter (F6; reference: data_clean_glue.py:551-552).
+    Returns both counts: SQL `!=` (drops NULL rows — Spark & DuckDB agree)
+    and the null-safe variant (`~eqNullSafe`, pandas-parity: NULL != 'F' is
+    kept). The delta IS the semantic divergence flagged in SURVEY §2.2."""
+    orders = load(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    t = orders.select(st.alias("st"))
+    return t.agg(
+        F.count(F.when(F.col("st") != "F", 1)).alias("neq_sql"),
+        F.count(F.when(~F.col("st").eqNullSafe("F"), 1)).alias("neq_nullsafe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F8 — anti-membership (incremental-resume diff as left_anti join)
+# --------------------------------------------------------------------------
+@query(
+    "f_anti_join_resume",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def f_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-membership diff (F8; reference: athlete_scrape_glue.py:280-283
+    does a driver-side set subtract — we use the distributed left_anti join,
+    which scales past driver memory)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "f_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    """,
+)
+def f_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS membership via left_semi — the complement of F8. Semi joins
+    never duplicate the left side, so no post-join dedup shuffle."""
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return supplier.join(
+        lineitem, supplier.s_suppkey == lineitem.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------------
+# J1 — left equi-join, single key
+# --------------------------------------------------------------------------
+@query(
+    "j_left_single_key",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j_left_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join on a single key (J1; reference:
+    data_clean_II_glue.py:68). Customer is the small side → broadcast hint
+    (J5) turns this into a shuffle-free map-side join at any fact scale."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# J2 — left equi-join, composite key
+# --------------------------------------------------------------------------
+@query(
+    "j_left_composite_key",
+    oracle="""
+    WITH pair_stats AS (
+      SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS pair_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_orderkey, l_linenumber, lineitem.l_partkey AS l_partkey,
+           lineitem.l_suppkey AS l_suppkey, pair_qty
+    FROM lineitem LEFT JOIN pair_stats
+      ON lineitem.l_partkey = pair_stats.l_partkey
+     AND lineitem.l_suppkey = pair_stats.l_suppkey
+    """,
+)
+def j_left_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a 2-column composite key (J2; reference:
+    data_clean_glue.py:142-152 joins on 3 columns). Both sides shuffle on
+    the same composite key — one exchange each, colocated sort-merge."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    pair_stats = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("pair_qty")
+    )
+    return lineitem.join(pair_stats, on=["l_partkey", "l_suppkey"], how="left").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "pair_qty"
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — join on expression key
+# --------------------------------------------------------------------------
+@query(
+    "j_expr_key",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS day_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, CAST(date_trunc('day', o_orderdate) AS VARCHAR) AS order_day,
+           day_orders
+    FROM orders LEFT JOIN daily ON date_trunc('day', o_orderdate) = daily.d
+    """,
+)
+def j_expr_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a derived/expression key (J3; reference:
+    data_clean_II_glue.py:109-117 joins on lower(split(NOC)[0])). The
+    expression is materialized as a column first so the shuffle hashes a
+    concrete key, not a re-evaluated expression."""
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "order_day", F.date_trunc("day", F.col("o_orderdate")).cast("date")
+    )
+    daily = orders.groupBy("order_day").agg(F.count(F.lit(1)).alias("day_orders"))
+    return orders.join(daily, on="order_day", how="left").select(
+        "o_orderkey",
+        F.col("order_day").cast("string").alias("order_day"),
+        "day_orders",
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — left join with a dynamic key list (failure-case context recovery)
+# --------------------------------------------------------------------------
+@query(
+    "j_dynamic_keys_recover",
+    oracle="""
+    WITH failures AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.09
+    ), orig AS (
+      SELECT DISTINCT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+    )
+    SELECT failures.l_orderkey AS l_orderkey,
+           failures.l_linenumber AS l_linenumber, l_quantity, l_returnflag
+    FROM failures LEFT JOIN orig
+      ON failures.l_orderkey = orig.l_orderkey
+     AND failures.l_linenumber = orig.l_linenumber
+    """,
+)
+def j_dynamic_keys_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-rows ⟕ originals on a runtime-chosen key list (J4;
+    reference: data_quality_and_validation.py:278-286)."""
+    keys = ["l_orderkey", "l_linenumber"]  # dynamic in the engine API
+    lineitem = load(spark, sf_dir, "lineitem")
+    failures = lineitem.filter(F.col("l_discount") > 0.09).select(*keys)
+    orig = lineitem.select(*keys, "l_quantity", "l_returnflag").dropDuplicates()
+    return failures.join(orig, on=keys, how="left")
+
+
+# --------------------------------------------------------------------------
+# A2/W1/O3 — mode per group with deterministic tie-break
+# --------------------------------------------------------------------------
+@query(
+    "a_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group (A2/W1/F7; reference: data_clean_II_glue.py:57-66).
+    Tie-break is value-ascending — pandas ``mode().iloc[0]`` semantics per
+    SURVEY §7's decision log (the reference's Glue variant is
+    nondeterministic on ties; we are not). Aggregate-then-window: the
+    window runs over (user × type) counts, not raw events."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("mode_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — exact group median (not percentile_approx — SURVEY §7)
+# --------------------------------------------------------------------------
+@query(
+    "a_group_median",
+    oracle="""
+    SELECT event_type, round(median(value), 4) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median by group (A3; reference pandas data_clean_II.py:34-45 is
+    exact, Glue uses percentile_approx — SURVEY §7 pins EXACT for oracle
+    parity)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4/A5 — distinct
+# --------------------------------------------------------------------------
+@query(
+    "a_distinct_pairs",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def a_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a column subset (A4; reference:
+    data_clean_glue.py:128-138)."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# A6 — null-percentage profile
+# --------------------------------------------------------------------------
+@query(
+    "a_null_profile",
+    oracle="""
+    WITH t AS (
+      SELECT nullif(o_orderstatus, 'F') AS st,
+             nullif(o_orderpriority, '1-URGENT') AS pri,
+             o_totalprice
+      FROM orders
+    )
+    SELECT round(avg(CASE WHEN st IS NULL THEN 1 ELSE 0 END) * 100, 2)  AS st_null_pct,
+           round(avg(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) * 100, 2) AS pri_null_pct,
+           round(avg(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) * 100, 2) AS price_null_pct
+    FROM t
+    """,
+)
+def a_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-percentage profile (A6; reference:
+    data_quality_and_validation.py:9-12) — one aggregation pass over all
+    columns, not one job per column."""
+    orders = load(spark, sf_dir, "orders")
+    t = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri"),
+        F.col("o_totalprice"),
+    )
+
+    def pct(c: str, alias: str) -> F.Column:
+        return F.round(F.avg(F.col(c).isNull().cast("int")) * 100, 2).alias(alias)
+
+    return t.agg(pct("st", "st_null_pct"), pct("pri", "pri_null_pct"),
+                 pct("o_totalprice", "price_null_pct"))
+
+
+# --------------------------------------------------------------------------
+# A7 — frequency table (value_counts)
+# --------------------------------------------------------------------------
+@query(
+    "a_value_counts",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def a_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts (A7; reference: data_quality_and_validation.py:256-260)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# A8 — collect_list per group (deterministic: sorted distinct, joined)
+# --------------------------------------------------------------------------
+@query(
+    "a_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def a_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect per group (A8; reference:
+    data_quality_and_validation.py:267-272). Spark's collect_list order is
+    partition-dependent → we expose the deterministic form:
+    sort_array(collect_set) joined to a string, hash-stable on both engines."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("event_types")
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — duplicate detection on a key subset
+# --------------------------------------------------------------------------
+@query(
+    "a_dup_detect",
+    oracle="""
+    SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS VARCHAR) AS order_day,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_custkey, date_trunc('day', o_orderdate)
+    HAVING count(*) > 1
+    """,
+)
+def a_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection on a key subset (A9; reference:
+    data_quality_and_validation.py:24-28). groupBy+HAVING, not a window —
+    the aggregate form combines map-side, a count window over raw rows
+    doesn't."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").cast("string").alias("order_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# A10/§2.7 — union with heterogeneous columns (pd.concat outer-align)
+# --------------------------------------------------------------------------
+@query(
+    "a_union_align",
+    oracle="""
+    SELECT n_name AS name, CAST(NULL AS DOUBLE) AS acctbal, 'nation' AS src FROM nation
+    UNION ALL
+    SELECT s_name AS name, round(s_acctbal, 2) AS acctbal, 'supplier' AS src FROM supplier
+    """,
+)
+def a_union_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of heterogeneous tables (A10/set-ops; reference: pd.concat
+    outer-aligns columns, editions_scrap.py:48-76) →
+    unionByName(allowMissingColumns=True) per SURVEY §7."""
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    out = nation.unionByName(supplier, allowMissingColumns=True)
+    return out.select("name", F.col("acctbal").cast("double").alias("acctbal"), "src")
+
+
+@query(
+    "a_except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def a_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (beyond reference, which only unions — §2.7).
+    ``subtract`` is EXCEPT DISTINCT — removes every left row that appears
+    anywhere on the right (``exceptAll`` would keep multiplicity excess,
+    which is not SQL EXCEPT)."""
+    customer = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supplier = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return customer.subtract(supplier)
+
+
+# --------------------------------------------------------------------------
+# W2/W4 — deterministic surrogate key (global window on a TINY dim only)
+# --------------------------------------------------------------------------
+@query(
+    "w_surrogate_key",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           row_number() OVER (ORDER BY n_name, n_nationkey) AS nation_sk
+    FROM nation
+    """,
+)
+def w_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate key (W2/W4; reference uses
+    monotonically_increasing_id at data_clean_glue.py:136 — nondeterministic,
+    SURVEY §7 replaces it with row_number over an explicit order). Global
+    window is acceptable ONLY on tiny dims (nation = 25 rows; the reference's
+    editions dim = 76). For fact-scale ids use zipWithIndex-style instead."""
+    nation = load(spark, sf_dir, "nation")
+    w = Window.orderBy(F.asc("n_name"), F.asc("n_nationkey"))
+    return nation.select("n_nationkey", "n_name").withColumn(
+        "nation_sk", F.row_number().over(w)
+    )
+
+
+# --------------------------------------------------------------------------
+# W5 — forward-fill (last ignorenulls over ordered window)
+# --------------------------------------------------------------------------
+@query(
+    "w_forward_fill",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM t
+    """,
+)
+def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (W5/R4; reference: athlete_scrape.py:143-156 ffills
+    header-row values down an athlete's results). ``last(ignorenulls)`` over
+    an explicit row-sequence column — partitioned by the entity key, so it
+    scales: no global sort, one shuffle on user_id."""
+    events = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.round(F.col("value"), 2)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select("event_id", "user_id", v.alias("v")).withColumn(
+        "v_filled", F.last("v", ignorenulls=True).over(w)
+    ).drop("v")
+
+
+# --------------------------------------------------------------------------
+# O3 — top-k per group
+# --------------------------------------------------------------------------
+@query(
+    "o_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_name, price, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def o_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (O3/F7/W1) with deterministic tie-break. AQE handles
+    a skewed brand; rank-then-filter pushes the k-limit into WindowExec
+    (Spark's rank-limit pushdown)."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name",
+                F.round("p_retailprice", 2).alias("price"), "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# O1/O2/O4 — ordered preview limit (top-n, deterministic)
+# --------------------------------------------------------------------------
+@query(
+    "o_ordered_limit",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+)
+def o_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered limit (O1/O2/O4; reference previews via .show(5)). Spark
+    compiles orderBy+limit into TakeOrderedAndProject — a distributed top-n,
+    no global sort materialized."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# R1 — explode a delimited string to rows
+# --------------------------------------------------------------------------
+@query(
+    "r_explode_split",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    """,
+)
+def r_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode split string → rows (R1; reference: data_clean_glue.py:105-111
+    explodes '/'-separated Affiliations)."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+
+
+# --------------------------------------------------------------------------
+# R2 — normalize to dim + bridge with deterministic ids
+# --------------------------------------------------------------------------
+@query(
+    "r_dim_bridge",
+    oracle="""
+    WITH exploded AS (
+      SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    ), dim AS (
+      SELECT word, row_number() OVER (ORDER BY word) - 1 AS word_id
+      FROM (SELECT DISTINCT word FROM exploded)
+    )
+    SELECT p_partkey, word_id
+    FROM exploded JOIN dim USING (word)
+    """,
+)
+def r_dim_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim+bridge normalization (R2/W4/J2; reference: data_clean.py:97-150
+    builds dim_affiliation + bridge_athlete_affiliation). Deterministic ids
+    via row_number over the dim's natural order — the dim is the DISTINCT
+    set (small), so the global window is bounded; the bridge join broadcasts
+    the dim."""
+    part = load(spark, sf_dir, "part")
+    exploded = part.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    ).dropDuplicates()
+    dim = (
+        exploded.select("word")
+        .dropDuplicates()
+        .withColumn("word_id", F.row_number().over(Window.orderBy("word")) - 1)
+    )
+    return exploded.join(F.broadcast(dim), on="word").select("p_partkey", "word_id")
+
+
+# --------------------------------------------------------------------------
+# R3 — pivot (groupBy().pivot().count())
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "r_pivot_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def r_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot key→columns (R3; reference transposes scraped biodata,
+    athlete_scrape.py:113-116; engine-level equivalent is groupBy().pivot()).
+    Pivot values are given explicitly — Spark then skips the extra distinct
+    pass AND the output schema is deterministic."""
+    events = load(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells; count-semantics wants 0 (both engines).
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )

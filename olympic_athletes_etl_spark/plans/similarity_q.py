@@ -1,0 +1,169 @@
+"""Similarity search over the ``embeddings`` table.
+
+- s_knn_bruteforce — exact cosine top-k: the correctness baseline.
+- s_ann_lsh        — random-hyperplane LSH buckets, search only the
+                     query's bucket: the scale path (candidates shrink
+                     by ~2^planes; recall tunable via plane count /
+                     multi-probe).
+
+Determinism: hyperplane weights are integer-arithmetic pseudo-randoms
+(no RNG, no floats until the final dot product), so Spark and DuckDB
+compute bit-identical bucket ids and similarities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+
+_QUERY_VEC_ID = 0  # the fixed probe vector for both queries
+_K = 5
+_N_PLANES = 8
+_DIM = 64
+
+# plane(p, d) weight: integers in [-998, 998], deterministic in (p, d).
+_PLANE_W = "((({p} * 9973 + d * 7919) % 1997) - 998)"
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+# --------------------------------------------------------------------------
+# Brute-force exact top-k
+# --------------------------------------------------------------------------
+@query(
+    "s_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), q AS (SELECT v, nrm FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT n.vec_id,
+             list_dot_product(n.v, q.v) / (n.nrm * q.nrm) AS cos_raw
+      FROM n CROSS JOIN q WHERE n.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """,
+)
+def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a fixed probe vector: broadcast the 1-row
+    query against all vectors (map-side only — no shuffle until the
+    final top-k, which TakeOrderedAndProject handles without a global
+    sort). Rank ties break on vec_id; ranking runs on the raw double
+    (bit-identical across engines), rounding only in the output."""
+    n = _emb_double(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.expr(_DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qnrm"))
+    scored = (
+        n.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+    )
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes, integer-deterministic)
+# --------------------------------------------------------------------------
+def _bucket_expr_spark() -> F.Column:
+    """Sum over planes of (dot(v, plane_p) > 0) << p."""
+    bits = []
+    for p in range(_N_PLANES):
+        plane = f"transform(sequence(0, {_DIM - 1}), d -> CAST({_PLANE_W.format(p=p)} AS DOUBLE))"
+        dot = _DOT.format(a="v", b=plane)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
+
+
+def _bucket_sql_duck() -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        plane = (
+            f"list_transform(range(0, {_DIM}),"
+            f" d -> CAST({_PLANE_W.format(p=p)} AS DOUBLE))"
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+@query(
+    "s_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_bucket_sql_duck()} AS bucket
+      FROM e
+    ), q AS (SELECT v, nrm, bucket FROM b WHERE vec_id = {_QUERY_VEC_ID}),
+    cand AS (
+      SELECT b.vec_id,
+             list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cos_raw
+      FROM b JOIN q ON b.bucket = q.bucket
+      WHERE b.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM cand
+    QUALIFY rank <= {_K}
+    """,
+)
+def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 sign-bits → 256 buckets; rank
+    only the query's bucket. The bucket id is computed in one narrow
+    projection per vector (scan-bound); the candidate join keys on the
+    bucket — at 100 TB this is a broadcast of the 1-row query side plus
+    a pruned scan, ~2^8 smaller than brute force. Recall < 1 by design
+    (LSH); raise plane count / probe neighboring buckets to trade
+    compute for recall."""
+    b = _emb_double(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    q = b.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket")
+    )
+    cos = F.expr(_DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qnrm"))
+    cand = (
+        b.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", cos.alias("cos_raw"))
+    )
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )

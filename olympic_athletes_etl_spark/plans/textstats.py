@@ -1,0 +1,217 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Beyond-reference extensions for a large-scale training-data pipeline:
+token counting, quality scoring, heuristic language-ID, and document
+fingerprinting. All are pure JVM-side expressions (higher-order array
+functions, no Python UDFs), so at 100 TB they run at scan speed and
+whole-stage codegen applies end-to-end.
+
+Tokenization convention shared by this module and dedup_q: whitespace
+split via ``\\s+`` regex — identical in Spark (`split`) and DuckDB
+(`regexp_split_to_array`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+
+# Deterministic polynomial rolling hash over characters, mod 1e9+7.
+# Verified bit-identical between Spark `aggregate` and DuckDB `list_reduce`
+# (including multibyte codepoints: ascii()==ord()).
+_POLYHASH_SPARK = (
+    "aggregate(split({col}, ''), CAST(0 AS BIGINT),"
+    " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+)
+_POLYHASH_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({col}, ''), c -> CAST(ord(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+
+def polyhash_spark(col: str) -> F.Column:
+    """31-base rolling hash of a string column (JVM-side, codegen)."""
+    return F.expr(_POLYHASH_SPARK.format(col=col))
+
+
+def polyhash_duck(col: str) -> str:
+    return _POLYHASH_DUCK.format(col=col)
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+@query(
+    "t_token_count",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 4)
+             AS avg_token_len
+    FROM t
+    """,
+)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char stats. The BPE-ish variant (regex
+    token classes) is in t_quality_score's punct ratio."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / stopword / digit ratios)
+# --------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_filter(toks,
+                 x -> x IN {_STOPWORDS!r})) AS DOUBLE) / len(toks), 4)
+             AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS digit_ratio,
+           length(text) BETWEEN 100 AND 20000
+             AND CAST(len(list_filter(toks, x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                 / len(toks) > 0.01 AS passes_quality
+    FROM t
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gates for training-data filtering: stopword
+    ratio, digit ratio, length band — the C4-style document filter a
+    pretraining pipeline applies before dedup."""
+    docs = load(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    stop_ratio = F.expr(
+        f"CAST(size(filter(split(text, '\\\\s+'), x -> x IN ({sw}))) AS DOUBLE)"
+        " / size(split(text, '\\\\s+'))"
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / F.length("text")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        (F.length("text").between(100, 20000) & (stop_ratio > 0.01)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heuristic language-ID (marker-token scoring, argmax with tie-break)
+# --------------------------------------------------------------------------
+# Marker lists keyed off the corpus vocabulary; the heuristic is the
+# operator under test (deterministic scoring + argmax), not a real model.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und", "data", "value"),
+    "fr": ("le", "la", "et", "table", "row"),
+    "es": ("el", "los", "y", "query", "scan"),
+}
+
+
+def _marker_score_spark(markers: tuple[str, ...]) -> F.Column:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(split(text, '\\\\s+'), x -> x IN ({lst})))")
+
+
+@query(
+    "t_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id, s.lang,
+             len(list_filter(toks, x -> list_contains(s.markers, x))) AS score
+      FROM t CROSS JOIN (
+        SELECT * FROM (VALUES
+          ('en', ['the', 'a', 'of']),
+          ('de', ['der', 'die', 'und', 'data', 'value']),
+          ('fr', ['le', 'la', 'et', 'table', 'row']),
+          ('es', ['el', 'los', 'y', 'query', 'scan'])
+        ) AS v(lang, markers)
+      ) s
+    ), ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, lang AS predicted_lang, score AS marker_hits
+    FROM ranked WHERE rn = 1
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker language-ID heuristic: score each candidate language
+    by marker-token hits, argmax with deterministic (score desc, lang asc)
+    tie-break. Scales as a single narrow projection + small explode — the
+    per-language scoring is a literal-array cross product, no shuffle
+    until the 4-rows-per-doc argmax window."""
+    docs = load(spark, sf_dir, "documents")
+    scored = None
+    for lang, markers in _LANG_MARKERS.items():
+        part = docs.select(
+            "doc_id",
+            F.lit(lang).alias("lang"),
+            _marker_score_spark(markers).alias("score"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("predicted_lang"),
+            F.col("score").alias("marker_hits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (rolling hash)
+# --------------------------------------------------------------------------
+@query(
+    "t_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {polyhash_duck('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 31-base rolling-hash fingerprint of the full text —
+    the cheap exact-dup key (cf. d_exact_dup's md5 variant). Integer-only
+    arithmetic → bit-identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", polyhash_spark("text").alias("fingerprint"))

@@ -1,0 +1,217 @@
+"""Flagship + headline analytic queries (bench path).
+
+These exercise the full scan → filter → join → aggregate → window stack the
+reference pipeline composes (SURVEY.md §2: S1, F2/F5, J1/J5, A1, W1, O1-O3)
+on the driver's TPC-H-ish tables. They are also the bench.py workload, so
+they are written the way we'd want the 100 TB plan to look:
+
+- dimension joins carry explicit ``F.broadcast`` hints (region/nation/
+  customer/supplier are small relative to the fact tables at every SF);
+- aggregation happens BEFORE the window (shrink first, rank second);
+- windows partition by a real key — never a global Window.orderBy on a
+  fact table (SURVEY.md §4 anti-pattern);
+- float aggregates are rounded identically in Spark and the DuckDB oracle
+  (double accumulation order differs between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def flagship_region_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lineitem revenue within each region.
+
+    Covers the reference's composite shape: parquet scans (S1), projection
+    (F2), left-join chain on single keys (J1) with broadcast dims (J5),
+    group aggregation (A1), partitioned window rank (W1/O3), deterministic
+    tie-break (SURVEY §7 decision log).
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    per_customer = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy("r_name", "c_custkey", "c_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_customer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("r_name", "c_custkey", "c_name", "revenue", "rank")
+    )
+
+
+query(
+    "flagship_region_top_customers",
+    oracle="""
+    WITH per_customer AS (
+      SELECT r_name, c_custkey, c_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, c_custkey, c_name
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY r_name
+                                   ORDER BY revenue DESC, c_custkey ASC) AS rank
+      FROM per_customer
+    )
+    SELECT r_name, c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 3
+    """,
+)(flagship_region_top_customers)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash aggregation (A1/A6-style).
+
+    Map-side partial aggregation + final hash agg — Catalyst does both; at
+    100 TB the shuffle carries only (2-key × 8-agg) partials.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    disc_price = _revenue()
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters pushed to scan, join, agg, top-k.
+
+    Filters sit directly on the scans so Catalyst pushes them into the
+    parquet readers (PushedFilters) before the join shuffles.
+    """
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "inner")
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join chain with broadcast dims (J1/J5/A1)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_order_share_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount)
+                 / sum(l_extendedprice * (1.0 - l_discount))
+                   OVER (PARTITION BY l_orderkey), 6) AS order_share
+    FROM lineitem
+    """,
+)
+def q_order_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window (W3): each lineitem's share of its order's
+    revenue — the reference's per-group-median-broadcast shape
+    (data_clean_II_glue.py:80-92) on a fact-table key."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    rev = _revenue()
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rev / F.sum(rev).over(w), 6).alias("order_share"),
+    )

@@ -1,0 +1,112 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every registered query on a given sf dir with Spark AND its DuckDB
+oracle, then compares: row count, sorted column names, and an
+order-insensitive value multiset (columns sorted by name — the driver's
+documented compare). Exits non-zero listing mismatches.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _canon(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def _multiset(rows: list[tuple], names: list[str]) -> Counter:
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from olympic_athletes_etl_spark.plans import oracle_sql, queries
+    from olympic_athletes_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_names = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}")
+            print(f"FAIL  {name} (spark error)")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_names = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:400]}")
+            print(f"FAIL  {name} (oracle error)")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_names) != sorted(d_names):
+            problems.append(f"columns spark={sorted(s_names)} duckdb={sorted(d_names)}")
+        if not problems:
+            ms, md = _multiset(s_rows, s_names), _multiset(d_rows, d_names)
+            if ms != md:
+                diff_s = list((ms - md).items())[:3]
+                diff_d = list((md - ms).items())[:3]
+                problems.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
+        if problems:
+            failures.append(f"{name}: " + "; ".join(problems))
+            print(f"FAIL  {name}")
+        else:
+            print(f"ok    {name} ({len(s_rows)} rows)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print(f"all green ({len([n for n in qs if not only or n in only])} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
