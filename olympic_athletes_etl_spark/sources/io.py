@@ -1,0 +1,110 @@
+"""Scans, sinks, and the incremental checkpoint-resume lifecycle
+(SURVEY.md §2.1, S1-S10 + §4 incremental recompute avoidance).
+
+All readers take an optional explicit ``StructType`` — explicit schemas
+at I/O boundaries are an engine rule (§4): they keep column pruning
+reaching the parquet footer and make CSV reads deterministic (never
+``inferSchema``'s extra pass + type drift).
+
+Object-store note (S9): paths are plain strings — ``s3a://`` URIs work
+unchanged once ``spark.hadoop.fs.s3a.*`` is configured; nothing here
+assumes a local filesystem.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+# --------------------------------------------------------------------------
+# Scans (S1-S3)
+# --------------------------------------------------------------------------
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S1. With ``schema``, mismatched files fail fast instead of
+    silently widening types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_parquet_glob(spark: SparkSession, pattern: str) -> DataFrame:
+    """S3: glob/multi-file union scan (checkpoint parts read as one table;
+    reference: athlete_scrape_glue.py:226,341). Spark lists matching files
+    once and unions them at the scan — no per-file jobs."""
+    return spark.read.option("mergeSchema", "false").parquet(pattern)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S2. Explicit StructType preferred over inferSchema (SURVEY §2.1:
+    inference costs an extra full read and can drift between batches)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+# --------------------------------------------------------------------------
+# Sinks (S5-S7)
+# --------------------------------------------------------------------------
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: layer publish."""
+    df.write.mode(mode).parquet(path)
+
+
+def checkpoint_append(df: DataFrame, path: str) -> None:
+    """S6: crash-safe incremental persist — append-mode parquet; each batch
+    adds files, the consolidated read is a glob scan (S3)."""
+    df.write.mode("append").parquet(path)
+
+
+def compacted_write(df: DataFrame, path: str, num_files: int, mode: str = "overwrite") -> None:
+    """S7: small-file compaction on publish (coalesce, reference:
+    columns_renaming_reordering_glue.py:140-141). coalesce (not
+    repartition): narrows without a shuffle. At 100 TB pick num_files
+    from target file size (~512 MB-1 GB per file), never 1."""
+    df.coalesce(num_files).write.mode(mode).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Incremental resume (F8/S6) + error side-channel (S10)
+# --------------------------------------------------------------------------
+def resume_remaining(
+    spark: SparkSession,
+    all_ids: DataFrame,
+    checkpoint_glob: str,
+    key: str,
+) -> DataFrame:
+    """Checkpoint-resume diff: ids not yet present in any checkpoint file
+    (S6/F8; reference: athlete_scrape_glue.py:217-235,278-283 collects the
+    done-set to the driver — the left_anti join form stays distributed).
+    Missing/empty checkpoint dir ⇒ everything remains."""
+    try:
+        done = read_parquet_glob(spark, checkpoint_glob).select(key)
+    except Exception:  # noqa: BLE001 — no checkpoints yet (fresh run)
+        return all_ids
+    return all_ids.join(done.dropDuplicates(), on=key, how="left_anti")
+
+
+def split_by_tag(
+    df: DataFrame, tag_col: str, tags: Sequence[str]
+) -> dict[str, DataFrame]:
+    """S10/F9: route one tagged stream into per-tag tables (the scraper's
+    biodata/results/error demux, athlete_scrape_glue.py:298-300). Returns
+    lazy filters over a shared plan — pair with ``df.persist()`` at the
+    call site when the upstream is expensive, so the source computes once
+    for all three sinks."""
+    return {t: df.filter(F.col(tag_col) == t).drop(tag_col) for t in tags}

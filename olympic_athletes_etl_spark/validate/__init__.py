@@ -1,0 +1,9 @@
+"""Declarative validation-rule engine (SURVEY.md §5, Phase 3)."""
+
+from olympic_athletes_etl_spark.validate.engine import (
+    Rule,
+    RuleSet,
+    reference_rules,
+)
+
+__all__ = ["Rule", "RuleSet", "reference_rules"]
