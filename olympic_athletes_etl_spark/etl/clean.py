@@ -67,7 +67,9 @@ def clean_biodata(raw: DataFrame) -> DataFrame:
         .withColumn("Born_Date", parse_date_flexible(born_txt))
         .withColumn("Died_Date", parse_date_flexible(died_txt))
         .withColumn("Born_City", extract_group("Born", BIRTHPLACE_PATTERN, 1))
-        .withColumn("Born_Region", extract_group("Born", BIRTHPLACE_PATTERN, 2))
+        # trim: the reference's greedy char-class keeps a trailing space
+        # artifact ('Rheinland-Pfalz ') — we normalize it away
+        .withColumn("Born_Region", F.trim(extract_group("Born", BIRTHPLACE_PATTERN, 2)))
         .withColumn("Born_Country", extract_group("Born", BIRTHPLACE_PATTERN, 3))
         .withColumn("Height_cm", height_txt.cast("double"))
         .withColumn("Weight_kg", weight_txt.cast("double"))
@@ -93,8 +95,11 @@ def normalize_affiliations(bios: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Explode '/'-separated Affiliations, parse ``Club, City (CCC)``,
     build dim_affiliation + bridge_athlete_affiliation with deterministic
     contiguous ids (R1/R2; data_clean.py:97-150, data_clean_glue.py:105-195).
-    The ``Club, (USA)``-style city-as-code fixup (data_clean.py:139-148):
-    a 3-uppercase "city" with no country is really the country code."""
+    The ``Club, (USA)``-style city-as-code fixup (data_clean.py:139-151):
+    a parsed "city" of exactly ``(XXX)`` is really the country code.
+    Divergence: the reference applies the fixup AFTER id assignment, so
+    ``X, (USA)`` and a would-be-identical fixed row keep separate ids; we
+    fix up BEFORE normalization so identical affiliations share one id."""
     exploded = (
         bios.filter(F.col("Affiliations").isNotNull())
         .select(
@@ -107,12 +112,13 @@ def normalize_affiliations(bios: DataFrame) -> tuple[DataFrame, DataFrame]:
     club = extract_group("aff", AFFILIATION_PATTERN, 1)
     city = extract_group("aff", AFFILIATION_PATTERN, 2)
     country = extract_group("aff", AFFILIATION_PATTERN, 3)
-    city_is_code = city.rlike(r"^[A-Z]{3}$") & country.isNull()
+    city_is_code = city.rlike(r"^\([A-Za-z]{3}\)$")
+    code = F.regexp_extract(city, r"^\(([A-Za-z]{3})\)$", 1)
     parsed = exploded.select(
         "Athlete_Id",
         club.alias("Affiliation_Club"),
         F.when(city_is_code, F.lit(None)).otherwise(city).alias("Affiliation_City"),
-        F.when(city_is_code, city).otherwise(country).alias("Affiliation_Country"),
+        F.when(city_is_code, code).otherwise(country).alias("Affiliation_Country"),
     )
     dim, bridge = normalize_dim_bridge(
         parsed,

@@ -45,7 +45,9 @@ def strip_unit(col: Column | str, unit: str) -> Column:
     malformed numerics become NULL — matching pandas
     ``to_numeric(errors="coerce")`` (C9; data_clean_glue.py:40-42)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(c, rf"\s*{unit}\s*$", "")).cast("double")
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+    # of malformed text THROW; to_numeric(errors="coerce") wants NULL
+    return F.trim(F.regexp_replace(c, rf"\s*{unit}\s*$", "")).try_cast("double")
 
 
 def parse_date_flexible(col: Column | str) -> Column:
@@ -55,8 +57,8 @@ def parse_date_flexible(col: Column | str) -> Column:
     try_to_date so unparseable text nulls instead of raising."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
-        F.try_to_date(c, F.lit("d MMMM yyyy")),
-        F.try_to_date(c, F.lit("yyyy")),
+        F.try_to_date(c, "d MMMM yyyy"),
+        F.try_to_date(c, "yyyy"),
     )
 
 

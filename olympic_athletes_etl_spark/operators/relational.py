@@ -33,7 +33,7 @@ def rename_bulk(df: DataFrame, mapping: dict[str, str], reorder: bool = True) ->
     declared order (F2/F3; columns_renaming_reordering_glue.py:82-89)."""
     out = df.withColumnsRenamed(mapping)
     if reorder:
-        ordered = [mapping.get(c, c) for c in df.columns if c in mapping]
+        ordered = [new for old, new in mapping.items() if old in df.columns]
         rest = [c for c in out.columns if c not in ordered]
         out = out.select(*ordered, *rest)
     return out

@@ -4,6 +4,7 @@ from olympic_athletes_etl_spark.validate.engine import (
     Rule,
     RuleSet,
     reference_rules,
+    unique_rule,
 )
 
-__all__ = ["Rule", "RuleSet", "reference_rules"]
+__all__ = ["Rule", "RuleSet", "reference_rules", "unique_rule"]

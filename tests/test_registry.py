@@ -1,0 +1,42 @@
+"""Driver-contract surface: every registered query analyzes against the
+testdata schemas, and a representative subset executes at sf0.001.
+
+Full value-level parity vs DuckDB lives in tools/check_parity.py (run at
+sf0.01); this suite is the fast always-on guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from olympic_athletes_etl_spark.plans import oracle_sql, queries
+
+EXECUTE_SAMPLE = [
+    "flagship_region_top_customers",
+    "q1_pricing_summary",
+    "a_mode_per_group",
+    "w_forward_fill",
+    "d_minhash_lsh",
+    "s_knn_bruteforce",
+    "e_sessionize",
+    "t_quality_score",
+]
+
+
+def test_registry_shape():
+    qs, osql = queries(), oracle_sql()
+    assert len(qs) >= 57
+    # every oracle key has a query; column-compare contract needs both
+    assert set(osql) <= set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_query_analyzes(spark, sf_dir, name):
+    df = queries()[name](spark, sf_dir)
+    assert len(df.columns) > 0  # forces analysis (schema resolution)
+
+
+@pytest.mark.parametrize("name", EXECUTE_SAMPLE)
+def test_query_executes(spark, sf_dir, name):
+    out = queries()[name](spark, sf_dir).limit(5).collect()
+    assert out is not None

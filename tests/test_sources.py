@@ -1,0 +1,54 @@
+"""sources.io — checkpoint-resume lifecycle and tag routing (S1-S10/F8)."""
+
+from __future__ import annotations
+
+from olympic_athletes_etl_spark.sources import (
+    checkpoint_append,
+    compacted_write,
+    read_parquet,
+    read_parquet_glob,
+    resume_remaining,
+    split_by_tag,
+    write_parquet,
+)
+
+
+def test_checkpoint_resume_roundtrip(spark, tmp_path):
+    ckpt = str(tmp_path / "checkpoints")
+    all_ids = spark.range(10).withColumnRenamed("id", "k")
+
+    # fresh run: nothing checkpointed → everything remains
+    assert resume_remaining(spark, all_ids, ckpt, "k").count() == 10
+
+    checkpoint_append(all_ids.filter("k < 4"), ckpt)
+    checkpoint_append(all_ids.filter("k >= 4 and k < 7"), ckpt)
+
+    remaining = sorted(
+        r["k"] for r in resume_remaining(spark, all_ids, ckpt, "k").collect()
+    )
+    assert remaining == [7, 8, 9]
+    # glob read unions both checkpoint batches
+    assert read_parquet_glob(spark, ckpt).count() == 7
+
+
+def test_write_read_compacted(spark, tmp_path):
+    p = str(tmp_path / "out")
+    df = spark.range(100).repartition(8)
+    compacted_write(df, p, num_files=2)
+    back = read_parquet(spark, p)
+    assert back.count() == 100
+    files = [f for f in __import__("os").listdir(p) if f.endswith(".parquet")]
+    assert len(files) == 2
+    p2 = str(tmp_path / "out2")
+    write_parquet(back.filter("id < 10"), p2)
+    assert read_parquet(spark, p2).count() == 10
+
+
+def test_split_by_tag(spark):
+    df = spark.createDataFrame(
+        [("bio", 1), ("res", 2), ("err", 3), ("bio", 4)], ["tag", "v"]
+    )
+    parts = split_by_tag(df, "tag", ["bio", "res", "err"])
+    assert sorted(r["v"] for r in parts["bio"].collect()) == [1, 4]
+    assert [r["v"] for r in parts["err"].collect()] == [3]
+    assert parts["bio"].columns == ["v"]

@@ -1,0 +1,70 @@
+"""validate.engine — planted-violation fixtures per FIXTURES.md §5."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.validate import Rule, RuleSet, reference_rules, unique_rule
+
+D = datetime.date
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    cols = ["Name", "Sex", "Height_cm", "Weight_kg", "Born_Date", "Died_Date",
+            "Born_Country"]
+    rows = [
+        ("Good Athlete", "Male", 180.0, 80.0, D(1950, 1, 1), None, "GER"),
+        ("Bad Sex", "Other", 170.0, 70.0, D(1960, 1, 1), None, "USA"),
+        ("Tall", "Male", 300.0, 80.0, D(1970, 1, 1), None, "FRA"),      # height
+        ("Heavy BMI", "Female", 150.0, 150.0, D(1980, 1, 1), None, "ITA"),  # weight ok=150<=200? yes; BMI=66.7 fails
+        ("Time Traveler", "Male", 180.0, 80.0, D(1990, 1, 1), D(1985, 1, 1), "ESP"),
+        ("Long Country", "Male", 180.0, 80.0, D(1950, 2, 2), None, "Germany"),
+        ("Dup Pair", "Male", 180.0, 80.0, D(1955, 5, 5), None, "SWE"),
+        ("Dup Pair", "Female", 160.0, 60.0, D(1955, 5, 5), None, "NOR"),
+        ("Null Heights", "Male", None, None, None, None, None),  # nulls pass
+    ]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_summary_counts(spark, planted):
+    summary = {r["rule"]: r for r in reference_rules().summary(planted).collect()}
+    assert all(r["n_checked"] == 9 for r in summary.values())
+    assert summary["sex_valid"]["n_failed"] == 1
+    assert summary["height_range"]["n_failed"] == 1
+    assert summary["weight_range"]["n_failed"] == 0
+    # 'Tall' (BMI 8.9) and 'Heavy BMI' (66.7) both out of [15,45]
+    assert summary["bmi_range"]["n_failed"] == 2
+    assert summary["country_3char"]["n_failed"] == 1
+    assert summary["died_after_born"]["n_failed"] == 1
+    assert summary["unique_name_born"]["n_failed"] == 2  # both dup rows flagged
+
+
+def test_failures_table_shape(spark, planted):
+    fails = reference_rules().failures(planted, context_cols=["Name"]).collect()
+    by_rule: dict[str, list] = {}
+    for r in fails:
+        by_rule.setdefault(r["failed_check"], []).append(r)
+    assert {r["Name"] for r in by_rule["sex_valid"]} == {"Bad Sex"}
+    assert {r["Name"] for r in by_rule["unique_name_born"]} == {"Dup Pair"}
+    scope_vals = {tuple(sorted(r["scope_values"].items())) for r in by_rule["bmi_range"]}
+    assert (("Height_cm", "150.0"), ("Weight_kg", "150.0")) in scope_vals
+    # null inputs never fail range rules (Pandera nullable default)
+    assert "Null Heights" not in {r["Name"] for r in fails}
+
+
+def test_null_fails_required_rule(spark):
+    df = spark.createDataFrame([(1,), (None,)], ["id"])
+    rs = RuleSet([Rule("id_required", lambda d: F.col("id").isNotNull(),
+                       ("id",), null_fails=True)])
+    s = rs.summary(df).collect()[0]
+    assert (s["n_checked"], s["n_failed"]) == (2, 1)
+
+
+def test_duplicate_rule_names_rejected():
+    r = unique_rule("u", ["a"])
+    with pytest.raises(ValueError):
+        RuleSet([r, r])
