@@ -82,10 +82,15 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", cos.alias("cos_raw"))
     )
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k, then k-way merge on the driver) — never a global-window
+    # single-partition sort; the rank window then sees only K rows.
+    topk = scored.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # constant partition: the input is only K rows (post-limit); this
+    # silences the partitionless-window warning without a real shuffle
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
 
@@ -161,9 +166,12 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
         .select("vec_id", cos.alias("cos_raw"))
     )
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    # distributed top-k (TakeOrderedAndProject), then rank K rows only
+    topk = cand.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # constant partition: the input is only K rows (post-limit); this
+    # silences the partitionless-window warning without a real shuffle
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
