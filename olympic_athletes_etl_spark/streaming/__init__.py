@@ -1,0 +1,23 @@
+"""Structured Streaming extension (SURVEY.md §2.10: the reference has no
+streaming — this is the beyond-reference scale path; the batch twins of
+these operators are oracle-checked as the ``e_*`` registry queries)."""
+
+from olympic_athletes_etl_spark.streaming.pipeline import (
+    EVENT_SCHEMA,
+    read_event_stream,
+    run_available_now,
+    running_user_stats,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "read_event_stream",
+    "run_available_now",
+    "running_user_stats",
+    "session_counts",
+    "sliding_counts",
+    "tumbling_counts",
+]

@@ -1,0 +1,172 @@
+"""Streaming operators over the ``events`` stream shape
+(event_id, ts, user_id, event_type, value, props).
+
+Design rules for the 100 TB / always-on path:
+
+- every aggregation takes a WATERMARK — unbounded state is the streaming
+  equivalent of the global window anti-pattern;
+- tumbling/sliding/session windows use the built-in ``window()`` /
+  ``session_window()`` (incremental state store, partial aggregation) —
+  identical semantics to the batch ``e_tumbling_window``/``e_sessionize``
+  registry queries, so batch results oracle the streaming ones;
+- custom per-key running state uses ``applyInPandasWithState`` (Arrow
+  batches, partitioned by key — state scales with #keys, not #events);
+- file sources use ``maxFilesPerTrigger`` so a backlog replays as
+  bounded micro-batches instead of one giant batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of event parquet files. Explicit schema is
+    mandatory for streaming reads — also keeps pruning at the footer."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Windowed count + sum(value) per (window, event_type). Late rows
+    beyond the watermark are dropped; state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts — each row lands in window/slide
+    overlapping windows (state cost multiplies accordingly)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: a session extends while events arrive
+    within ``gap`` of the previous one (built-in session_window — same
+    semantics the batch e_sessionize query verifies against DuckDB)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_user_stats(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running (count, sum) per user — custom stateful operator via
+    applyInPandasWithState (SURVEY §2.10 extension; Arrow-batched, state
+    is one tiny tuple per user)."""
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running totals, updated each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=_STATS_OUT,
+        stateStructType=_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "update",
+    checkpoint_dir: str | None = None,
+):
+    """Drain everything currently available into an in-memory table named
+    ``query_name``, in bounded micro-batches, then stop. Returns the
+    finished StreamingQuery (caller reads ``spark.table(query_name)``)."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
