@@ -173,29 +173,34 @@ def _marker_score_spark(markers: tuple[str, ...]) -> F.Column:
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/marker language-ID heuristic: score each candidate language
     by marker-token hits, argmax with deterministic (score desc, lang asc)
-    tie-break. Scales as a single narrow projection + small explode — the
-    per-language scoring is a literal-array cross product, no shuffle
-    until the 4-rows-per-doc argmax window."""
+    tie-break. ONE scan, ZERO shuffles: the per-language scores build an
+    in-row struct array; array_sort with an explicit comparator does the
+    argmax — no union-per-language, no window (at 100 TB the former plan
+    read the table 4× and shuffled every row)."""
     docs = load(spark, sf_dir, "documents")
-    scored = None
-    for lang, markers in _LANG_MARKERS.items():
-        part = docs.select(
-            "doc_id",
-            F.lit(lang).alias("lang"),
-            _marker_score_spark(markers).alias("score"),
-        )
-        scored = part if scored is None else scored.unionByName(part)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("lang").alias("predicted_lang"),
-            F.col("score").alias("marker_hits"),
-        )
+    entries = F.array(
+        *[
+            F.struct(
+                _marker_score_spark(markers).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.element_at(
+        F.array_sort(
+            entries,
+            lambda l, r: F.when(l["score"] != r["score"], r["score"] - l["score"])
+            .when(l["lang"] < r["lang"], F.lit(-1))
+            .when(l["lang"] > r["lang"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
+    )
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("predicted_lang"),
+        best["score"].alias("marker_hits"),
     )
 
 
