@@ -1,5 +1,12 @@
 """Sources & sinks (SURVEY.md §2.1, S1-S10)."""
 
+from olympic_athletes_etl_spark.sources.html_source import (
+    parse_kv_table,
+    parse_results_table,
+    parse_tables,
+    scrape_source,
+    tagged_to_tables,
+)
 from olympic_athletes_etl_spark.sources.io import (
     checkpoint_append,
     compacted_write,
@@ -14,10 +21,15 @@ from olympic_athletes_etl_spark.sources.io import (
 __all__ = [
     "checkpoint_append",
     "compacted_write",
+    "parse_kv_table",
+    "parse_results_table",
+    "parse_tables",
     "read_csv",
     "read_parquet",
     "read_parquet_glob",
     "resume_remaining",
+    "scrape_source",
     "split_by_tag",
+    "tagged_to_tables",
     "write_parquet",
 ]

@@ -11,7 +11,9 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_ROOT)
 
 
 @pytest.fixture(scope="session")
@@ -19,6 +21,11 @@ def spark():
     from olympic_athletes_etl_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Python workers unpickle test-module closures by module name — they
+    # need the repo root AND tests/ on their import path.
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
+    )
     spark = get_spark(app_name="tests", shuffle_partitions=8)
     yield spark
 
