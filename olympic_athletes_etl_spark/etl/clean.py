@@ -164,8 +164,11 @@ def clean_editions(raw: DataFrame) -> DataFrame:
         ~F.col("Game_Type").eqNullSafe("Ancient Olympic Games")
     )
     year_str = F.col("Year").cast("string")
-    opened = F.concat_ws(" ", F.trim(F.col("Opened")), year_str)
-    closed = F.concat_ws(" ", F.trim(F.col("Closed")), year_str)
+    # concat (not concat_ws): a NULL day-month must yield a NULL date —
+    # concat_ws would skip the NULL and the bare year would parse to
+    # Jan 1 (pandas parity: NaN + year → NaT)
+    opened = F.concat(F.trim(F.col("Opened")), F.lit(" "), year_str)
+    closed = F.concat(F.trim(F.col("Closed")), F.lit(" "), year_str)
     # '6 – 13 April' → start '6 April', end '13 April' (same-month
     # shorthand: the start borrows the end's month — data_clean.py:339-355)
     comp = clean_separators(F.col("Competition"))
@@ -181,11 +184,11 @@ def clean_editions(raw: DataFrame) -> DataFrame:
         .withColumn("Closed_Date", parse_date_flexible(closed))
         .withColumn(
             "Competition_Start",
-            parse_date_flexible(F.concat_ws(" ", comp_start, year_str)),
+            parse_date_flexible(F.concat(comp_start, F.lit(" "), year_str)),
         )
         .withColumn(
             "Competition_End",
-            parse_date_flexible(F.concat_ws(" ", comp_end_raw, year_str)),
+            parse_date_flexible(F.concat(comp_end_raw, F.lit(" "), year_str)),
         )
         .withColumnRenamed("Unnamed: 7", "Comments")
     )
