@@ -157,3 +157,39 @@ def e_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         F.floor(k / 10).cast("bigint").alias("k_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding windows (1 hour window / 15 minute slide)
+# --------------------------------------------------------------------------
+@query(
+    "e_sliding_window",
+    oracle="""
+    SELECT CAST(make_timestamp(CAST((CAST(floor(epoch(ts) / 900) AS BIGINT) - k)
+                                    * 900 * 1000000 AS BIGINT)) AS VARCHAR)
+             AS win_start,
+           event_type,
+           count(*) AS n
+    FROM events, (SELECT unnest(range(0, 4)) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in
+    window/slide = 4 overlapping windows (the oracle enumerates the same
+    4 epoch-aligned starts arithmetically). Batch twin of the streaming
+    ``sliding_counts`` operator; shuffle keys on (window, type) AFTER the
+    4× in-row expansion — state and shuffle scale linearly with the
+    overlap factor, the scan does not re-read."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )

@@ -61,8 +61,8 @@ def polyhash_duck(col: str) -> str:
     """,
 )
 def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + char stats. The BPE-ish variant (regex
-    token classes) is in t_quality_score's punct ratio."""
+    """Whitespace token count + char stats (the BPE-ish regex variant is
+    t_bpe_token_count)."""
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), r"\s+"))
     return docs.select(
@@ -220,3 +220,40 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic → bit-identical across engines."""
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", polyhash_spark("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (regex pre-tokenizer classes)
+# --------------------------------------------------------------------------
+#: GPT-2-style pre-tokenizer approximation: letter runs, digit runs,
+#: punctuation runs — each with an optional leading space. ASCII classes
+#: only, so Java (Spark) and RE2 (DuckDB) agree byte-for-byte.
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "t_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+           len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS tokens_per_char
+    FROM documents
+    """,
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex beside the
+    whitespace count (t_token_count) — the tokens/char ratio is the
+    standard LLM-pipeline cost estimator. Single scan, zero shuffle,
+    regexp_count stays in codegen."""
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4
+        ).alias("tokens_per_char"),
+    )
