@@ -193,3 +193,110 @@ def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (backward): each purchase ⟵ the user's latest prior view
+# --------------------------------------------------------------------------
+@query(
+    "e_asof_join",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           CAST((SELECT max(v.ts) FROM events v
+                 WHERE v.user_id = p.user_id
+                   AND v.event_type = 'view'
+                   AND v.ts <= p.ts) AS VARCHAR) AS last_view_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITHOUT a range join: union both sides, one
+    window partitioned by user ordered by ts, forward-fill the view
+    timestamp, keep purchase rows. Spark has no native ASOF; a naive
+    implementation is an O(n·m) theta join — this shape is ONE shuffle
+    on user_id and scales linearly (the standard trades-ffill-for-range
+    pattern; same Window machinery as W5). Ties (view.ts == purchase.ts)
+    count as 'prior' — the union sorts views before purchases at equal
+    ts via a type rank."""
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # at equal ts the view must land before the purchase in the scan
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side_rank"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("string").alias("purchase_ts"),
+            F.col("last_view_ts").cast("string").alias("last_view_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join via bucketing: events ⨝ hour-grid maintenance windows
+# --------------------------------------------------------------------------
+@query(
+    "e_range_join_buckets",
+    oracle="""
+    WITH wins AS (
+      SELECT CAST(k AS BIGINT) AS win_id,
+             make_timestamp(k * 7200 * 1000000) AS win_start,
+             make_timestamp((k * 7200 + 5400) * 1000000) AS win_end
+      FROM (SELECT unnest(range(236676, 236689)) AS k)
+    )
+    SELECT w.win_id, count(e.event_id) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM wins w LEFT JOIN events e
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_id
+    """,
+)
+def e_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join executed as an EQUI join: 90-minute
+    windows on a 2-hour grid; each event computes its candidate grid
+    bucket (ts div grid) and joins on the bucket id, then the residual
+    containment predicate filters. A plain `e.ts BETWEEN w.start AND
+    w.end` join would be a broadcast-nested-loop over every (event ×
+    window) pair — the bucket key makes it a hash join whose probe side
+    is each event once (intervals never span a grid cell here; spanning
+    intervals explode to one row per touched cell). The window dim is
+    built with sequence() — no driver-side loop."""
+    events = load(spark, sf_dir, "events")
+    # 13 two-hour-grid windows inside the testdata's Jan-2024 span
+    # (bucket 236676 == 2024-01-01T00:00Z);
+    # win k: [k*7200, k*7200 + 5400) seconds since epoch
+    wins = spark.range(236676, 236689).select(
+        F.col("id").alias("win_id"),
+        F.timestamp_seconds(F.col("id") * 7200).alias("win_start"),
+        F.timestamp_seconds(F.col("id") * 7200 + 5400).alias("win_end"),
+    )
+    ev = events.select(
+        "event_id", "ts", "value", (F.unix_timestamp("ts") / 7200).cast("bigint").alias("bucket")
+    )
+    joined = F.broadcast(wins).join(
+        ev,
+        (F.col("bucket") == F.col("win_id"))
+        & (F.col("ts") >= F.col("win_start"))
+        & (F.col("ts") < F.col("win_end")),
+        "left",
+    )
+    return joined.groupBy("win_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -655,3 +655,60 @@ def r_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube (multi-level aggregates — beyond-reference agg coverage)
+# --------------------------------------------------------------------------
+@query(
+    "a_rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: (flag, status), (flag), () levels in ONE pass —
+    Catalyst expands the grouping sets into a single shuffle keyed on the
+    expanded grouping id, not one job per level. NULL grouping cells are
+    labeled so the oracle hash can't confuse them with real NULL data."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@query(
+    "a_cube_counts",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate — all four grouping-set combinations in one shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
