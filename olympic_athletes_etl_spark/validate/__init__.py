@@ -3,8 +3,17 @@
 from olympic_athletes_etl_spark.validate.engine import (
     Rule,
     RuleSet,
+    editions_rules,
     reference_rules,
+    results_rules,
     unique_rule,
 )
 
-__all__ = ["Rule", "RuleSet", "reference_rules", "unique_rule"]
+__all__ = [
+    "Rule",
+    "RuleSet",
+    "editions_rules",
+    "reference_rules",
+    "results_rules",
+    "unique_rule",
+]

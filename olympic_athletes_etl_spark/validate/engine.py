@@ -161,3 +161,101 @@ def reference_rules(
             unique_rule("unique_name_born", (name_col, born_col)),
         ]
     )
+
+
+def results_rules(
+    *,
+    medal_col: str = "Medal",
+    position_col: str = "Position",
+    athlete_col: str = "Athlete_Id",
+) -> RuleSet:
+    """The results-table ruleset: medal values, medal ⇔ position
+    consistency (Gold=1 / Silver=2 / Bronze=3 — NULL medal always
+    passes), required athlete FK
+    (data_quality_and_validation.py:118-164)."""
+    medal = F.col(medal_col)
+    pos = F.col(position_col)
+    return RuleSet(
+        [
+            Rule(
+                "medal_valid",
+                lambda df: medal.isin("Gold", "Silver", "Bronze"),
+                (medal_col,),
+            ),
+            Rule(
+                "medal_position_match",
+                lambda df: medal.isNull()
+                | ((pos == 1) & (medal == "Gold"))
+                | ((pos == 2) & (medal == "Silver"))
+                | ((pos == 3) & (medal == "Bronze")),
+                (medal_col, position_col),
+                null_fails=True,  # medal with NULL position is a mismatch
+            ),
+            Rule(
+                "athlete_id_required",
+                lambda df: F.col(athlete_col).isNotNull(),
+                (athlete_col,),
+                null_fails=True,
+            ),
+        ]
+    )
+
+
+GAME_TYPES = (
+    "Olympic Games",
+    "Intercalated Games",
+    "Youth Olympic Games",
+    "Forerunners to the Olympic Games",
+)
+EDITION_NAMES = ("Summer", "Winter", "Equestrian")
+
+
+def editions_rules(
+    *,
+    year_col: str = "Year",
+    game_type_col: str = "Game_Type",
+    edition_col: str = "Edition_Name",
+    opened_col: str = "Opened_Date",
+    closed_col: str = "Closed_Date",
+    comp_start_col: str = "Competition_Start",
+    comp_end_col: str = "Competition_End",
+) -> RuleSet:
+    """The editions-table ruleset: year range, type/edition vocab,
+    unique (Year, Edition_Name, Game_Type), opened ≤ closed,
+    comp_start ≤ comp_end (data_quality_and_validation.py:165-235;
+    NULL-tolerant date comparisons exactly as the reference's
+    ``isna() | (a <= b)``)."""
+    return RuleSet(
+        [
+            Rule(
+                "year_range",
+                lambda df: F.col(year_col).between(1850, 2024),
+                (year_col,),
+                null_fails=True,
+            ),
+            Rule(
+                "game_type_valid",
+                lambda df: F.col(game_type_col).isin(*GAME_TYPES),
+                (game_type_col,),
+                null_fails=True,
+            ),
+            Rule(
+                "edition_name_valid",
+                lambda df: F.col(edition_col).isin(*EDITION_NAMES),
+                (edition_col,),
+            ),
+            unique_rule(
+                "unique_game_edition", (year_col, edition_col, game_type_col)
+            ),
+            Rule(
+                "opened_before_closed",
+                lambda df: F.col(opened_col) <= F.col(closed_col),
+                (opened_col, closed_col),
+            ),
+            Rule(
+                "competition_start_before_end",
+                lambda df: F.col(comp_start_col) <= F.col(comp_end_col),
+                (comp_start_col, comp_end_col),
+            ),
+        ]
+    )

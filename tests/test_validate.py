@@ -68,3 +68,51 @@ def test_duplicate_rule_names_rejected():
     r = unique_rule("u", ["a"])
     with pytest.raises(ValueError):
         RuleSet([r, r])
+
+
+def test_results_rules(spark):
+    from olympic_athletes_etl_spark.validate import results_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "Gold", 1),       # ok
+            (2, "Silver", 1),     # mismatch
+            (3, None, 9),         # null medal passes both
+            (4, "Tin", 1),        # invalid medal value (+ mismatch)
+            (5, "Gold", None),    # medal with null position → mismatch
+            (None, None, 5),      # missing FK
+        ],
+        "Athlete_Id int, Medal string, Position int",
+    )
+    s = {r["rule"]: r["n_failed"] for r in results_rules().summary(df).collect()}
+    assert s["medal_valid"] == 1          # Tin; NULL medal passes (nullable)
+    assert s["medal_position_match"] == 3  # Silver@1, Tin@1, Gold@None
+    assert s["athlete_id_required"] == 1
+
+
+def test_editions_rules(spark):
+    import datetime
+
+    from olympic_athletes_etl_spark.validate import editions_rules
+
+    D = datetime.date
+    rows = [
+        (1896, "Summer", "Olympic Games", D(1896, 4, 6), D(1896, 4, 15),
+         D(1896, 4, 6), D(1896, 4, 13)),
+        (1896, "Summer", "Olympic Games", None, None, None, None),  # dup key
+        (776, "Summer", "Ancient Games", D(1900, 1, 2), D(1900, 1, 1),
+         D(1900, 1, 2), D(1900, 1, 1)),  # year + type + both date orders
+        (2000, None, "Olympic Games", None, D(2000, 9, 1), None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "Year int, Edition_Name string, Game_Type string, Opened_Date date, "
+        "Closed_Date date, Competition_Start date, Competition_End date",
+    )
+    s = {r["rule"]: r["n_failed"] for r in editions_rules().summary(df).collect()}
+    assert s["year_range"] == 1
+    assert s["game_type_valid"] == 1
+    assert s["edition_name_valid"] == 0   # NULL edition passes (nullable)
+    assert s["unique_game_edition"] == 2  # both 1896 rows flagged
+    assert s["opened_before_closed"] == 1  # NULL-tolerant
+    assert s["competition_start_before_end"] == 1
