@@ -1,0 +1,71 @@
+"""Scale utilities: skew mitigation and co-located joins (SCALE.md;
+SURVEY.md §4 — the physical decisions Catalyst does NOT make for you).
+
+These are the two levers the engine reaches for when AQE's automatic
+skew-join splitting and broadcast selection aren't enough:
+
+- ``salted_join`` — explode a hot build side N ways so a skewed probe
+  key spreads over N reducers instead of one straggler.
+- ``bucketed_write`` / co-located reads — pre-shuffle both sides of a
+  recurring fact⋈fact join at WRITE time; every later join on the
+  bucket key runs shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the probe side gets a random-but-
+    deterministic salt (hash of its full row, mod N) appended to the
+    key; the build side replicates N× with every salt value. The shuffle
+    then distributes a hot key over N partitions. Use when ONE side is
+    modest (replication cost = N×build) and the probe side has heavy
+    hitters — e.g. joining events against a user dim where 1% of users
+    produce 90% of events. AQE's skew-join split handles moderate skew
+    without this; salting is for the pathological tail."""
+    salt_col = "__salt"
+    salted_probe = probe.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts)),
+    )
+    salted_build = build.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_probe.join(salted_build, on=[key, salt_col], how=how)
+    return out.drop(salt_col)
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist pre-shuffled on the join key: ``bucketBy + sortBy`` at
+    write time. Two tables bucketed identically on the same key sort-
+    merge-join WITHOUT an exchange — the recurring-join amortization at
+    100 TB (pay one shuffle at ingest, zero per query)."""
+    writer = df.write.bucketBy(n_buckets, key).sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.mode("overwrite").saveAsTable(table)
+
+
+def cocluster_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key. The
+    caller can assert the plan is exchange-free (see
+    tests/test_scale_ops.py) — if an Exchange appears, the bucket specs
+    don't match and the write-side contract was broken."""
+    return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
