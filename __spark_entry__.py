@@ -4,8 +4,9 @@
 ``oracle_sql()`` expose the full registry from
 ``olympic_athletes_etl_spark.plans`` — one named query per implemented
 operator from SURVEY.md §2 (plus the beyond-reference dedup/similarity/
-text-analysis/event extensions), each paired with a DuckDB oracle where
-the semantics are ANSI-SQL-expressible.
+multimodal/text-analysis/event/validation extensions), each paired with
+a DuckDB oracle where the semantics are ANSI-SQL-expressible; the one
+deliberate exception is the procedural NOC UDF (rows-only check).
 """
 
 from __future__ import annotations
