@@ -18,5 +18,6 @@ from olympic_athletes_etl_spark.plans import events_q  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import validate_q  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import udf_q  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import multimodal_q  # noqa: E402,F401
+from olympic_athletes_etl_spark.plans import tpch_extra  # noqa: E402,F401
 
 __all__ = ["queries", "oracle_sql", "query"]
