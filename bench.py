@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
+    "q7_nation_volume",
+    "q18_large_orders",
     "q_order_share_window",
     "w_forward_fill",
     "a_mode_per_group",
