@@ -175,3 +175,140 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (inverted file over deterministic centroids)
+# --------------------------------------------------------------------------
+_N_CENTROIDS = 16
+_N_PROBE = 2
+
+
+@query(
+    "s_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), cent AS (
+      SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id < {_N_CENTROIDS}
+    ), assign AS (
+      SELECT n.vec_id, n.v, n.nrm,
+             (SELECT c.c_id FROM cent c
+              ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) DESC,
+                       c.c_id ASC
+              LIMIT 1) AS list_id
+      FROM n
+    ), probe AS (SELECT v, nrm FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    probe_lists AS (
+      SELECT c.c_id FROM cent c CROSS JOIN probe p
+      ORDER BY list_dot_product(p.v, c.cv) / (p.nrm * c.cnrm) DESC, c.c_id ASC
+      LIMIT {_N_PROBE}
+    ), cand AS (
+      SELECT a.vec_id,
+             list_dot_product(a.v, p.v) / (a.nrm * p.nrm) AS cos_raw
+      FROM assign a CROSS JOIN probe p
+      WHERE a.list_id IN (SELECT c_id FROM probe_lists)
+        AND a.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM cand
+    QUALIFY rank <= {_K}
+    """,
+)
+def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the first 16 vectors serve as deterministic
+    centroids (production would k-means them — the PLAN is identical);
+    every vector joins its nearest-centroid list in one broadcast pass
+    (argmax over an in-row struct array — no shuffle); the probe searches
+    only its nprobe=2 nearest lists. At 100 TB: write the table
+    partitioned BY list_id and the probe's scan prunes to nprobe
+    partitions — the classic IVF speedup, expressed as partition pruning.
+    Recall grows with nprobe at linear candidate cost."""
+    n = _emb_double(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    cent = (
+        n.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    # collect the 16 centroids once (bounded dim) and assign via an
+    # in-row argmax — the assignment pass is shuffle-free
+    cent_rows = cent.collect()
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    F.expr(
+                        _DOT.format(
+                            a="v",
+                            b=f"array({', '.join(f'CAST({x!r} AS DOUBLE)' for x in r['cv'])})",
+                        )
+                    )
+                    / (F.col("nrm") * F.lit(r["cnrm"]))
+                ).alias("sim"),
+                F.lit(r["c_id"]).alias("c_id"),
+            )
+            for r in cent_rows
+        ]
+    )
+    best = F.element_at(
+        F.array_sort(
+            entries,
+            lambda l, r: F.when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["sim"] > r["sim"], F.lit(-1))
+            .otherwise(
+                F.when(l["c_id"] < r["c_id"], F.lit(-1))
+                .when(l["c_id"] > r["c_id"], F.lit(1))
+                .otherwise(F.lit(0))
+            ),
+        ),
+        1,
+    )
+    assigned = n.withColumn("list_id", best["c_id"])
+    probe = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    # the probe's nprobe nearest centroid lists
+    probe_entries = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    entries,
+                    lambda l, r: F.when(l["sim"] < r["sim"], F.lit(1))
+                    .when(l["sim"] > r["sim"], F.lit(-1))
+                    .otherwise(
+                        F.when(l["c_id"] < r["c_id"], F.lit(-1))
+                        .when(l["c_id"] > r["c_id"], F.lit(1))
+                        .otherwise(F.lit(0))
+                    ),
+                ),
+                1,
+                _N_PROBE,
+            )
+        ).alias("e")
+    ).select(F.col("e.c_id").alias("probe_list"))
+    cos = F.expr(_DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qnrm"))
+    cand = (
+        assigned.join(
+            F.broadcast(probe_entries),
+            F.col("list_id") == F.col("probe_list"),
+            "left_semi",
+        )
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cos_raw"))
+    )
+    topk = cand.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
