@@ -345,3 +345,61 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "d_simhash_banded",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_DUCK}),
+    banded AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS band_val
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                      b.doc_id AS doc_b, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 2
+    """,
+)
+def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shape SimHash near-dup join: 4×4-bit bands — any
+    pair within hamming ≤ 2 differs in ≤ 2 bands, so it MUST collide on
+    ≥ 2 of 4 bands (pigeonhole ⇒ banding here has recall 1.0, unlike
+    probabilistic MinHash banding). Candidates come from a band-equality
+    HASH join (shuffle keyed on (band, band_val)); the hamming filter
+    verifies. Same output as the O(n²) d_simhash_pairs baseline — the
+    plan, not the answer, is what changes at 100 TB."""
+    sh = _simhash_df(spark, sf_dir)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash >> (band * 4)) & 15"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        cand.filter(hamming <= 2)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
