@@ -346,3 +346,104 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_rev AS (
+      SELECT year(o_orderdate) AS o_year,
+             {_REV_INT} AS rev_int,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_int ELSE 0 END)
+                AS DOUBLE) / sum(rev_int) AS mkt_share
+    FROM all_rev GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 shape: one nation's share of a region's revenue by order year —
+    conditional aggregation over a 5-dim broadcast chain; the share is a
+    ratio of two exact bigint sums (one double division at the end, no
+    round — cross-engine bit-identical)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_int = F.expr(_REV_INT)
+    base = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_1", rev_int).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(rev_int)).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_REV_INT}) // 100 AS DOUBLE) / 100.0 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN srev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM srev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15: the supplier(s) with maximum quarterly revenue — the scalar
+    max is a 1-row broadcast against the per-supplier aggregate (never a
+    global sort); revenue compared on the exact truncated-cents value so
+    the equality join is safe in floating point."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    srev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_rev_sum("total_revenue"))
+    )
+    max_rev = srev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        F.broadcast(supplier)
+        .join(srev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
