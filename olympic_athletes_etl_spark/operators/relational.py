@@ -242,3 +242,31 @@ def normalize_dim_bridge(
         .select(entity_key, id_name)
     )
     return dim, bridge
+
+
+# --------------------------------------------------------------------------
+# Incremental merge (CDC upsert — the lakehouse MERGE INTO as a plan)
+# --------------------------------------------------------------------------
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Delta-style MERGE semantics on plain DataFrames: rows of
+    ``updates`` replace target rows with the same key, new keys insert,
+    and (optionally) rows flagged TRUE in ``delete_col`` remove the key
+    entirely. One left_anti join (broadcast when updates are small — the
+    usual CDC case) + one union; at 100 TB pair with partition-pruned
+    rewrites (only partitions containing touched keys re-write) — the
+    plan shape is what table formats like Delta/Iceberg execute under
+    MERGE INTO."""
+    keys = list(keys)
+    untouched = target.join(updates.select(*keys).dropDuplicates(), keys, "left_anti")
+    if delete_col is not None:
+        surviving = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        surviving = updates
+    return untouched.unionByName(surviving)

@@ -712,3 +712,44 @@ def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental MERGE (CDC upsert) — lakehouse MERGE INTO as a plan
+# --------------------------------------------------------------------------
+@query(
+    "r_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice,
+             (o_orderkey % 997 = 0) AS is_delete
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT is_delete
+    """,
+)
+def r_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert via ``operators.relational.merge_upsert``: a derived
+    change-set (every 97th key updated to status 'X', every 997th·97th
+    deleted) merges into orders — one broadcast anti-join + union, the
+    plan shape table formats execute under MERGE INTO. At 100 TB the
+    anti-join broadcasts the (small) change-set and only partitions
+    containing touched keys rewrite."""
+    from olympic_athletes_etl_spark.operators.relational import merge_upsert
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            "o_totalprice",
+            (F.col("o_orderkey") % 997 == 0).alias("is_delete"),
+        )
+    )
+    return merge_upsert(orders, updates, ["o_orderkey"], delete_col="is_delete")

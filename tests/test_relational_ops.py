@@ -164,3 +164,24 @@ def test_drop_if_present_and_rename_bulk(spark):
     assert drop_if_present(df, ["b", "zzz"]).columns == ["a", "c"]
     out = rename_bulk(df, {"c": "gold_c", "a": "gold_a"})
     assert out.columns == ["gold_c", "gold_a", "b"]
+
+
+def test_merge_upsert(spark):
+    from olympic_athletes_etl_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21, False),   # update
+         (4, "d", 40, False),    # insert
+         (3, None, 0, True)],    # delete
+        "k int, name string, v int, is_delete boolean",
+    )
+    out = merge_upsert(target, updates, ["k"], delete_col="is_delete")
+    assert sorted(rows(out, "k", "name", "v")) == [
+        (1, "a", 10), (2, "b2", 21), (4, "d", 40)
+    ]
+    # without delete_col, flagged rows are kept as plain upserts
+    out2 = merge_upsert(target, updates.drop("is_delete"), ["k"])
+    assert sorted(r[0] for r in rows(out2, "k")) == [1, 2, 3, 4]
