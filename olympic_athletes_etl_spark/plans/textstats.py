@@ -257,3 +257,106 @@ def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_bpe.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4
         ).alias("tokens_per_char"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / splitting / packing (training-data pipeline ops)
+# --------------------------------------------------------------------------
+@query(
+    "t_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: up to 50 docs per language,
+    chosen by a multiplicative hash of the id — reproducible across
+    runs/engines (seeded RNG sampling is engine-specific; hash-order
+    sampling is the portable form). One shuffle on the stratum key;
+    WindowGroupLimit caps per-partition state at k rows."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 2147483648
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "t_train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 2147483648 % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def t_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test assignment by id hash — stable
+    under re-runs, appends, and repartitioning (row-position or RNG
+    splits are not). Pure projection: zero shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 2147483648 % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "t_token_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def t_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to fixed-size
+    (2048-token) packs via a running token count. Packing is inherently
+    sequential, so the parallel form shards first (doc_id mod 8) and
+    packs WITHIN each shard — one shuffle on the shard key, cumulative
+    sum as an ordered window per shard; pack_id = floor(tokens-before /
+    capacity). At 1000 executors: shards = O(cores), each packs
+    independently; pack boundaries are deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
+    )
