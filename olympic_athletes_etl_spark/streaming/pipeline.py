@@ -17,7 +17,7 @@ Design rules for the 100 TB / always-on path:
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -170,3 +170,50 @@ def run_available_now(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def stream_merge_into_parquet(
+    events: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    order_col: str = "ts",
+):
+    """Streaming CDC sink: each micro-batch reduces to its latest row per
+    key, then MERGEs into a parquet state table via ``foreachBatch`` +
+    ``merge_upsert`` — the classic upsert-sink pattern for engines
+    without a transactional table format. The batch-local dedup keeps the
+    merge input at key-cardinality; the rewrite is the whole table here
+    (plain parquet) where Delta/Iceberg would rewrite only touched files.
+    Exactly-once: foreachBatch may replay a batch on recovery — the merge
+    is idempotent per (key, batch), which is what makes replays safe."""
+    from pyspark.sql.window import Window
+
+    from olympic_athletes_etl_spark.operators.relational import merge_upsert
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:  # noqa: BLE001 — first batch, no table yet
+            latest.write.mode("overwrite").parquet(target_path)
+            return
+        merged = merge_upsert(target, latest, list(keys))
+        # plain parquet can't overwrite a path while reading it — stage
+        # through a local checkpoint (Delta/Iceberg make this atomic)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    return (
+        events.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -132,3 +132,25 @@ def test_running_user_stats_accumulates(spark, stream_dir, tmp_path):
     # user 2 appears in all three micro-batches ⇒ three update rows prove
     # cross-batch state accumulation
     assert (pdf["user_id"] == 2).sum() == 3
+
+
+def test_stream_merge_into_parquet(spark, stream_dir, tmp_path):
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        stream_merge_into_parquet,
+    )
+
+    target = str(tmp_path / "user_state")
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = stream_merge_into_parquet(
+        stream.select("user_id", "ts", "event_type", "value"),
+        target,
+        keys=["user_id"],
+        checkpoint_dir=str(tmp_path / "ck_merge"),
+    )
+    q.awaitTermination()
+    state = {r["user_id"]: r for r in spark.read.parquet(target).collect()}
+    # one row per user, carrying each user's LATEST event across batches
+    assert set(state) == {1, 2, 9}
+    assert state[1]["value"] == 4.0      # user 1's last event (75 min)
+    assert state[2]["value"] == 7.0      # user 2 updated by batch 3 (190 min)
+    assert state[9]["value"] == 100.0
