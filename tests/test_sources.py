@@ -52,3 +52,28 @@ def test_split_by_tag(spark):
     assert sorted(r["v"] for r in parts["bio"].collect()) == [1, 4]
     assert [r["v"] for r in parts["err"].collect()] == [3]
     assert parts["bio"].columns == ["v"]
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    p = str(tmp_path / "iso.csv")
+    with open(p, "w") as f:
+        f.write("English short name lower case,Alpha-3 code,Numeric code\n")
+        f.write("Germany,DEU,276\nSouth Korea,KOR,410\n")
+    schema = StructType(
+        [
+            StructField("English short name lower case", StringType()),
+            StructField("Alpha-3 code", StringType()),
+            StructField("Numeric code", IntegerType()),
+        ]
+    )
+    from olympic_athletes_etl_spark.sources import read_csv
+
+    df = read_csv(spark, p, schema=schema)
+    rows_ = {(r[0], r[1], r[2]) for r in df.collect()}
+    assert rows_ == {("Germany", "DEU", 276), ("South Korea", "KOR", 410)}
+    # schema honored exactly (no inference pass)
+    assert df.schema == schema
+    # inference fallback also works
+    assert read_csv(spark, p).count() == 2
