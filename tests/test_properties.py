@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the engine's determinism
+contracts — the invariants the DuckDB oracle relies on, checked over
+generated inputs rather than fixtures.
+
+Spark jobs per example are expensive, so each property batches ALL
+generated cases into ONE DataFrame and asserts row-wise (max_examples
+kept small; the batch carries the case diversity).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from olympic_athletes_etl_spark.etl.noc import LEGACY_NOC_MAP, _canonicalize
+from olympic_athletes_etl_spark.sources.html_source import (
+    parse_kv_table,
+    parse_results_table,
+)
+
+# ---------------------------------------------------------------------------
+# Pure-python properties (no Spark session — run per-example, cheap)
+# ---------------------------------------------------------------------------
+_COUNTRIES = sorted(
+    {"germany", "france", "south korea", "united states", "guinea",
+     "equatorial guinea", "chad", "niger", "nigeria"},
+    key=len,
+    reverse=True,
+)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_total_and_idempotent_on_no_match(s):
+    """canonicalize never raises, always returns a string, and output
+    containing no separators is stable under a second pass."""
+    out = _canonicalize(s, _COUNTRIES)
+    assert isinstance(out, str)
+    # matched outputs are sorted comma-joined subsets of the country list
+    if out and all(part in _COUNTRIES for part in out.split(",")):
+        assert out.split(",") == sorted(set(out.split(",")))
+
+
+@given(st.lists(st.sampled_from(_COUNTRIES), min_size=1, max_size=4),
+       st.sampled_from([" and ", "/", ", ", ";"]))
+@settings(max_examples=100, deadline=None)
+def test_canonicalize_finds_all_mentioned_countries(names, sep):
+    """Any separator-joined list of known names canonicalizes to exactly
+    the sorted distinct set — unless one name is a word-substring of
+    another mention (longest-first removal consumes it)."""
+    joined = sep.join(names)
+    out = _canonicalize(joined, _COUNTRIES)
+    got = set(out.split(","))
+    want = set(names)
+    # 'guinea' inside 'equatorial guinea' is consumed by the longer match:
+    # only assert for inputs with no word-substring nesting across DISTINCT names
+    nested = any(
+        a != b and re.search(rf"(?<!\w){re.escape(a)}(?!\w)", b)
+        for a in want
+        for b in want
+    )
+    if not nested:
+        assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=50, deadline=None)
+def test_legacy_map_rewrite_order_is_stable(seed):
+    """The legacy map is an ordered tuple — the rewrite cascade depends on
+    it; pin the first/last entries so accidental reordering fails loudly."""
+    assert LEGACY_NOC_MAP[0] == ("west germany", "germany")
+    assert LEGACY_NOC_MAP[-1] == ("viet nam", "vietnam")
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef ", min_size=1, max_size=10).map(str.strip),
+            st.text(alphabet="xyz123 ", max_size=10),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_parse_kv_table_last_wins_and_skips_blank_keys(pairs):
+    rows = [[k, v] for k, v in pairs]
+    out = parse_kv_table(rows)
+    for k, v in out.items():
+        assert k != ""
+        # last occurrence of a key wins (dict construction order)
+        last = [vv for kk, vv in pairs if kk == k][-1]
+        assert v == last
+
+
+@given(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=4))
+@settings(max_examples=50, deadline=None)
+def test_parse_results_header_rows_never_leak(n_sections, rows_per_section):
+    """Section-header rows are consumed, never emitted; every emitted row
+    carries its section's carry-values."""
+    header = ["Games", "Discipline", "NOC", "As", "Event", "Pos"]
+    table = [header]
+    for s in range(n_sections):
+        table.append([f"G{s}", f"D{s}", f"N{s}", f"A{s}", "", ""])
+        for r in range(rows_per_section):
+            table.append(["", "", "", "", f"event-{s}-{r}", str(r)])
+    out = parse_results_table(table)
+    assert len(out) == n_sections * rows_per_section
+    for rec in out:
+        s = int(rec["Event"].split("-")[1])
+        assert rec["Games"] == f"G{s}" and rec["NOC"] == f"N{s}"
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed properties — ONE session job over a generated batch
+# ---------------------------------------------------------------------------
+def test_merge_upsert_key_uniqueness_property(spark):
+    """For any (target, updates) with unique keys each: merged keys ==
+    (target ∪ updates) minus deleted; updates win on overlap."""
+    import random
+
+    from olympic_athletes_etl_spark.operators.relational import merge_upsert
+
+    rnd = random.Random(42)
+    for trial in range(5):
+        t_keys = rnd.sample(range(100), rnd.randint(0, 20))
+        u_keys = rnd.sample(range(100), rnd.randint(0, 20))
+        deletes = {k for k in u_keys if rnd.random() < 0.3}
+        target = spark.createDataFrame(
+            [(k, f"t{k}") for k in t_keys] or [(None, None)], "k int, v string"
+        ).filter("k IS NOT NULL")
+        updates = spark.createDataFrame(
+            [(k, f"u{k}", k in deletes) for k in u_keys] or [(None, None, None)],
+            "k int, v string, is_delete boolean",
+        ).filter("k IS NOT NULL")
+        out = {r["k"]: r["v"] for r in
+               merge_upsert(target, updates, ["k"], delete_col="is_delete").collect()}
+        want_keys = (set(t_keys) | set(u_keys)) - deletes
+        assert set(out) == want_keys, f"trial {trial}"
+        for k in want_keys:
+            assert out[k] == (f"u{k}" if k in set(u_keys) - deletes else f"t{k}")
+
+
+def test_polyhash_spark_matches_python(spark):
+    """The Spark-side polynomial hash must equal the reference python
+    computation for arbitrary ASCII strings (the dedup family's oracle
+    identity depends on this)."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.textstats import polyhash_spark
+
+    def py_hash(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+
+    cases = ["", "a", "hello world", "x" * 200, "the quick brown fox", "123 456"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "s"])
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", polyhash_spark("s").alias("h")).collect()
+    }
+    assert got == {i: py_hash(c) for i, c in enumerate(cases)}
