@@ -403,3 +403,55 @@ def d_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= 2)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+# --------------------------------------------------------------------------
+# Wide SimHash (60-bit) — production parameterization of d_simhash
+# --------------------------------------------------------------------------
+# The 30-bit polyhash is widened to 60 bits by multiplicative mixing so
+# every signature bit carries signal; 60 (not 64) keeps the accumulator
+# clear of the bigint sign bit in BOTH engines.
+_WIDE_H = "(h * 2654435761) & ((CAST(1 AS BIGINT) << 60) - 1)"
+_N_WIDE_BITS = 60
+
+
+@query(
+    "d_simhash_wide",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    wide AS (SELECT doc_id, {_WIDE_H} AS wh FROM hashed),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (wh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM wide CROSS JOIN (SELECT unnest(range({_N_WIDE_BITS})) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def d_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash — the production-width signature (d_simhash's 16
+    bits exist to keep its oracle's bits×shingles explode cheap; this is
+    the same single-shuffle plan at full width: 60 ±1-vote aggregate
+    columns with map-side partial sums, signature assembled
+    arithmetically). Pairs/banding compose exactly as d_simhash_banded,
+    with 15 4-bit bands giving recall 1.0 for hamming ≤ 3."""
+    wide = _doc_shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.expr(_WIDE_H.replace("h", "h", 1)).alias("wh")
+    )
+    votes = wide.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(wh >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_N_WIDE_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(_N_WIDE_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
