@@ -141,3 +141,48 @@ def sample_frame_indices(
         )
         .drop("payload")
     )
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def extract_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 256,
+) -> DataFrame:
+    """Audio-shaped windowed feature extraction: split each payload into
+    fixed-size byte frames and emit per-frame energy (Σ byte²) — the
+    plumbing shape of resample/RMS/spectrogram stages (1 input row → N
+    frame rows through an Arrow batch). A real pipeline swaps the energy
+    lambda for a codec decode + DSP; the partitioning, batch shape, and
+    explode semantics are exactly this."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, flen, energy = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for k in range(0, max(len(payload), 1), frame_size):
+                    frame = payload[k : k + frame_size]
+                    ids.append(int(doc_id))
+                    fidx.append(k // frame_size)
+                    flen.append(len(frame))
+                    energy.append(int(sum(b * b for b in frame)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "frame_len": pd.Series(flen, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, _FRAME_SCHEMA)

@@ -34,3 +34,30 @@ def m_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, payload) first so only needed bytes cross the boundary."""
     docs = attach_text_payload(load(spark, sf_dir, "documents"))
     return extract_byte_features(docs)
+
+
+@query(
+    "m_frame_energy",
+    oracle="""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(least(256, strlen(text) - k * 256) AS BIGINT) AS frame_len,
+           CAST(list_sum(list_transform(
+                 range(k * 256 + 1, k * 256 + least(256, strlen(text) - k * 256) + 1),
+                 i -> ascii(text[i]) * ascii(text[i]))) AS BIGINT) AS energy
+    FROM documents,
+         (SELECT unnest(range(0, 200)) AS k)
+    WHERE k * 256 < strlen(text) OR (k = 0 AND strlen(text) = 0)
+    """,
+)
+def m_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed per-frame energy over the binary payload (audio-pipeline
+    plumbing): 1 document row → ceil(bytes/256) frame rows via
+    mapInPandas. The oracle recomputes each frame's Σ byte² from the
+    source text (ASCII ⇒ byte == codepoint)."""
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        extract_frame_energy,
+    )
+
+    docs = attach_text_payload(load(spark, sf_dir, "documents"))
+    return extract_frame_energy(docs)
