@@ -163,3 +163,28 @@ def test_polyhash_spark_matches_python(spark):
         for r in df.select("i", polyhash_spark("s").alias("h")).collect()
     }
     assert got == {i: py_hash(c) for i, c in enumerate(cases)}
+
+
+def test_parse_date_flexible_matches_python_strptime(spark):
+    """For generated valid 'd MMMM yyyy' strings and bare years, the
+    Spark parse must equal python's strptime — one batched job."""
+    import calendar
+
+    from olympic_athletes_etl_spark.functions.text import parse_date_flexible
+
+    cases = []
+    for year in (1896, 1950, 2001, 2024):
+        for month in (1, 2, 6, 12):
+            for day in (1, 9, 28):
+                s = f"{day} {calendar.month_name[month]} {year}"
+                cases.append((s, datetime.date(year, month, day)))
+        cases.append((str(year), datetime.date(year, 1, 1)))
+    cases += [("31 February 2000", None), ("once upon a time", None), ("", None)]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", parse_date_flexible("s").alias("d")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}

@@ -40,3 +40,11 @@ def test_query_analyzes(spark, sf_dir, name):
 def test_query_executes(spark, sf_dir, name):
     out = queries()[name](spark, sf_dir).limit(5).collect()
     assert out is not None
+
+
+@pytest.mark.parametrize("name", sorted(queries()))
+def test_no_duplicate_output_columns(spark, sf_dir, name):
+    """The driver's compare sorts columns BY NAME before hashing —
+    duplicate names would silently corrupt the comparison."""
+    cols = queries()[name](spark, sf_dir).columns
+    assert len(cols) == len(set(cols))
