@@ -447,3 +447,47 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q_sum,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 700
+                AS DOUBLE) / 100.0 AS avg_weekly_revenue
+    FROM lineitem JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE 2 * CAST(round(l_quantity * 100) AS BIGINT) * n < q_sum
+      AND l_extendedprice IS NOT NULL
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: revenue from below-half-average-quantity orders per
+    part — the correlated per-part average becomes a self-aggregate +
+    equi-join (the aggregate side is (partkey, sum, count): far smaller
+    than the fact, so it broadcasts). The below-half-average predicate is
+    EXACT integer arithmetic (2·q·n < Σq — a double average differs
+    between engines in the last bit and can flip boundary rows); revenue
+    sums exact cents, ONE double division at the end."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    q_cents = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    pa = lineitem.groupBy("l_partkey").agg(
+        F.sum(q_cents).alias("q_sum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        lineitem.join(F.broadcast(pa), on="l_partkey")
+        .filter(
+            (2 * q_cents * F.col("n") < F.col("q_sum"))
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) DIV 700"
+                " AS DOUBLE) / 100.0"
+            ).alias("avg_weekly_revenue")
+        )
+    )
