@@ -300,3 +300,99 @@ def e_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis (ordered-step conversion)
+# --------------------------------------------------------------------------
+@query(
+    "e_funnel",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+           count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
+             AS n_view_click_purchase
+    FROM steps
+    """,
+)
+def e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel: first occurrence of
+    each step per user (conditional min — ONE shuffle on user_id), then
+    ordered-step predicates. NULL propagation does the right thing: a
+    missing earlier step nulls the comparison and the user drops out of
+    deeper stages. At 100 TB this is the standard funnel plan — no
+    self-joins, no window over raw events."""
+    events = load(spark, sf_dir, "events")
+    steps = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.sum(viewed.cast("long")).alias("n_view"),
+        F.sum(F.coalesce(clicked, F.lit(False)).cast("long")).alias("n_view_click"),
+        F.sum(F.coalesce(purchased, F.lit(False)).cast("long")).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (first-seen day × activity-day offset)
+# --------------------------------------------------------------------------
+@query(
+    "e_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+           count(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY 1, 2
+    """,
+)
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    active-day offset (first week). Two shuffles on user_id (cohort agg +
+    the distinct), then a small group — the cohort join broadcasts the
+    (user → cohort_day) side when user-cardinality allows; at higher
+    cardinality it co-partitions on user_id with no extra exchange."""
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        events.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .dropDuplicates()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -753,3 +753,31 @@ def r_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(orders, updates, ["o_orderkey"], delete_col="is_delete")
+
+
+# --------------------------------------------------------------------------
+# A3+ — exact multi-percentile summary per group
+# --------------------------------------------------------------------------
+@query(
+    "a_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both linear interpolation over the sorted
+    set). EXACT — so a per-group sort; at 100 TB use
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) and
+    accept the documented divergence — same trade recorded for median
+    in SURVEY §7."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
