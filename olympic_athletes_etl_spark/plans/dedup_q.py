@@ -455,3 +455,56 @@ def d_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters — connected components over MinHash candidate pairs
+# --------------------------------------------------------------------------
+@query(
+    "d_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
+    mh AS (
+      SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
+      FROM hashed CROSS JOIN {_minhash_values_sql()}
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 2 AS band,
+             min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
+             min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
+      FROM mh GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+       AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation
+    (operators/graph.py) — the one genuinely iterative algorithm on the
+    surface. The DuckDB oracle computes the same components with a
+    recursive transitive-closure CTE (fine at test scale; the iterative
+    join is the form that scales). Singleton documents cluster as
+    themselves; the cluster id doubles as the canonical doc id."""
+    from olympic_athletes_etl_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = d_minhash_lsh(spark, sf_dir)
+    return dedup_clusters(docs, pairs, id_col="doc_id")
