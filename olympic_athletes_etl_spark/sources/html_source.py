@@ -179,3 +179,52 @@ def tagged_to_tables(
             .select("entity_id", *[F.col(f"p.`{f}`").alias(f) for f in fields])
         )
     return out
+
+
+def incremental_scrape_run(
+    spark,
+    all_ids: DataFrame,
+    fetch_factory: Callable[[], Callable[[str], str]],
+    checkpoint_dir: str,
+    consolidated_dir: str,
+    id_col: str = "entity_id",
+    num_partitions: int = 16,
+    batch_limit: int | None = None,
+) -> DataFrame:
+    """One crash-safe increment of the scraping lifecycle (reference:
+    athlete_scrape_glue.py:278-362 — resume-diff → scrape → append
+    checkpoint → consolidate):
+
+    1. left_anti-diff ``all_ids`` against everything already
+       checkpointed (distributed — the reference collects the done-set
+       to the driver);
+    2. scrape the remaining ids (optionally capped at ``batch_limit`` —
+       the reference's ``checkpoint_every`` batching);
+    3. append the tagged rows to the checkpoint dir (S6: each run adds
+       files, never rewrites);
+    4. glob-read ALL checkpoints and overwrite the consolidated table.
+
+    Returns the consolidated tagged DataFrame. Re-running after a crash
+    fetches only missing ids — the driver-visible contract is
+    exactly-once per id."""
+    from olympic_athletes_etl_spark.sources.io import (
+        read_parquet_glob,
+        resume_remaining,
+    )
+
+    remaining = resume_remaining(
+        spark, all_ids.select(id_col), checkpoint_dir, id_col
+    )
+    if batch_limit is not None:
+        remaining = remaining.orderBy(id_col).limit(batch_limit)
+    if remaining.isEmpty():
+        return read_parquet_glob(spark, checkpoint_dir)
+    tagged = scrape_source(
+        remaining, fetch_factory, id_col=id_col, num_partitions=num_partitions
+    )
+    tagged.write.mode("append").parquet(checkpoint_dir)
+    consolidated = read_parquet_glob(spark, checkpoint_dir)
+    consolidated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        consolidated_dir
+    )
+    return consolidated

@@ -97,3 +97,34 @@ def test_scrape_source_end_to_end(spark):
     err = tables["error"].collect()[0]
     assert err["entity_id"] == "3" and "boom" in err["error"]
     tagged.unpersist()
+
+
+def test_incremental_scrape_run_resumes(spark, tmp_path):
+    from olympic_athletes_etl_spark.sources.html_source import (
+        incremental_scrape_run,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    cons = str(tmp_path / "consolidated")
+    ids = spark.createDataFrame([(str(i),) for i in range(1, 7)], ["entity_id"])
+
+    # first run capped at 3 ids → only 1,2,3 scraped
+    out1 = incremental_scrape_run(
+        spark, ids, _fetch_factory, ckpt, cons, num_partitions=2, batch_limit=3
+    )
+    assert {r["entity_id"] for r in out1.select("entity_id").distinct().collect()} \
+        == {"1", "2", "3"}
+
+    # second run picks up ONLY the remaining ids (4,5,6 — incl. the error id)
+    out2 = incremental_scrape_run(
+        spark, ids, _fetch_factory, ckpt, cons, num_partitions=2
+    )
+    seen = {r["entity_id"] for r in out2.select("entity_id").distinct().collect()}
+    assert seen == {"1", "2", "3", "4", "5", "6"}
+    # consolidated table on disk matches
+    assert {r["entity_id"] for r in
+            spark.read.parquet(cons).select("entity_id").distinct().collect()} == seen
+
+    # third run: nothing remaining → checkpoint contents returned unchanged
+    out3 = incremental_scrape_run(spark, ids, _fetch_factory, ckpt, cons)
+    assert out3.count() == out2.count()
