@@ -491,3 +491,35 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_weekly_revenue")
         )
     )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape (shipmode column doesn't exist → returnflag buckets the
+    lines): among late-shipped lines (>30 days after order), count
+    high- vs low-priority orders per bucket — two conditional counts in
+    ONE aggregation pass over one join."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
