@@ -396,3 +396,57 @@ def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Outlier detection (per-type z-score on exact integer moments)
+# --------------------------------------------------------------------------
+@query(
+    "e_value_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s2,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (CAST(round(e.value * 100) AS BIGINT) - CAST(m.s1 AS DOUBLE) / m.n)
+             / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                    / (m.n - 1)) AS zscore
+    FROM events e JOIN m ON m.event_type = e.event_type
+    WHERE abs((CAST(round(e.value * 100) AS BIGINT) - CAST(m.s1 AS DOUBLE) / m.n)
+              / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                     / (m.n - 1))) > 2.5
+    """,
+)
+def e_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5). The group moments are
+    EXACT integer sums (value-cents and cents², both bigint — double
+    moment sums differ across engines in the last bit, which would
+    perturb every z-score); the double math after aggregation is the
+    same expression over identical integers ⇒ bit-identical. One
+    aggregate + one broadcast join of the 5-row stats dim — the standard
+    two-pass outlier plan (Welford-style single-pass exists but its
+    running doubles are summation-order-dependent — wrong for an
+    oracle-checked surface)."""
+    events = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    m = events.groupBy("event_type").agg(
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (cents - mean) / F.sqrt(var)
+    return (
+        events.join(F.broadcast(m), on="event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select("event_id", "event_type", "zscore")
+    )
