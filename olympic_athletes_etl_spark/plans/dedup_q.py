@@ -103,10 +103,23 @@ def d_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard — inverted-index pair join
 # --------------------------------------------------------------------------
+# Stop-shingle cap: a shingle present in ≥ this fraction of documents is
+# dropped from the index AND the size denominators (jaccard over the
+# capped shingle space — standard stop-shingle removal semantics).
+_HOT_DF_FRAC = 0.25
+
+
 @query(
     "d_ngram_jaccard",
     oracle=f"""
-    WITH shingles AS ({_SHINGLE_HASHES_DUCK}),
+    WITH shingles0 AS ({_SHINGLE_HASHES_DUCK}),
+    hot AS (
+      SELECT h FROM shingles0 GROUP BY h
+      HAVING count(*) >= {_HOT_DF_FRAC} * (SELECT count(*) FROM documents)
+    ),
+    shingles AS (
+      SELECT * FROM shingles0 WHERE h NOT IN (SELECT h FROM hot)
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -126,13 +139,31 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-set Jaccard near-dup pairs via inverted index: explode
     shingles, self-equi-join on the shingle (shuffle keyed on shingle —
     never a cross product), count shared, |A∪B| = |A|+|B|-shared. The
-    0.5 threshold gates output to true near-dups. At 100 TB, hot
-    shingles are the skew risk — production path would drop shingles
-    with document-frequency above a cap (they contribute only to
-    already-similar pairs) or pre-filter through d_minhash_lsh. The join
-    keys on the 8-byte shingle HASH, not the string — shuffle volume is
-    fixed per shingle regardless of shingle length."""
-    shingles = _doc_shingle_hashes(spark, sf_dir)
+    0.5 threshold gates output to true near-dups.
+
+    Hot-shingle cap (the 100 TB skew guard): a stop-shingle appearing in
+    df documents makes the self-join emit O(df²) rows for that key — at
+    corpus scale "of the" alone is quadratic death. Shingles with
+    df ≥ 25% of the corpus are removed up front via a BROADCAST anti-join
+    (the hot set is tiny by construction — at most 1/frac distinct
+    shingles can exceed the fraction — so the guard costs one map-side
+    pass, no extra shuffle on the big side). Sizes are computed after
+    the cap, so jaccard is over the capped shingle space on both engines.
+
+    The join keys on the 8-byte shingle HASH, not the string — shuffle
+    volume is fixed per shingle regardless of shingle length."""
+    shingles_all = _doc_shingle_hashes(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    hot = (
+        shingles_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= _HOT_DF_FRAC * F.col("n_total"))
+        .select("h")
+    )
+    shingles = shingles_all.join(F.broadcast(hot), "h", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -86,9 +86,12 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k, then k-way merge on the driver) — never a global-window
     # single-partition sort; the rank window then sees only K rows.
     topk = scored.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
-    # constant partition: the input is only K rows (post-limit); this
-    # silences the partitionless-window warning without a real shuffle
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    # Unpartitioned window over exactly K rows (post-limit). Spark still
+    # logs its "No Partition Defined" warning — accepted: the input is K
+    # rows by construction, so the single partition is the correct plan,
+    # not a scale hazard. (partitionBy(lit(1)) does NOT silence it — the
+    # optimizer constant-folds the literal back to an empty partition spec.)
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
@@ -168,9 +171,9 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distributed top-k (TakeOrderedAndProject), then rank K rows only
     topk = cand.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
-    # constant partition: the input is only K rows (post-limit); this
-    # silences the partitionless-window warning without a real shuffle
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    # Unpartitioned window over exactly K rows (post-limit); the logged
+    # "No Partition Defined" warning is accepted — see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
@@ -307,7 +310,9 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cos_raw"))
     )
     topk = cand.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    # Unpartitioned window over exactly K rows (post-limit); the logged
+    # "No Partition Defined" warning is accepted — see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")

@@ -10,6 +10,7 @@ from olympic_athletes_etl_spark.sources.html_source import (
 from olympic_athletes_etl_spark.sources.io import (
     checkpoint_append,
     compacted_write,
+    object_store_conf,
     read_csv,
     read_parquet,
     read_parquet_glob,
@@ -21,6 +22,7 @@ from olympic_athletes_etl_spark.sources.io import (
 __all__ = [
     "checkpoint_append",
     "compacted_write",
+    "object_store_conf",
     "parse_kv_table",
     "parse_results_table",
     "parse_tables",

@@ -6,9 +6,9 @@ at I/O boundaries are an engine rule (§4): they keep column pruning
 reaching the parquet footer and make CSV reads deterministic (never
 ``inferSchema``'s extra pass + type drift).
 
-Object-store note (S9): paths are plain strings — ``s3a://`` URIs work
-unchanged once ``spark.hadoop.fs.s3a.*`` is configured; nothing here
-assumes a local filesystem.
+Object-store access (S9): paths are plain strings — ``s3a://`` URIs work
+unchanged once ``fs.s3a.*`` is configured; ``object_store_conf`` below
+sets that up and nothing here assumes a local filesystem.
 """
 
 from __future__ import annotations
@@ -55,6 +55,45 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+# --------------------------------------------------------------------------
+# Object store (S9)
+# --------------------------------------------------------------------------
+def object_store_conf(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = True,
+) -> dict[str, str]:
+    """S9: configure S3A object-store access on a LIVE session (reference:
+    athlete_scrape_glue.py:57-61 — endpoint/keys/path-style for a
+    MinIO-compatible store).
+
+    Runtime ``spark.conf.set("spark.hadoop.…")`` does NOT reach an
+    already-started session's Hadoop configuration, so this writes the
+    active ``hadoopConfiguration`` directly (effective for the next read)
+    and mirrors each key under ``spark.hadoop.*`` in the session conf for
+    observability. Returns the ``fs.s3a.*`` keys it set. Credentials
+    belong in an external provider chain in production — explicit keys
+    exist for endpoint-compatible local stores (MinIO), matching the
+    reference's deployment."""
+    conf: dict[str, str] = {
+        "fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "fs.s3a.path.style.access": str(path_style_access).lower(),
+    }
+    if endpoint is not None:
+        conf["fs.s3a.endpoint"] = endpoint
+    if access_key is not None:
+        conf["fs.s3a.access.key"] = access_key
+    if secret_key is not None:
+        conf["fs.s3a.secret.key"] = secret_key
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+        spark.conf.set(f"spark.hadoop.{k}", v)
+    return conf
 
 
 # --------------------------------------------------------------------------

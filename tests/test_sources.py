@@ -77,3 +77,33 @@ def test_read_csv_explicit_schema(spark, tmp_path):
     assert df.schema == schema
     # inference fallback also works
     assert read_csv(spark, p).count() == 2
+
+
+def test_object_store_conf_reaches_live_hadoop_conf(spark):
+    """S9: the helper must write the ACTIVE hadoopConfiguration (a runtime
+    spark.conf.set alone would be a no-op for an already-started session)
+    and mirror the keys in the session conf."""
+    from olympic_athletes_etl_spark.sources import object_store_conf
+
+    set_keys = object_store_conf(
+        spark,
+        endpoint="http://localhost:9000",
+        access_key="ak",
+        secret_key="sk",
+        path_style_access=True,
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hconf.get("fs.s3a.access.key") == "ak"
+    assert hconf.get("fs.s3a.secret.key") == "sk"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.impl") == "org.apache.hadoop.fs.s3a.S3AFileSystem"
+    # mirrored for observability
+    assert spark.conf.get("spark.hadoop.fs.s3a.endpoint") == "http://localhost:9000"
+    assert set(set_keys) == {
+        "fs.s3a.impl",
+        "fs.s3a.path.style.access",
+        "fs.s3a.endpoint",
+        "fs.s3a.access.key",
+        "fs.s3a.secret.key",
+    }
