@@ -301,21 +301,12 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(spark, sf_dir)
 
 
-@query(
-    "d_simhash_pairs",
-    oracle=f"""
-    WITH sh AS ({_SIMHASH_DUCK})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-    """,
-)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ 2 on the 16-bit
-    signatures. Written as the verification stage — at scale the pair
-    candidates come from banding the signature bytes (same LSH shape as
-    d_minhash_lsh), not from the O(n²) self-join used on this test table."""
+    """All-pairs SimHash hamming ≤ 2 — DELIBERATELY UNREGISTERED. The
+    O(n²) self-join is a recall yardstick only: d_simhash_banded is the
+    registered query and produces the identical answer from an equi-join
+    (pigeonhole ⇒ recall 1.0), which tests/test_dedup_recall.py asserts
+    against this function. Never ship an all-pairs join as the query."""
     sh = _simhash_df(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -332,44 +323,153 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Embedding near-dup — cosine-threshold pairs
+# Embedding near-dup — banded hyperplane-LSH candidates + cosine verify
 # --------------------------------------------------------------------------
+_EMB_DIM = 64
+_EMB_THRESHOLD = 0.45
+_NB_BANDS = 8
+_NB_ROWS = 2  # planes per band; 16 sign bits total
+
+# plane(p, d) weight — integers in [-998, 998], deterministic in (p, d);
+# same construction as similarity_q's ANN planes.
+_NB_PLANE_W = "((({p} * 9973 + d * 7919) % 1997) - 998)"
+_DOT_D = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _nb_band_val_spark(band: int) -> str:
+    """2-bit band value: sign bits of the band's two plane dot products."""
+    bits = []
+    for j in range(_NB_ROWS):
+        p = band * _NB_ROWS + j
+        plane = (
+            f"transform(sequence(0, {_EMB_DIM - 1}),"
+            f" d -> CAST({_NB_PLANE_W.format(p=p)} AS DOUBLE))"
+        )
+        dot = _DOT_D.format(a="v", b=plane)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _nb_band_val_duck(band: int) -> str:
+    bits = []
+    for j in range(_NB_ROWS):
+        p = band * _NB_ROWS + j
+        plane = (
+            f"list_transform(range(0, {_EMB_DIM}),"
+            f" d -> CAST({_NB_PLANE_W.format(p=p)} AS DOUBLE))"
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    return emb.withColumn("nrm", F.sqrt(F.expr(_DOT_D.format(a="v", b="v"))))
+
+
 @query(
     "d_embedding_neardup",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), bv AS (
+      SELECT vec_id,
+             {", ".join(f"{_nb_band_val_duck(i)} AS bv{i}" for i in range(_NB_BANDS))}
+      FROM n
+    ), banded AS (
+      SELECT vec_id, band,
+             CASE band {" ".join(f"WHEN {i} THEN bv{i}" for i in range(_NB_BANDS))} END
+               AS band_val
+      FROM bv CROSS JOIN (SELECT unnest(range({_NB_BANDS})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM cand c
+    JOIN n na ON na.vec_id = c.vec_a
+    JOIN n nb ON nb.vec_id = c.vec_b
+    WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {_EMB_THRESHOLD}
     """,
 )
 def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.45). Dot products run
-    in double via zip_with+aggregate — verified bit-identical with
-    DuckDB's list_dot_product. The O(n²) join is the verification shape;
-    at scale candidates come from s_ann_lsh's hyperplane buckets."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    """Embedding-cosine near-dup pairs (threshold 0.45), candidate-then-
+    verify: 16 hyperplane sign bits → 8 bands × 2 bits → pairs colliding
+    in ANY band (equi-join keyed on (band, band_val) — never a cross
+    product) → exact cosine verification on candidates only. Hyperplane
+    LSH gives P(bit match) = 1 − θ/π ≈ 0.65 at cos 0.45, so 8 bands of 2
+    catch ≈ 99% of threshold pairs and the banding is strictly better for
+    anything more similar; tests/test_dedup_recall.py measures actual
+    recall against the all-pairs yardstick. The candidate join carries
+    only (vec_id, band, band_val) — vectors are fetched for verification
+    by id afterwards, so the 8× banding explode never shuffles the
+    64-dim payload."""
+    n = _emb_norm(spark, sf_dir)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(_nb_band_val_spark(i)).alias("band_val"),
+            )
+            for i in range(_NB_BANDS)
+        ]
     )
-    dot_self = F.expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    banded = n.select(
+        "vec_id", F.explode(band_entries).alias("e")
+    ).select("vec_id", F.col("e.band").alias("band"), F.col("e.band_val").alias("band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates()
     )
-    n = emb.select("vec_id", "v", F.sqrt(dot_self).alias("nrm"))
+    na = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a")
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b")
+    )
+    cos = F.expr(_DOT_D.format(a="va", b="vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _EMB_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def d_embedding_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ 0.45 — DELIBERATELY UNREGISTERED recall
+    yardstick for d_embedding_neardup (O(n²) BroadcastNestedLoopJoin;
+    fine on a test table, a scale-killer as a real query)."""
+    n = _emb_norm(spark, sf_dir)
     a = n.alias("a")
     b = n.alias("b")
-    dot_ab = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+    dot_ab = F.expr(_DOT_D.format(a="a.v", b="b.v"))
     cos = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.45)
+        .filter(F.col("cos_raw") >= _EMB_THRESHOLD)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -539,3 +639,103 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = d_minhash_lsh(spark, sf_dir)
     return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# The composed near-dup pipeline: candidates → verify → cluster
+# --------------------------------------------------------------------------
+_VERIFY_JACCARD = 0.5
+
+
+@query(
+    "d_neardup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
+    mh AS (
+      SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
+      FROM hashed CROSS JOIN {_minhash_values_sql()}
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 2 AS band,
+             min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
+             min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.doc_a
+      JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(s.i AS DOUBLE) / (sa.n + sb.n - s.i) >= {_VERIFY_JACCARD}
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION SELECT doc_b, doc_a FROM verified
+    ),
+    reach(v, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def d_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup shape, composed end-to-end as one query:
+
+        MinHash-LSH candidates  →  exact-Jaccard verify  →  clusters
+
+    1. Candidates from d_minhash_lsh's banded signatures — the only
+       pair-generating join, equi-keyed on (band, sig0, sig1).
+    2. Verification computes TRUE bigram Jaccard on candidates only:
+       each doc's distinct shingle-hash set is collected once (array of
+       8-byte ints), candidate pairs fetch the two sets by doc_id and
+       verify in-row via array_intersect — per-pair cost is |set a| +
+       |set b|, total cost linear in candidates, never in n².
+    3. Verified pairs (jaccard ≥ 0.5) feed iterative connected
+       components (operators/graph.py); every document gets a cluster
+       id (min member id), singletons cluster as themselves.
+
+    This replaces any all-pairs join: at 100 TB stage 1 prunes the pair
+    space by orders of magnitude, stage 2 touches only survivors, and
+    stage 3's per-round shuffle is keyed on doc ids. The DuckDB oracle
+    recomputes the identical pipeline (shared-count Jaccard ≡
+    array_intersect on distinct sets; recursive-CTE closure ≡ min-label
+    propagation)."""
+    from olympic_athletes_etl_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    cand = d_minhash_lsh(spark, sf_dir)
+    sets = (
+        _doc_shingle_hashes(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter.cast("double") / (F.size("hs_a") + F.size("hs_b") - inter)
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _VERIFY_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    return dedup_clusters(docs, verified, id_col="doc_id")
