@@ -268,7 +268,11 @@ _SIMHASH_DUCK = f"""
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           -- CAST: DuckDB widens integer sum() to HUGEINT (int128); the
+           -- driver's hasher renders HUGEINT differently from BIGINT, so
+           -- narrow losslessly (16-bit value) to match Spark's bigint.
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
 """
 
@@ -558,8 +562,10 @@ _N_WIDE_BITS = 60
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-             AS simhash
+           -- CAST: DuckDB integer sum() widens to HUGEINT; narrow losslessly
+           -- (60-bit value) so the driver hashes it identically to Spark.
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )

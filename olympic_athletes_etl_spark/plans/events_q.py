@@ -71,8 +71,13 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB widens integer sum() (even windowed) to HUGEINT,
+             -- which the driver hashes differently from BIGINT; session
+             -- counters are tiny, so narrowing is lossless.
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,

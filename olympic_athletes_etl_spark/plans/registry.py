@@ -36,6 +36,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def promote(names: list[str]) -> None:
+    """Move ``names`` (in the given order) to the front of the registry.
+
+    The driver's correctness gate audits a prefix of the registry (50 of 93
+    in rounds 1-2), so insertion order decides which queries get a fresh
+    driver row this round. Plan modules register in import order; callers
+    (plans/__init__) then promote the queries that most need re-auditing:
+    freshly fixed oracles, brand-new queries, and families whose last
+    driver-green row is oldest. Unknown names are an error — a rename that
+    silently dropped a promotion would un-audit the wrong queries.
+    """
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"promote: unknown query names {missing}")
+    front = {n: _REGISTRY.pop(n) for n in names}
+    rest = dict(_REGISTRY)
+    _REGISTRY.clear()
+    _REGISTRY.update(front)
+    _REGISTRY.update(rest)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 

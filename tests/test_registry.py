@@ -48,3 +48,45 @@ def test_no_duplicate_output_columns(spark, sf_dir, name):
     duplicate names would silently corrupt the comparison."""
     cols = queries()[name](spark, sf_dir).columns
     assert len(cols) == len(set(cols))
+
+
+# Types whose driver-side rendering diverges from the Spark value even when
+# the numeric value is identical: DuckDB widens integer sum() to HUGEINT
+# (int128), and nanosecond timestamps stringify with extra precision.
+# check_parity.py's fetchall() canonicalizes these away (Python ints), so it
+# is structurally blind to the divergence — this lint is the only local
+# guard. Cost a driver hash-fail each in r2 (d_simhash, d_simhash_wide,
+# e_sessionize); fix is CAST(... AS BIGINT) in the oracle.
+_BANNED_DUCK_TYPES = {"HUGEINT", "UHUGEINT", "TIMESTAMP_NS"}
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def test_oracle_output_types_not_widened(sf_dir):
+    """No oracle may produce a HUGEINT/UHUGEINT/TIMESTAMP_NS column."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = {}
+    for name, sql in sorted(oracle_sql().items()):
+        rel = con.sql(sql)  # lazy: plans (types resolve) without executing
+        types = [str(t) for t in rel.types]
+        hits = {
+            col: typ
+            for col, typ in zip(rel.columns, types)
+            if typ in _BANNED_DUCK_TYPES
+        }
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracles with driver-hostile output types: {offenders} — "
+        "wrap the column in CAST(... AS BIGINT) (lossless for these sums)"
+    )
