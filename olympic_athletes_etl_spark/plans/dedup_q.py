@@ -144,11 +144,14 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot-shingle cap (the 100 TB skew guard): a stop-shingle appearing in
     df documents makes the self-join emit O(df²) rows for that key — at
     corpus scale "of the" alone is quadratic death. Shingles with
-    df ≥ 25% of the corpus are removed up front via a BROADCAST anti-join
-    (the hot set is tiny by construction — at most 1/frac distinct
-    shingles can exceed the fraction — so the guard costs one map-side
-    pass, no extra shuffle on the big side). Sizes are computed after
-    the cap, so jaccard is over the capped shingle space on both engines.
+    df ≥ 25% of the corpus are removed up front via a BROADCAST anti-join.
+    The hot set is small by a counting bound: total shingle occurrences
+    ≤ n_docs · avg_shingles_per_doc, so at most avg_shingles_per_doc/frac
+    distinct shingles can each appear in ≥ frac·n_docs documents (e.g.
+    ~4000 at 1000 shingles/doc, frac 0.25) — broadcast-sized, independent
+    of corpus row count, so the guard costs one map-side pass with no
+    extra shuffle on the big side. Sizes are computed after the cap, so
+    jaccard is over the capped shingle space on both engines.
 
     The join keys on the 8-byte shingle HASH, not the string — shuffle
     volume is fixed per shingle regardless of shingle length."""
@@ -197,11 +200,12 @@ def _minhash_values_sql() -> str:
     return f"(VALUES {rows}) AS perm(k, a, b)"
 
 
-@query(
-    "d_minhash_lsh",
-    oracle=f"""
-    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
-    mh AS (
+def _minhash_cand_ctes() -> str:
+    """Shared signature→bands→candidate CTE chain (expects a ``hashed``
+    CTE in scope; yields ``cand(doc_a, doc_b)``). Single source of truth
+    for BOTH the d_minhash_lsh oracle and the d_neardup_pipeline oracle's
+    candidate stage — a parameter/banding edit can't desynchronize them."""
+    return f"""mh AS (
       SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
       FROM hashed CROSS JOIN {_minhash_values_sql()}
       GROUP BY doc_id, k
@@ -211,11 +215,21 @@ def _minhash_values_sql() -> str:
              min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
              min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
       FROM mh GROUP BY 1, 2
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
-     AND a.doc_id < b.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "d_minhash_lsh",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_cand_ctes()}
+    SELECT doc_a, doc_b FROM cand
     """,
 )
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,23 +671,7 @@ _VERIFY_JACCARD = 0.5
     "d_neardup_pipeline",
     oracle=f"""
     WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
-    mh AS (
-      SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
-      FROM hashed CROSS JOIN {_minhash_values_sql()}
-      GROUP BY doc_id, k
-    ),
-    bands AS (
-      SELECT doc_id, k // 2 AS band,
-             min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
-             min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
-      FROM mh GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
-       AND a.doc_id < b.doc_id
-    ),
+    {_minhash_cand_ctes()},
     sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
     shared AS (
       SELECT c.doc_a, c.doc_b, count(*) AS i

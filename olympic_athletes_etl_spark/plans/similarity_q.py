@@ -224,7 +224,8 @@ _N_PROBE = 2
 )
 def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the first 16 vectors serve as deterministic
-    centroids (production would k-means them — the PLAN is identical);
+    centroids (s_ann_ivf_kmeans below LEARNS them with deterministic
+    Lloyd iterations at the same plan shape);
     every vector joins its nearest-centroid list in one broadcast pass
     (argmax over an in-row struct array — no shuffle); the probe searches
     only its nprobe=2 nearest lists. At 100 TB: write the table
@@ -302,6 +303,204 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         assigned.join(
             F.broadcast(probe_entries),
+            F.col("list_id") == F.col("probe_list"),
+            "left_semi",
+        )
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cos_raw"))
+    )
+    topk = cand.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # Unpartitioned window over exactly K rows (post-limit); the logged
+    # "No Partition Defined" warning is accepted — see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF with deterministic Lloyd k-means centroids
+# --------------------------------------------------------------------------
+# Spherical k-means in integer arithmetic: vectors are quantized once to
+# integers (floor(x * 10^4) — exact in both engines), and because cosine is
+# scale-invariant the centroid of a list is its raw elementwise INTEGER SUM
+# vector (direction == mean's direction). No division ever happens inside
+# the iteration, and every group sum is a sum of integer-valued doubles
+# (< 2^53 by construction at test SFs), so the aggregation is exact and
+# order-independent — Spark and DuckDB compute bit-identical centroids,
+# assignments, and probe lists. At 100 TB the per-list component sums can
+# exceed 2^53: the scale path re-quantizes the mean per iteration
+# (sum/count at fixed precision) or carries DECIMAL sums — same plan shape.
+_KM_SCALE = 10_000
+_KM_ITERS = 2
+
+
+def _km_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _emb_double(spark, sf_dir).withColumn(
+        "vnrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    return n.withColumn(
+        "vq", F.expr(f"transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE))")
+    ).withColumn("qnrm", F.sqrt(F.expr(_DOT.format(a="vq", b="vq"))))
+
+
+def _km_sim_sql(c_comps: list[int]) -> str:
+    """cos(vq, centroid-literal) as a SQL string (sequential double dots —
+    the exact accumulation order DuckDB's list_dot_product uses)."""
+    arr = f"array({', '.join(f'CAST({int(c)} AS DOUBLE)' for c in c_comps)})"
+    dot = _DOT.format(a="vq", b=arr)
+    cdot = _DOT.format(a=arr, b=arr)
+    return f"(({dot}) / (qnrm * sqrt({cdot})))"
+
+
+def _km_entries(cents: list[tuple[int, list[int]]]) -> F.Column:
+    return F.array(
+        *[
+            F.struct(
+                F.expr(_km_sim_sql(comps)).alias("sim"),
+                F.lit(c_id).alias("c_id"),
+            )
+            for c_id, comps in cents
+        ]
+    )
+
+
+def _sim_desc_sorted(entries: F.Column) -> F.Column:
+    """array_sort by (sim DESC, c_id ASC) — the argmax tie-break used by
+    every centroid assignment (mirrors the oracles' ORDER BY)."""
+    return F.array_sort(
+        entries,
+        lambda l, r: F.when(l["sim"] < r["sim"], F.lit(1))
+        .when(l["sim"] > r["sim"], F.lit(-1))
+        .otherwise(
+            F.when(l["c_id"] < r["c_id"], F.lit(-1))
+            .when(l["c_id"] > r["c_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs (mirrors the Spark loop)."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nq AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnrm,
+             list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)) AS vq,
+             sqrt(list_dot_product(
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)),
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)))) AS qnrm
+      FROM e
+    ), cent0 AS (
+      SELECT vec_id AS c_id, vq AS cv FROM nq WHERE vec_id < {_N_CENTROIDS}
+    )"""
+    ]
+    prev = "cent0"
+    assign = (
+        "(SELECT c.c_id FROM {prev} c"
+        " ORDER BY list_dot_product(nq.vq, c.cv)"
+        " / (nq.qnrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC"
+        " LIMIT 1)"
+    )
+    for it in range(_KM_ITERS):
+        parts.append(
+            f""", asg{it} AS (
+      SELECT nq.*, {assign.format(prev=prev)} AS list_id FROM nq
+    ), sum{it} AS (
+      SELECT list_id, d, CAST(sum(vq[d]) AS BIGINT) AS s
+      FROM asg{it} CROSS JOIN range(1, {_DIM + 1}) t(d)
+      GROUP BY list_id, d
+    ), cent{it + 1} AS (
+      SELECT list_id AS c_id, list(CAST(s AS DOUBLE) ORDER BY d) AS cv
+      FROM sum{it} GROUP BY list_id
+    )"""
+        )
+        prev = f"cent{it + 1}"
+    parts.append(
+        f""", asgF AS (
+      SELECT nq.vec_id, nq.v, nq.vnrm, {assign.format(prev=prev)} AS list_id
+      FROM nq
+    ), probe AS (
+      SELECT vq, qnrm, v AS pv, vnrm AS pnrm FROM nq
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ), probe_lists AS (
+      SELECT c.c_id FROM {prev} c CROSS JOIN probe p
+      ORDER BY list_dot_product(p.vq, c.cv)
+               / (p.qnrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC
+      LIMIT {_N_PROBE}
+    ), cand AS (
+      SELECT a.vec_id,
+             list_dot_product(a.v, p.pv) / (a.vnrm * p.pnrm) AS cos_raw
+      FROM asgF a CROSS JOIN probe p
+      WHERE a.list_id IN (SELECT c_id FROM probe_lists)
+        AND a.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM cand
+    QUALIFY rank <= {_K}"""
+    )
+    return "".join(parts)
+
+
+@query("s_ann_ivf_kmeans", oracle=_km_oracle())
+def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED centroids: deterministic spherical k-means
+    (init = first k vectors, _KM_ITERS fixed Lloyd rounds, argmax cosine with
+    c_id tie-break, centroid = elementwise integer sum — see module note on
+    why that is exact cross-engine). Each round is one shuffle-free
+    broadcast assignment pass plus one (k·dim)-row aggregate collected to
+    the driver — the classic 'centroids fit on the driver' k-means shape,
+    independent of table size. Final search = partition-prunable nprobe
+    list scan, identical to s_ann_ivf. Supersedes s_ann_ivf's first-16
+    placeholder centroids with learned ones at the same plan shape."""
+    n = _km_base(spark, sf_dir)
+    cent_rows = (
+        n.filter(F.col("vec_id") < _N_CENTROIDS)
+        .select("vec_id", "vq")
+        .collect()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows
+    )
+    for _ in range(_KM_ITERS):
+        entries = _km_entries(cents)
+        asg = n.withColumn(
+            "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
+        )
+        sums = (
+            asg.select("list_id", F.posexplode("vq").alias("d", "x"))
+            .groupBy("list_id", "d")
+            .agg(F.sum("x").alias("s"))
+            .collect()  # bounded: ≤ k·dim rows regardless of data size
+        )
+        by_list: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_list.setdefault(int(r["list_id"]), {})[int(r["d"])] = int(r["s"])
+        cents = sorted(
+            (c_id, [comp[d] for d in range(_DIM)])
+            for c_id, comp in by_list.items()
+        )
+    entries = _km_entries(cents)
+    assigned = n.withColumn(
+        "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
+    )
+    probe = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("pv"), F.col("vnrm").alias("pnrm")
+    )
+    probe_lists = (
+        assigned.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.explode(F.slice(_sim_desc_sorted(entries), 1, _N_PROBE)).alias("e"))
+        .select(F.col("e.c_id").alias("probe_list"))
+    )
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("vnrm") * F.col("pnrm"))
+    cand = (
+        assigned.join(
+            F.broadcast(probe_lists),
             F.col("list_id") == F.col("probe_list"),
             "left_semi",
         )

@@ -74,11 +74,14 @@ def object_store_conf(
     Runtime ``spark.conf.set("spark.hadoop.…")`` does NOT reach an
     already-started session's Hadoop configuration, so this writes the
     active ``hadoopConfiguration`` directly (effective for the next read)
-    and mirrors each key under ``spark.hadoop.*`` in the session conf for
-    observability. Returns the ``fs.s3a.*`` keys it set. Credentials
-    belong in an external provider chain in production — explicit keys
-    exist for endpoint-compatible local stores (MinIO), matching the
-    reference's deployment."""
+    and mirrors the NON-SECRET keys under ``spark.hadoop.*`` in the
+    session conf for observability (the secret key is never mirrored —
+    session conf is readable via ``spark.conf.get`` and shows up in UIs
+    and logs). Returns the ``fs.s3a.*`` keys it set. Classic sessions
+    only: uses the ``_jsc`` gateway, which Spark Connect does not expose.
+    Credentials belong in an external provider chain in production —
+    explicit keys exist for endpoint-compatible local stores (MinIO),
+    matching the reference's deployment."""
     conf: dict[str, str] = {
         "fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
         "fs.s3a.path.style.access": str(path_style_access).lower(),
@@ -92,7 +95,8 @@ def object_store_conf(
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in conf.items():
         hconf.set(k, v)
-        spark.conf.set(f"spark.hadoop.{k}", v)
+        if k != "fs.s3a.secret.key":
+            spark.conf.set(f"spark.hadoop.{k}", v)
     return conf
 
 

@@ -1,0 +1,51 @@
+"""Recall audits for the banded/LSH dedup queries against their all-pairs
+yardsticks.
+
+The registered queries are candidate-then-verify (band equi-joins — the
+only shape that survives 100 TB); the unregistered all-pairs functions in
+plans/dedup_q.py exist solely so these tests can measure what the banding
+misses. The DuckDB oracles mirror the banding exactly, so the correctness
+gate alone can NOT detect recall loss — this file is the independent check.
+
+- d_simhash_banded: pigeonhole argument ⇒ recall must be EXACTLY 1.0
+  (hamming ≤ 2 over 4 bands of 4 bits forces ≥ 2 band collisions).
+- d_embedding_neardup: probabilistic hyperplane LSH — expected ≈ 99%
+  recall at cos 0.45 (P(bit match) = 1 − θ/π ≈ 0.65, 8 bands × 2 bits);
+  asserted ≥ 0.9 with precision 1.0 (verify step is exact cosine).
+"""
+
+from __future__ import annotations
+
+from olympic_athletes_etl_spark.plans.dedup_q import (
+    d_embedding_neardup,
+    d_embedding_neardup_allpairs,
+    d_simhash_banded,
+    d_simhash_pairs,
+)
+
+
+def _pairs(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_simhash_banded_recall_is_exactly_one(spark, sf_dir):
+    """4×4-bit banding of a 16-bit simhash at hamming ≤ 2 is lossless:
+    the banded join must reproduce the all-pairs answer EXACTLY —
+    including the hamming values (both sides verify on the same bits)."""
+    banded = _pairs(d_simhash_banded(spark, sf_dir), ("doc_a", "doc_b", "hamming"))
+    allp = _pairs(d_simhash_pairs(spark, sf_dir), ("doc_a", "doc_b", "hamming"))
+    assert banded == allp
+    assert len(allp) > 0  # a vacuous yardstick proves nothing
+
+
+def test_embedding_neardup_recall_and_precision(spark, sf_dir):
+    """Hyperplane-LSH candidates + exact-cosine verify: precision is 1.0
+    by construction (every emitted pair passed the exact threshold);
+    recall is probabilistic — assert the ≈99%-expected banding actually
+    delivers ≥ 0.9 on real data."""
+    got = _pairs(d_embedding_neardup(spark, sf_dir), ("vec_a", "vec_b"))
+    truth = _pairs(d_embedding_neardup_allpairs(spark, sf_dir), ("vec_a", "vec_b"))
+    assert len(truth) > 0
+    assert got <= truth  # precision 1.0: no pair below the exact threshold
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(got)}/{len(truth)})"
