@@ -8,13 +8,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is forced with a noop sink (full pipeline runs, nothing
 collected to the driver). One untimed warmup executes the flagship first
-so JVM/codegen startup doesn't pollute per-query numbers.
+so JVM/codegen startup doesn't pollute per-query numbers. Each query is
+timed $SPARK_GRAFT_BENCH_ITERS times (default 3) and the MEDIAN per-query
+time is reported — single-run numbers at these sub-second scales swing
+±15% on JIT/GC/page-cache noise (BENCH_r01 vs r02 showed a uniform +12%
+on untouched code), and the median filters that without hiding real
+regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,6 +49,7 @@ def main() -> None:
     from olympic_athletes_etl_spark.plans import queries
     from olympic_athletes_etl_spark.session import get_spark
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     spark = get_spark(app_name="bench")
     qs = queries()
 
@@ -54,7 +61,15 @@ def main() -> None:
 
     run("flagship_region_top_customers")  # warmup (JVM + codegen + page cache)
 
-    timings = {name: round(run(name), 3) for name in BENCH_QUERIES}
+    # Round-robin over the query list (not back-to-back repeats of one
+    # query) so iteration i of every query sees comparable JVM/GC state.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(iters):
+        for name in BENCH_QUERIES:
+            samples[name].append(run(name))
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
         json.dumps(

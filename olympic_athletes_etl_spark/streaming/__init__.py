@@ -2,6 +2,13 @@
 streaming — this is the beyond-reference scale path; the batch twins of
 these operators are oracle-checked as the ``e_*`` registry queries)."""
 
+from olympic_athletes_etl_spark.streaming.kafka_source import (
+    KAFKA_WIRE_SCHEMA,
+    decode_kafka_events,
+    kafka_shaped_rate_source,
+    read_kafka_stream,
+    to_kafka_wire,
+)
 from olympic_athletes_etl_spark.streaming.pipeline import (
     EVENT_SCHEMA,
     read_event_stream,
@@ -14,10 +21,15 @@ from olympic_athletes_etl_spark.streaming.pipeline import (
 
 __all__ = [
     "EVENT_SCHEMA",
+    "KAFKA_WIRE_SCHEMA",
+    "decode_kafka_events",
+    "kafka_shaped_rate_source",
     "read_event_stream",
+    "read_kafka_stream",
     "run_available_now",
     "running_user_stats",
     "session_counts",
     "sliding_counts",
+    "to_kafka_wire",
     "tumbling_counts",
 ]
