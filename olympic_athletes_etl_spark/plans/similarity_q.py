@@ -382,8 +382,13 @@ def _sim_desc_sorted(entries: F.Column) -> F.Column:
     )
 
 
-def _km_oracle() -> str:
-    """Unrolled Lloyd iterations as DuckDB CTEs (mirrors the Spark loop)."""
+def _km_train_ctes() -> tuple[str, str]:
+    """Unrolled Lloyd iterations as DuckDB CTEs (mirrors the Spark loop).
+
+    Returns ``(ctes, final_cent)``: a WITH-clause body ending in the
+    final-assignment CTE ``asgF(vec_id, v, vnrm, list_id)``, and the name
+    of the final centroid CTE. Shared by every kmeans-backed oracle so the
+    training definition can't desynchronize between them."""
     parts = [
         f"""
     WITH e AS (
@@ -424,11 +429,18 @@ def _km_oracle() -> str:
         f""", asgF AS (
       SELECT nq.vec_id, nq.v, nq.vnrm, {assign.format(prev=prev)} AS list_id
       FROM nq
-    ), probe AS (
+    )"""
+    )
+    return "".join(parts), prev
+
+
+def _km_ann_oracle() -> str:
+    ctes, cent = _km_train_ctes()
+    return f"""{ctes}, probe AS (
       SELECT vq, qnrm, v AS pv, vnrm AS pnrm FROM nq
       WHERE vec_id = {_QUERY_VEC_ID}
     ), probe_lists AS (
-      SELECT c.c_id FROM {prev} c CROSS JOIN probe p
+      SELECT c.c_id FROM {cent} c CROSS JOIN probe p
       ORDER BY list_dot_product(p.vq, c.cv)
                / (p.qnrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC
       LIMIT {_N_PROBE}
@@ -443,34 +455,21 @@ def _km_oracle() -> str:
            row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
     FROM cand
     QUALIFY rank <= {_K}"""
-    )
-    return "".join(parts)
 
 
-@query("s_ann_ivf_kmeans", oracle=_km_oracle())
-def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over LEARNED centroids: deterministic spherical k-means
-    (init = first k vectors, _KM_ITERS fixed Lloyd rounds, argmax cosine with
-    c_id tie-break, centroid = elementwise integer sum — see module note on
-    why that is exact cross-engine). Each round is one shuffle-free
-    broadcast assignment pass plus one (k·dim)-row aggregate collected to
-    the driver — the classic 'centroids fit on the driver' k-means shape,
-    independent of table size. Final search = partition-prunable nprobe
-    list scan, identical to s_ann_ivf. Supersedes s_ann_ivf's first-16
-    placeholder centroids with learned ones at the same plan shape."""
-    n = _km_base(spark, sf_dir)
+def _km_fit(n: DataFrame) -> list[tuple[int, list[int]]]:
+    """Run the deterministic Lloyd iterations; returns the final centroids
+    as (c_id, integer components). Each round: one shuffle-free broadcast
+    assignment pass + one (k·dim)-row aggregate collected to the driver —
+    the classic 'centroids fit on the driver' k-means shape, independent
+    of table size."""
     cent_rows = (
-        n.filter(F.col("vec_id") < _N_CENTROIDS)
-        .select("vec_id", "vq")
-        .collect()
+        n.filter(F.col("vec_id") < _N_CENTROIDS).select("vec_id", "vq").collect()
     )
-    cents = sorted(
-        (int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows
-    )
+    cents = sorted((int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows)
     for _ in range(_KM_ITERS):
-        entries = _km_entries(cents)
         asg = n.withColumn(
-            "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
+            "list_id", F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)["c_id"]
         )
         sums = (
             asg.select("list_id", F.posexplode("vq").alias("d", "x"))
@@ -482,10 +481,24 @@ def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in sums:
             by_list.setdefault(int(r["list_id"]), {})[int(r["d"])] = int(r["s"])
         cents = sorted(
-            (c_id, [comp[d] for d in range(_DIM)])
-            for c_id, comp in by_list.items()
+            (c_id, [comp[d] for d in range(_DIM)]) for c_id, comp in by_list.items()
         )
-    entries = _km_entries(cents)
+    return cents
+
+
+@query("s_ann_ivf_kmeans", oracle=_km_ann_oracle())
+def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED centroids: deterministic spherical k-means
+    (init = first k vectors, _KM_ITERS fixed Lloyd rounds, argmax cosine with
+    c_id tie-break, centroid = elementwise integer sum — see module note on
+    why that is exact cross-engine). Each round is one shuffle-free
+    broadcast assignment pass plus one (k·dim)-row aggregate collected to
+    the driver — the classic 'centroids fit on the driver' k-means shape,
+    independent of table size. Final search = partition-prunable nprobe
+    list scan, identical to s_ann_ivf. Supersedes s_ann_ivf's first-16
+    placeholder centroids with learned ones at the same plan shape."""
+    n = _km_base(spark, sf_dir)
+    entries = _km_entries(_km_fit(n))
     assigned = n.withColumn(
         "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
     )
@@ -515,4 +528,49 @@ def s_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _km_clusters_oracle() -> str:
+    ctes, cent = _km_train_ctes()
+    return f"""{ctes}
+    SELECT a.vec_id, a.list_id AS cluster,
+           round(list_dot_product(a.v, c.cv)
+                 / (a.vnrm * sqrt(list_dot_product(c.cv, c.cv))), 4)
+             AS centroid_sim
+    FROM asgF a JOIN {cent} c ON c.c_id = a.list_id"""
+
+
+@query("s_kmeans_clusters", oracle=_km_clusters_oracle())
+def s_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for EVERY vector under the learned k-means
+    centroids (same deterministic training as s_ann_ivf_kmeans), plus the
+    cosine similarity to the assigned centroid — the training-data
+    workhorse behind semantic bucketing, cluster-balanced sampling, and
+    cluster-level dedup/filtering. The assignment pass is shuffle-free
+    (centroids are literals in a single projection); output is one narrow
+    row per vector, so at 100 TB this is scan-bound and trivially
+    partitionable — write it partitioned BY cluster and every downstream
+    per-cluster op becomes partition-pruned."""
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    best = F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)
+    assigned = n.withColumn("cluster", best["c_id"].cast("bigint"))
+    # centroid_sim is computed against the ORIGINAL vector (not quantized)
+    # via a broadcast join of the k-row centroid table — the quality
+    # signal users threshold on, at zero shuffles.
+    cent_df = n.sparkSession.createDataFrame(
+        [(c_id, [float(x) for x in comps]) for c_id, comps in cents],
+        "c_id bigint, cv array<double>",
+    )
+    sim = F.expr(_DOT.format(a="v", b="cv")) / (
+        F.col("vnrm") * F.sqrt(F.expr(_DOT.format(a="cv", b="cv")))
+    )
+    return (
+        assigned.join(F.broadcast(cent_df), F.col("cluster") == F.col("c_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(sim, 4).alias("centroid_sim"),
+        )
     )
