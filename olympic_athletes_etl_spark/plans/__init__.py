@@ -34,7 +34,12 @@ from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 # driver-green in r2 and falls to the back of the registry; all 93 stay
 # covered locally by tools/check_parity.py regardless of order.
 _FIXED_THIS_ROUND = ["d_simhash", "d_simhash_wide", "e_sessionize"]
-_NEW_THIS_ROUND = ["s_ann_ivf_kmeans", "s_kmeans_clusters"]
+_NEW_THIS_ROUND = [
+    "s_ann_ivf_kmeans",
+    "s_kmeans_clusters",
+    "t_gopher_quality",
+    "d_contamination",
+]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 
 

@@ -743,3 +743,77 @@ def d_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return dedup_clusters(docs, verified, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — shingle-overlap semi-detection
+# --------------------------------------------------------------------------
+# Eval membership is a deterministic pseudo-split of the corpus (doc_id %
+# 97 == 0, ~1%); production points this at the real benchmark table. A
+# train doc is contaminated when it shares ≥ _CONTAM_K distinct shingles
+# with any single eval doc.
+_CONTAM_MOD = 97
+_CONTAM_K = 10
+
+
+@query(
+    "d_contamination",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    hot AS (
+      SELECT h FROM hashed GROUP BY h
+      HAVING count(*) >= {_HOT_DF_FRAC} * (SELECT count(*) FROM documents)
+    ),
+    sh AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM hot)),
+    ov AS (
+      SELECT t.doc_id, e.doc_id AS eval_doc, count(*) AS shared
+      FROM sh t JOIN sh e ON t.h = e.h
+      WHERE e.doc_id % {_CONTAM_MOD} = 0 AND t.doc_id % {_CONTAM_MOD} != 0
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_eval_docs,
+           max(shared) AS max_overlap
+    FROM ov WHERE shared >= {_CONTAM_K}
+    GROUP BY doc_id
+    """,
+)
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection by shingle overlap — the
+    decontamination pass every pretraining pipeline runs before
+    finalizing data. Inverted-index shape: both sides explode to
+    (doc_id, shingle-hash), equi-join on the hash (never a cross
+    product), count distinct shared shingles per (train, eval) pair,
+    keep pairs sharing ≥ K. The same stop-shingle cap as d_ngram_jaccard
+    kills quadratic hot keys; the eval side is ~1% of the corpus, so at
+    100 TB the join's build side prunes to eval-only shingles (and with
+    a real benchmark table the eval side is broadcast-sized)."""
+    shingles_all = _doc_shingle_hashes(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    hot = (
+        shingles_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= _HOT_DF_FRAC * F.col("n_total"))
+        .select("h")
+    )
+    sh = shingles_all.join(F.broadcast(hot), "h", "left_anti")
+    ev = sh.filter(F.col("doc_id") % _CONTAM_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "h"
+    )
+    tr = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    ov = (
+        tr.join(ev, "h")
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        ov.filter(F.col("shared") >= _CONTAM_K)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.max("shared").alias("max_overlap"),
+        )
+    )

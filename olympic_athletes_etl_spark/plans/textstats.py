@@ -360,3 +360,82 @@ def t_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition/structure gates (token-distribution quality)
+# --------------------------------------------------------------------------
+# Rule constants adapted to the synthetic corpus's ranges (the OPERATOR —
+# explode → per-(doc,token) count → per-doc distribution stats — is the
+# Gopher/C4 repetition filter shape; production swaps the thresholds).
+_G_MIN_TOKENS = 30
+_G_TOP_FRAC = 0.12
+_G_MEAN_LEN_LO, _G_MEAN_LEN_HI = 3.0, 10.0
+
+
+@query(
+    "t_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, u AS tok FROM t, unnest(toks) AS x(u)
+    ), g AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM c GROUP BY 1, 2
+    ), s AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS top_cnt,
+             CAST(sum(length(tok) * cnt) AS BIGINT) AS n_tok_chars
+      FROM g GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+             AS dup_token_ratio,
+           round(CAST(top_cnt AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+           round(CAST(n_tok_chars AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+           n_tokens >= {_G_MIN_TOKENS}
+             AND CAST(top_cnt AS DOUBLE) / n_tokens <= {_G_TOP_FRAC}
+             AND CAST(n_tok_chars AS DOUBLE) / n_tokens
+                 BETWEEN {_G_MEAN_LEN_LO} AND {_G_MEAN_LEN_HI}
+             AS passes_gopher
+    FROM s
+    """,
+)
+def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates: duplicate-token ratio, most-frequent-
+    token dominance, mean token length, token-count floor. Shape: explode
+    tokens → count per (doc, token) → per-doc distribution stats — two
+    shuffles, both keyed on doc_id(+token), which is uniformly distributed
+    at any corpus size (no token-keyed shuffle, so no stop-word skew: the
+    hot key "the" stays bundled with its doc_id). All stats are exact
+    integer sums; ratios divide only in the output row."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+    )
+    g = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = g.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("n_tok_chars"),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    mean_len = F.col("n_tok_chars").cast("double") / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+        ).alias("dup_token_ratio"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        (
+            (F.col("n_tokens") >= _G_MIN_TOKENS)
+            & (top_frac <= _G_TOP_FRAC)
+            & mean_len.between(_G_MEAN_LEN_LO, _G_MEAN_LEN_HI)
+        ).alias("passes_gopher"),
+    )
