@@ -5,15 +5,21 @@ Training-data-pipeline dedup, each as a correctness-gated query:
 - exact dedup        — md5 hash-groupBy (d_exact_dup)
 - n-gram Jaccard     — bigram-shingle inverted-index pair join (d_ngram_jaccard)
 - MinHash + LSH      — shingle→minhash→band→bucket-join (d_minhash_lsh)
-- SimHash            — 16-bit signature + hamming pairs (d_simhash, d_simhash_pairs)
-- embedding near-dup — cosine-threshold pairs (d_embedding_neardup)
+- SimHash            — 16/60-bit signatures + banded hamming pairs
+                       (d_simhash, d_simhash_wide, d_simhash_banded)
+- embedding near-dup — banded hyperplane-LSH candidates + cosine verify
+                       (d_embedding_neardup)
+- composed pipeline  — LSH → exact-Jaccard verify → connected components
+                       (d_neardup_pipeline); cluster ids (d_dup_clusters)
+- decontamination    — train×eval shingle overlap (d_contamination)
 
 Scale notes: everything is expressed as explode → hash-aggregate → equi-join,
 so the shuffles key on (shingle) or (band, signature) — exactly the keys
-that stay well-distributed at 100 TB. The pairwise joins only ever touch
-LSH/band candidates (or are threshold-gated inverted-index joins), never a
-full cross product — except d_simhash_pairs/d_embedding_neardup which are
-the *verification* stage and in production run on LSH candidates only.
+that stay well-distributed at 100 TB. Every REGISTERED query generates
+pairs only from band/bucket collisions — never a full cross product. The
+all-pairs forms (d_simhash_pairs, d_embedding_neardup_allpairs) are
+deliberately unregistered recall yardsticks used by
+tests/test_dedup_recall.py.
 
 All hashes are integer-only polynomial hashes (bit-identical in DuckDB),
 so every query here has a full value-hash oracle.
