@@ -39,6 +39,7 @@ _NEW_THIS_ROUND = [
     "s_kmeans_clusters",
     "t_gopher_quality",
     "d_contamination",
+    "t_source_mix",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

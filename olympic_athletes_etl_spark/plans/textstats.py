@@ -439,3 +439,60 @@ def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & mean_len.between(_G_MEAN_LEN_LO, _G_MEAN_LEN_HI)
         ).alias("passes_gopher"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture statistics (per-source weights for dataset balancing)
+# --------------------------------------------------------------------------
+@query(
+    "t_source_mix",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM s
+    )
+    SELECT source, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / corpus_tokens, 4)
+             AS token_share,
+           round(CAST(corpus_tokens AS DOUBLE) / (n_sources * total_tokens), 4)
+             AS uniform_weight
+    FROM s CROSS JOIN tot
+    """,
+)
+def t_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture statistics for dataset balancing: token share of
+    the corpus and the sampling weight that would equalize sources
+    (weight = uniform-target share / actual share). THE op behind mixture
+    reweighting in pretraining-data assembly. One hash-aggregate shuffle
+    keyed on source; the corpus total joins back via a broadcast of the
+    (bounded-dim) per-source aggregate — token counts are exact integer
+    sums, divisions happen once in the output row."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("total_tokens"),
+    )
+    tot = s.agg(
+        F.sum("total_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 4
+        ).alias("token_share"),
+        F.round(
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_sources") * F.col("total_tokens")),
+            4,
+        ).alias("uniform_weight"),
+    )
