@@ -470,29 +470,33 @@ def t_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture statistics for dataset balancing: token share of
     the corpus and the sampling weight that would equalize sources
     (weight = uniform-target share / actual share). THE op behind mixture
-    reweighting in pretraining-data assembly. One hash-aggregate shuffle
-    keyed on source; the corpus total joins back via a broadcast of the
-    (bounded-dim) per-source aggregate — token counts are exact integer
-    sums, divisions happen once in the output row."""
+    reweighting in pretraining-data assembly. ONE scan + one
+    hash-aggregate shuffle keyed on source; the corpus totals come from
+    an unpartitioned window over the post-aggregate set — a bounded dim
+    (one row per source, 20 here), so the single-partition window is the
+    correct plan, not a scale hazard (same accepted convention as
+    w_surrogate_key). Token counts are exact integer sums; divisions
+    happen once in the output row."""
+    from pyspark.sql.window import Window
+
     docs = load(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", r"\s+"))).alias("total_tokens"),
     )
-    tot = s.agg(
-        F.sum("total_tokens").alias("corpus_tokens"),
-        F.count(F.lit(1)).alias("n_sources"),
-    )
-    return s.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    corpus_tokens = F.sum("total_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return s.select(
         "source",
         "n_docs",
         "total_tokens",
         F.round(
-            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 4
+            F.col("total_tokens").cast("double") / corpus_tokens, 4
         ).alias("token_share"),
         F.round(
-            F.col("corpus_tokens").cast("double")
-            / (F.col("n_sources") * F.col("total_tokens")),
+            corpus_tokens.cast("double")
+            / (n_sources * F.col("total_tokens")),
             4,
         ).alias("uniform_weight"),
     )
