@@ -40,6 +40,7 @@ _NEW_THIS_ROUND = [
     "t_gopher_quality",
     "d_contamination",
     "t_source_mix",
+    "s_ann_lsh_multiprobe",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

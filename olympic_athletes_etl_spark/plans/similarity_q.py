@@ -574,3 +574,80 @@ def s_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 4).alias("centroid_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-probe LSH — probe the query bucket and every 1-bit-flip neighbor
+# --------------------------------------------------------------------------
+# The standard recall knob for sign-bit LSH: a near neighbor that disagrees
+# on exactly one hyperplane lands in a bucket at hamming distance 1, so
+# probing the 8 one-flip buckets (+ the exact bucket) recovers most of the
+# recall lost to boundary flips at ~9× the candidate cost — still ~2^5
+# smaller than brute force, with NO extra index state (contrast with more
+# bands/tables, which multiply the index size).
+_MP_MASKS = [0] + [1 << p for p in range(_N_PLANES)]
+
+
+@query(
+    "s_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_bucket_sql_duck()} AS bucket
+      FROM e
+    ), q AS (SELECT v, nrm, bucket FROM b WHERE vec_id = {_QUERY_VEC_ID}),
+    probes AS (
+      SELECT xor(q.bucket, m.m) AS pb
+      FROM q CROSS JOIN (VALUES {", ".join(f"({m})" for m in _MP_MASKS)}) m(m)
+    ), cand AS (
+      SELECT b.vec_id,
+             list_dot_product(b.v, q.v) / (b.nrm * q.nrm) AS cos_raw
+      FROM b CROSS JOIN q
+      WHERE b.bucket IN (SELECT pb FROM probes)
+        AND b.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM cand
+    QUALIFY rank <= {_K}
+    """,
+)
+def s_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_ann_lsh with 1-bit multi-probe: candidates come from the query's
+    bucket plus its 8 hamming-1 neighbors. Plan shape is unchanged — the
+    9-row probe-bucket set broadcasts into a semi-join against the bucket
+    column, so the scan stays pruned/parallel and no shuffle is added;
+    only the candidate count grows (~9×)."""
+    b = _emb_double(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    q = b.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in _MP_MASKS])
+        ).alias("pb")
+    )
+    cos = F.expr(_DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qnrm"))
+    cand = (
+        b.join(F.broadcast(probes), F.col("bucket") == F.col("pb"), "left_semi")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_raw"))
+    )
+    topk = cand.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # Unpartitioned window over exactly K rows (post-limit); the logged
+    # "No Partition Defined" warning is accepted — see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )

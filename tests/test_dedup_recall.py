@@ -49,3 +49,19 @@ def test_embedding_neardup_recall_and_precision(spark, sf_dir):
     assert got <= truth  # precision 1.0: no pair below the exact threshold
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(got)}/{len(truth)})"
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """1-bit multi-probe searches a strict superset of the single bucket,
+    so its top-k must overlap the exact brute-force top-k at least as
+    much as single-probe LSH does."""
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        s_ann_lsh,
+        s_ann_lsh_multiprobe,
+        s_knn_bruteforce,
+    )
+
+    truth = {r["vec_id"] for r in s_knn_bruteforce(spark, sf_dir).collect()}
+    single = {r["vec_id"] for r in s_ann_lsh(spark, sf_dir).collect()}
+    multi = {r["vec_id"] for r in s_ann_lsh_multiprobe(spark, sf_dir).collect()}
+    assert len(multi & truth) >= len(single & truth)
