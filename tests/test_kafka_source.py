@@ -82,3 +82,23 @@ def test_kafka_stream_window_counts_match_batch_twin(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) == 9  # 3 hourly windows × 3 event types
+
+
+def test_decode_nulls_malformed_payloads(spark):
+    """A corrupt value payload must null out per-column (from_json
+    semantics), not fail the batch — the rows route to the error
+    side-channel via the F5/F9 operators downstream."""
+    from pyspark.sql import functions as F
+
+    wire = to_kafka_wire(_rate_shaped_batch(spark, 3))
+    corrupt = wire.withColumn(
+        "value",
+        F.when(F.col("offset") == 1, F.lit(b"not json")).otherwise(
+            F.col("value")
+        ),
+    )
+    decoded = decode_kafka_events(corrupt).collect()
+    assert len(decoded) == 3
+    bad = [r for r in decoded if r["event_id"] is None]
+    good = [r for r in decoded if r["event_id"] is not None]
+    assert len(bad) == 1 and len(good) == 2
