@@ -41,6 +41,7 @@ _NEW_THIS_ROUND = [
     "d_contamination",
     "t_source_mix",
     "s_ann_lsh_multiprobe",
+    "t_balanced_sample",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -500,3 +500,67 @@ def t_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("uniform_weight"),
     )
+
+
+@query(
+    "t_balanced_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM s
+    ), w AS (
+      SELECT source,
+             CAST(floor(least(1.0,
+               CAST(corpus_tokens AS DOUBLE) / (n_sources * total_tokens))
+               * 1000000) AS BIGINT) AS accept_ppm
+      FROM s CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, w.accept_ppm
+    FROM documents d JOIN w USING (source)
+    WHERE (d.doc_id * 2654435761) % 2147483648 % 1000000 < w.accept_ppm
+    """,
+)
+def t_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_source_mix applied: subsample over-represented sources down to a
+    uniform token mixture. Per-source accept rate = min(1, uniform-target
+    share / actual share), quantized to ppm from exact integer token
+    counts; acceptance is the same multiplicative id-hash as
+    t_train_test_split — reproducible across runs, engines, appends, and
+    repartitioning (RNG sampling is none of those). Plan: one
+    hash-aggregate for per-source totals (bounded output, one row per
+    source), broadcast back onto the fact scan — the sample itself is a
+    map-side filter, no shuffle of document rows at any scale."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("total_tokens"),
+    )
+    win = Window.partitionBy()
+    weights = s.select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.sum("total_tokens").over(win).cast("double")
+                / (F.count(F.lit(1)).over(win) * F.col("total_tokens")),
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("accept_ppm"),
+    )
+    keep = ((F.col("doc_id") * 2654435761) % 2147483648 % 1000000) < F.col(
+        "accept_ppm"
+    )
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .filter(keep)
+        .select("doc_id", "source", "accept_ppm")
+    )
