@@ -11,6 +11,7 @@ from olympic_athletes_etl_spark.streaming.kafka_source import (
 )
 from olympic_athletes_etl_spark.streaming.pipeline import (
     EVENT_SCHEMA,
+    enrich_with_static_dim,
     read_event_stream,
     run_available_now,
     running_user_stats,
@@ -23,6 +24,7 @@ __all__ = [
     "EVENT_SCHEMA",
     "KAFKA_WIRE_SCHEMA",
     "decode_kafka_events",
+    "enrich_with_static_dim",
     "kafka_shaped_rate_source",
     "read_event_stream",
     "read_kafka_stream",

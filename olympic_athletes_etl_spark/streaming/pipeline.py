@@ -150,6 +150,19 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_static_dim(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static LEFT join: every micro-batch hash-joins against the
+    static dimension (broadcast — the stream side never shuffles). The
+    static side is re-resolved per micro-batch, so a dim backed by a
+    table/path picks up slowly-changing updates between batches without
+    restarting the query; rows with no dim match pass through with nulls
+    (route them via the F5/F9 side-channel operators downstream rather
+    than dropping events in-flight)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,

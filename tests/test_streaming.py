@@ -154,3 +154,44 @@ def test_stream_merge_into_parquet(spark, stream_dir, tmp_path):
     assert state[1]["value"] == 4.0      # user 1's last event (75 min)
     assert state[2]["value"] == 7.0      # user 2 updated by batch 3 (190 min)
     assert state[9]["value"] == 100.0
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-static broadcast join: windowed counts per enriched segment
+    over the stream must equal the identical batch pipeline; users absent
+    from the dim flow through with a null segment (left join)."""
+    from olympic_athletes_etl_spark.streaming import (
+        enrich_with_static_dim,
+        read_event_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    # static dim covering SOME users only (user 9 missing -> null segment)
+    dim = spark.createDataFrame(
+        [(1, "heavy"), (2, "light")], "user_id long, segment string"
+    )
+
+    def seg_counts(events):
+        enriched = enrich_with_static_dim(events, dim)
+        return (
+            enriched.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "segment", "n")
+        )
+
+    streamed = seg_counts(read_event_stream(spark, stream_dir))
+    run_available_now(streamed, "seg_counts", output_mode="complete")
+    got = {
+        (r["window_start"], r["segment"]): r["n"]
+        for r in spark.table("seg_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["segment"]): r["n"]
+        for r in seg_counts(
+            spark.read.schema(EVENT_SCHEMA).parquet(stream_dir)
+        ).collect()
+    }
+    assert got == expected
+    assert None in {k[1] for k in got}  # unmatched user passed through
