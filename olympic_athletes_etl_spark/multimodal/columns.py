@@ -186,3 +186,59 @@ def extract_frame_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(compute, _FRAME_SCHEMA)
+
+
+def plan_resize_dims(
+    df: DataFrame,
+    w_col: str,
+    h_col: str,
+    max_w: int,
+    max_h: int,
+) -> DataFrame:
+    """Aspect-preserving downscale-only fit into a (max_w × max_h) box as
+    PURE integer metadata arithmetic — no decode, no Python, exact on
+    every engine. Adds ``dst_w``/``dst_h``/``needs_resize``. The binding
+    side is chosen by cross-multiplication (w·max_h vs h·max_w) so no
+    floats enter the plan; the actual pixel work happens later in a
+    mapInPandas over only the rows where ``needs_resize``."""
+    w, h = F.col(w_col), F.col(h_col)
+    needs = (w > max_w) | (h > max_h)
+    wide = (w * max_h) >= (h * max_w)
+    dst_w = (
+        F.when(~needs, w)
+        .when(wide, F.lit(max_w))
+        .otherwise(F.greatest(F.lit(1), F.expr(f"({w_col} * {max_h}) DIV {h_col}")))
+    )
+    dst_h = (
+        F.when(~needs, h)
+        .when(wide, F.greatest(F.lit(1), F.expr(f"({h_col} * {max_w}) DIV {w_col}")))
+        .otherwise(F.lit(max_h))
+    )
+    return df.withColumn("dst_w", dst_w.cast("int")).withColumn(
+        "dst_h", dst_h.cast("int")
+    ).withColumn("needs_resize", needs)
+
+
+def fake_resize_payload(payload: bytes, src_len: int, dst_len: int) -> bytes:
+    """Deterministic stand-in for pixel resampling: stride-sample the
+    payload down to ``dst_len`` bytes (nearest-index pick — the 1-D
+    analogue of nearest-neighbor resize). Exercises the plumbing without
+    codec libraries."""
+    if dst_len >= src_len or src_len == 0:
+        return payload
+    return bytes(payload[(i * src_len) // dst_len] for i in range(dst_len))
+
+
+def resize_image(payload: bytes, dst_w: int, dst_h: int):  # pragma: no cover
+    """Real image resize — STUB: codec libraries are not in this
+    container. Signature + the mapInPandas plumbing are real; swap the
+    body for PIL's ``Image.open(...).resize((dst_w, dst_h))`` where
+    available."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, absent in this container; "
+            "use fake_resize_payload for plumbing tests"
+        ) from exc
+    raise NotImplementedError("wire PIL here when available")

@@ -42,6 +42,7 @@ _NEW_THIS_ROUND = [
     "t_source_mix",
     "s_ann_lsh_multiprobe",
     "t_balanced_sample",
+    "m_resize_plan",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -6,6 +6,7 @@ are ASCII, so byte semantics == char semantics on the oracle side)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from olympic_athletes_etl_spark.multimodal import (
     attach_text_payload,
@@ -61,3 +62,57 @@ def m_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_text_payload(load(spark, sf_dir, "documents"))
     return extract_frame_energy(docs)
+
+
+_RESIZE_MAX_W = 32
+_RESIZE_MAX_H = 32
+
+
+@query(
+    "m_resize_plan",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             16 + (strlen(text) % 64) AS src_w,
+             16 + ((strlen(text) // 64) % 64) AS src_h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(src_w AS INT) AS src_w, CAST(src_h AS INT) AS src_h,
+           CAST(CASE
+             WHEN src_w <= {_RESIZE_MAX_W} AND src_h <= {_RESIZE_MAX_H}
+               THEN src_w
+             WHEN src_w * {_RESIZE_MAX_H} >= src_h * {_RESIZE_MAX_W}
+               THEN {_RESIZE_MAX_W}
+             ELSE greatest(1, (src_w * {_RESIZE_MAX_H}) // src_h)
+           END AS INT) AS dst_w,
+           CAST(CASE
+             WHEN src_w <= {_RESIZE_MAX_W} AND src_h <= {_RESIZE_MAX_H}
+               THEN src_h
+             WHEN src_w * {_RESIZE_MAX_H} >= src_h * {_RESIZE_MAX_W}
+               THEN greatest(1, (src_h * {_RESIZE_MAX_W}) // src_w)
+             ELSE {_RESIZE_MAX_H}
+           END AS INT) AS dst_h,
+           src_w > {_RESIZE_MAX_W} OR src_h > {_RESIZE_MAX_H} AS needs_resize
+    FROM m
+    """,
+)
+def m_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize planning as metadata arithmetic: pseudo (w, h) from
+    the payload length (the fake_decode_meta convention — real pipelines
+    read these from ingest-time media_meta), then an integer-exact
+    aspect-preserving downscale-only fit into a 32×32 box. ZERO decode
+    and zero Python: the expensive pixel resample happens later in a
+    mapInPandas over only ``needs_resize`` rows — planning prunes the
+    work, exactly like predicate pushdown prunes a scan."""
+    from olympic_athletes_etl_spark.multimodal.columns import plan_resize_dims
+
+    docs = attach_text_payload(load(spark, sf_dir, "documents"))
+    m = docs.select(
+        "doc_id",
+        (16 + F.length("payload") % 64).cast("int").alias("src_w"),
+        (16 + (F.length("payload") / 64).cast("bigint") % 64)
+        .cast("int")
+        .alias("src_h"),
+    )
+    return plan_resize_dims(m, "src_w", "src_h", _RESIZE_MAX_W, _RESIZE_MAX_H)

@@ -64,3 +64,42 @@ def test_sample_frame_indices(spark):
     out = sample_frame_indices(df, every=10)
     assert [r["frame_idx"] for r in out.collect()] == [0, 10, 20]
     assert "payload" not in out.columns
+
+
+def test_plan_resize_dims_integer_fit(spark):
+    from olympic_athletes_etl_spark.multimodal.columns import plan_resize_dims
+
+    df = spark.createDataFrame(
+        [(1, 16, 16), (2, 64, 16), (3, 16, 64), (4, 64, 48), (5, 1000, 1)],
+        "id long, w int, h int",
+    )
+    rows = {
+        r["id"]: (r["dst_w"], r["dst_h"], r["needs_resize"])
+        for r in plan_resize_dims(df, "w", "h", 32, 32).collect()
+    }
+    assert rows[1] == (16, 16, False)     # already fits: untouched
+    assert rows[2] == (32, 8, True)       # wide: width binds
+    assert rows[3] == (8, 32, True)       # tall: height binds
+    assert rows[4] == (32, 24, True)      # 4:3 preserved exactly
+    assert rows[5] == (32, 1, True)       # degenerate: floor clamps to 1
+    # aspect never inverted: dst fits the box for every row
+    assert all(dw <= 32 and dh <= 32 for dw, dh, _ in rows.values())
+
+
+def test_fake_resize_payload_stride_sampling():
+    from olympic_athletes_etl_spark.multimodal.columns import fake_resize_payload
+
+    src = bytes(range(100))
+    out = fake_resize_payload(src, len(src), 10)
+    assert len(out) == 10
+    assert out == bytes((i * 100) // 10 for i in range(10))
+    assert fake_resize_payload(src, len(src), 200) == src  # never upscales
+
+
+def test_resize_image_stub_raises_without_pil():
+    import pytest
+
+    from olympic_athletes_etl_spark.multimodal.columns import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"xx", 8, 8)
