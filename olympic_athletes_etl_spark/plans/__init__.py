@@ -43,6 +43,7 @@ _NEW_THIS_ROUND = [
     "s_ann_lsh_multiprobe",
     "t_balanced_sample",
     "m_resize_plan",
+    "t_corpus_prep",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -564,3 +564,106 @@ def t_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .select("doc_id", "source", "accept_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# Composed corpus-prep pipeline: quality gate → exact dedup → split → pack
+# --------------------------------------------------------------------------
+@query(
+    "t_corpus_prep",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+      WHERE length(text) BETWEEN 100 AND 20000
+        AND CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+            / len(regexp_split_to_array(text, '\\s+')) > 0.01
+    ), canon AS (
+      SELECT md5(text) AS content_hash, min(doc_id) AS canonical
+      FROM q GROUP BY 1
+    ), kept AS (
+      SELECT q.doc_id, len(q.toks) AS n_tokens
+      FROM q JOIN canon ON md5(q.text) = canon.content_hash
+      WHERE q.doc_id = canon.canonical
+    ), split AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN (doc_id * 2654435761) % 2147483648 % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split,
+             doc_id % 8 AS shard
+      FROM kept
+    ), packed AS (
+      SELECT doc_id, n_tokens, split, shard,
+             sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM split
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, split,
+           CAST(shard AS BIGINT) AS shard,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM packed
+    """,
+)
+def t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus-preparation shape, composed end-to-end as one query:
+
+        quality gate → exact dedup → train/test split → sequence packing
+
+    1. C4-style quality filter (t_quality_score's gate) — a map-side
+       filter on the scan, pushed ahead of everything expensive.
+    2. Exact dedup on md5(text): one hash-aggregate keyed on the digest;
+       only the canonical (min doc_id) copy survives.
+    3. Deterministic 80/20 split by multiplicative id hash (zero
+       shuffle, stable under appends/repartitioning).
+    4. Per-(split, shard) sequence packing into 2048-token packs —
+       packing stays sequential only within a shard, shards scale with
+       cores.
+
+    Each stage reuses the standalone operator's exact semantics, so the
+    composition is regression-pinned by four other oracles. Stage order
+    is the 100 TB order: filter first (cheapest, biggest reduction),
+    dedup before packing (packs never contain duplicate bytes), split
+    before packing (no pack straddles train/test)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    stop_ratio = F.expr(
+        f"CAST(size(filter(split(text, '\\\\s+'), x -> x IN ({sw}))) AS DOUBLE)"
+        " / size(split(text, '\\\\s+'))"
+    )
+    q = docs.filter(
+        F.length("text").between(100, 20000) & (stop_ratio > 0.01)
+    ).select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+    )
+    canon = q.groupBy("content_hash").agg(F.min("doc_id").alias("canonical"))
+    kept = q.join(canon, "content_hash").filter(
+        F.col("doc_id") == F.col("canonical")
+    )
+    split = kept.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            (F.col("doc_id") * 2654435761) % 2147483648 % 100 < 80, "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return split.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "split",
+        F.col("shard").cast("bigint").alias("shard"),
+        ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
+    )
