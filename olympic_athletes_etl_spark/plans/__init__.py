@@ -44,6 +44,7 @@ _NEW_THIS_ROUND = [
     "t_balanced_sample",
     "m_resize_plan",
     "t_corpus_prep",
+    "e_rolling_1h",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

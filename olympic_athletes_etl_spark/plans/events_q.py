@@ -455,3 +455,44 @@ def e_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 2.5)
         .select("event_id", "event_type", "zscore")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling time-range window (1 hour preceding, per user)
+# --------------------------------------------------------------------------
+@query(
+    "e_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                      AS BIGINT) / 100.0, 2) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling 1-hour lookback per user (count + value sum) —
+    a RANGE frame keyed on event TIME, not row position: every frame
+    boundary is ts − 1h regardless of how many events landed in between
+    (rows-frames can't express this). Ordering key is unix MICROseconds
+    so both engines cut frames at identical instants; values sum as
+    exact integer cents inside the frame (double sums over a frame are
+    order-sensitive, integer sums are not) and divide once on output.
+    One shuffle on user_id; frame state is bounded by events-per-hour
+    per user, not partition size."""
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("value_1h"),
+    )
