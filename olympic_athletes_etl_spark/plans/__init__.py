@@ -45,6 +45,8 @@ _NEW_THIS_ROUND = [
     "m_resize_plan",
     "t_corpus_prep",
     "e_rolling_1h",
+    "d_minhash_estimate",
+    "t_idf",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -667,3 +667,50 @@ def t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("bigint").alias("shard"),
         ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary with document frequency / IDF
+# --------------------------------------------------------------------------
+@query(
+    "t_idf",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, u AS token
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+            FROM documents), unnest(toks) AS x(u)
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           round(ln(CAST(n.n_docs AS DOUBLE) / count(*)), 4) AS idf
+    FROM dt CROSS JOIN n
+    GROUP BY token, n.n_docs
+    """,
+)
+def t_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequency and IDF — the weight
+    table behind TF-IDF retrieval, stop-word discovery, and keyword
+    scoring. Distinct (doc, token) via in-row array_distinct BEFORE the
+    explode (rows crossing the shuffle = vocabulary incidence, not raw
+    token count), then one hash-aggregate keyed on the token; the corpus
+    doc count broadcasts as a 1-row scalar. IDF's ln() is the one libm
+    call on the surface — both engines evaluate it on the identical
+    double, and the 4-decimal rounding granule is ~12 orders of
+    magnitude wider than a 1-ulp libm divergence."""
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("token"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dt.crossJoin(F.broadcast(n))
+        .groupBy("token", "n_docs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("idf"),
+        )
+    )
