@@ -40,3 +40,14 @@ def test_kmeans_fit_is_deterministic_and_learns(spark, sf_dir):
     )
     # after an update, centroids are member SUMS, not the init vectors
     assert a != init
+
+
+def test_kmeans_fit_invariant_to_partitioning(spark, sf_dir):
+    """The central determinism claim: centroids are integer sums of
+    integer-valued doubles, so the result cannot depend on partition
+    count or row order within partitions. Re-fit under different
+    physical layouts and demand bit-identical centroids."""
+    base = _km_base(spark, sf_dir)
+    a = _km_fit(base.repartition(3))
+    b = _km_fit(base.repartition(11, "vec_id"))
+    assert a == b

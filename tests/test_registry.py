@@ -90,3 +90,20 @@ def test_oracle_output_types_not_widened(sf_dir):
         f"oracles with driver-hostile output types: {offenders} — "
         "wrap the column in CAST(... AS BIGINT) (lossless for these sums)"
     )
+
+
+@pytest.mark.parametrize("name", ["t_source_mix", "t_gopher_quality"])
+def test_integer_sum_queries_invariant_to_input_layout(spark, sf_dir, name):
+    """These queries aggregate exact integer counts, so their output is
+    claimed independent of physical layout (double sums would not be).
+    Run the same query under a different shuffle-partition setting and
+    compare full row sets."""
+    fn = queries()[name]
+    rows1 = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows2 = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rows1 == rows2
