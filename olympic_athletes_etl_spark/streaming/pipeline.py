@@ -150,6 +150,46 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_attribution(
+    events: DataFrame, lag: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM join (self-join of the event stream): every 'click'
+    pairs with the same user's 'view' events from the preceding ``lag``
+    window — last-touch attribution. Both branches carry a watermark AND
+    the join condition bounds event-time distance, which is what lets
+    Spark evict join state: without the time-range predicate a
+    stream-stream join buffers forever. State ∝ events inside the lag
+    window per user; shuffle keys on user_id. Works identically on batch
+    frames (the tests oracle the stream with the batch twin)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & F.expr(
+            f"view_ts BETWEEN purchase_ts - INTERVAL {lag}"
+            " AND purchase_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
 def enrich_with_static_dim(
     events: DataFrame, dim: DataFrame, on: str = "user_id"
 ) -> DataFrame:

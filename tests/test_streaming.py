@@ -195,3 +195,54 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir, tmp_path):
     }
     assert got == expected
     assert None in {k[1] for k in got}  # unmatched user passed through
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream self-join with watermarks + time-range condition:
+    clicks pair with same-user views within the preceding hour; the
+    streamed result must equal the batch twin of the identical logic."""
+    from olympic_athletes_etl_spark.streaming import (
+        read_event_stream,
+        view_purchase_attribution,
+    )
+
+    # dedicated fixture: user 1 has views inside AND outside the 1-hour
+    # lag of each click; user 2 clicks with no view at all
+    d = str(tmp_path / "attrib_stream")
+    os.makedirs(d)
+    rows = _mk_events(
+        [
+            (0, 1, "view", 1),     # pairs with click@30 only (80-0 > 60)
+            (30, 1, "click", 2),   # <- views: minute 0
+            (75, 1, "view", 3),    # pairs with click@80
+            (80, 1, "click", 4),   # <- views: minute 75 (0 is too old)
+            (90, 2, "click", 5),   # no views for user 2 -> no rows
+        ]
+    )
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+
+    streamed = view_purchase_attribution(read_event_stream(spark, d))
+    # stream-stream inner joins emit in APPEND mode only
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.table("attrib").collect()
+    }
+    expected = {
+        (r["purchase_id"], r["view_id"])
+        for r in view_purchase_attribution(
+            spark.read.schema(EVENT_SCHEMA).parquet(d)
+        ).collect()
+    }
+    assert got == expected
+    # click@30 <- view@0 ; click@80 <- view@75 (view@0 aged out)
+    assert expected == {(1, 0), (3, 2)}
