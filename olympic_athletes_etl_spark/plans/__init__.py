@@ -31,8 +31,11 @@ from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 #      but not re-checked since (rotation keeps every family's driver row
 #      at most ~2 rounds old).
 # Everything else (dedup/ANN/events/multimodal/validate/lifecycle) was
-# driver-green in r2 and falls to the back of the registry; all 93 stay
-# covered locally by tools/check_parity.py regardless of order.
+# driver-green in r2 and falls to the back of the registry; every query
+# stays covered locally by tools/check_parity.py regardless of order.
+# Prefix math (assuming the driver audits 50 again): 3 fixed + 18 new
+# + the 29 relational-core queries = 50 exactly; textops/tpch (r1-green)
+# slip out this round — promote them first next round.
 _FIXED_THIS_ROUND = ["d_simhash", "d_simhash_wide", "e_sessionize"]
 _NEW_THIS_ROUND = [
     "s_ann_ivf_kmeans",
@@ -47,6 +50,12 @@ _NEW_THIS_ROUND = [
     "e_rolling_1h",
     "d_minhash_estimate",
     "t_idf",
+    "t_chunk_split",
+    "t_ngram_freq",
+    "t_pii_scrub",
+    "d_substring_dup",
+    "e_transition_matrix",
+    "e_value_histogram",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -896,3 +896,86 @@ def d_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-window dedup (Lee et al. 2022 style, window granularity)
+# --------------------------------------------------------------------------
+# Window length in tokens. Windows slide at stride 1, so a shared token
+# run of length >= _SSW produces an identical window hash in both docs
+# regardless of its offset in either (no alignment assumption — the
+# reason suffix-style substring dedup can't use strided windows).
+_SSW = 8
+
+
+@query(
+    "d_substring_dup",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TOKHASH_DUCK} AS th FROM documents
+    ), w AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(th) >= {_SSW} THEN
+               list_transform(generate_series(1, len(th) - {_SSW} + 1),
+                 s -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                                     list_slice(th, s, s + {_SSW} - 1)),
+                        (acc, x) -> (acc * 131 + x) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END) AS wh
+      FROM th
+    ), nd AS (
+      SELECT wh, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1
+    )
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE nd.ndocs >= 2) AS n_dup_windows,
+           round(CAST(count(*) FILTER (WHERE nd.ndocs >= 2) AS DOUBLE)
+                 / count(*), 4) AS dup_ratio
+    FROM w JOIN nd USING (wh)
+    GROUP BY 1
+    """,
+)
+def d_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at token-window granularity (the
+    ExactSubstr idea of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — suffix-array spans
+    re-expressed as stride-1 rolling window hashes, which Spark can do
+    as a pure explode → hash-aggregate). Per doc: how many of its
+    8-token windows also appear verbatim in ANOTHER doc, and the dup
+    ratio — the per-document evidence used to cut boilerplate and
+    near-verbatim spans.
+
+    Plan shape: tokens are polyhashed once in-row, each window hash is
+    an O(window) integer fold (no string materialization), then ONE
+    shuffle keyed on the window hash (uniform by construction) for the
+    distinct-doc count, and a shuffle back on the hash to tag windows.
+    Both shuffles key on the 8-byte hash — never on doc_id with its
+    skewed per-doc window counts — so the plan survives 100 TB; the
+    stride-1 fan-out (~n_tokens rows/doc) is the algorithm's required
+    cardinality, carried as 16-byte rows."""
+    docs = load(spark, sf_dir, "documents")
+    th = docs.select("doc_id", F.expr(_TOKHASH_SPARK).alias("th"))
+    wh_expr = (
+        f"CASE WHEN size(th) >= {_SSW} THEN "
+        f"transform(sequence(1, size(th) - {_SSW} + 1), "
+        f"s -> aggregate(slice(th, s, {_SSW}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * 131 + x) % 1000000007)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    w = th.select("doc_id", F.explode(F.expr(wh_expr)).alias("wh"))
+    nd = w.groupBy("wh").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        w.join(nd, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -496,3 +496,109 @@ def e_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum(cents).over(w) / 100.0, 2).alias("value_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (per-user Markov bigrams)
+# --------------------------------------------------------------------------
+@query(
+    "e_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS curr_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, curr_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, curr_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+    FROM pairs
+    """,
+)
+def e_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() pairs each event with its predecessor (one shuffle
+    keyed on user_id — the natural fact key), then a hash-aggregate on
+    the (prev, curr) pair. Row-probability normalization runs as a
+    window over the aggregated matrix, which is at most |event_types|²
+    rows — bounded-dim, so the second window is free at any corpus
+    scale. The HUGEINT widening of the windowed sum stays internal to
+    the double division (never an output column)."""
+    events = load(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("curr_type"),
+            F.lag("event_type").over(seq_w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row_w), 4).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width value histogram (integer-cents bucketing)
+# --------------------------------------------------------------------------
+# Bucket width in cents: 2500 = $25.00. `value` is cent-valued (2 decimal
+# places), so bucketing and summing run entirely on exact BIGINT cents —
+# no float comparison anywhere near a bucket boundary.
+_HIST_WIDTH_CENTS = 2500
+
+
+@query(
+    "e_value_histogram",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+    )
+    SELECT CAST(c // {_HIST_WIDTH_CENTS} AS INT) AS bucket,
+           CAST((c // {_HIST_WIDTH_CENTS}) * {_HIST_WIDTH_CENTS} AS DOUBLE)
+             / 100 AS bucket_lo,
+           count(*) AS n,
+           round(CAST(sum(c) AS BIGINT) / 100.0, 2) AS total_value
+    FROM cents GROUP BY 1, 2
+    """,
+)
+def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values ($25 buckets) — the
+    profiling primitive behind outlier triage and equi-width binning.
+    Values are converted once to exact integer cents, so the bucket id
+    is integer division (no float-boundary ambiguity cross-engine) and
+    the per-bucket sum is an exact BIGINT re-scaled only at output. One
+    map-side-combined hash-aggregate on a ~20-value key: the shuffle
+    carries |buckets| rows per partition regardless of input scale."""
+    events = load(spark, sf_dir, "events")
+    cents = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    bucket = F.expr(f"CAST(c DIV {_HIST_WIDTH_CENTS} AS INT)")
+    return (
+        cents.select(
+            bucket.alias("bucket"),
+            (
+                F.expr(f"(c DIV {_HIST_WIDTH_CENTS}) * {_HIST_WIDTH_CENTS}").cast(
+                    "double"
+                )
+                / 100
+            ).alias("bucket_lo"),
+            "c",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c") / 100.0, 2).alias("total_value"),
+        )
+    )

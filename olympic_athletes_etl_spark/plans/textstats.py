@@ -714,3 +714,169 @@ def t_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size token chunking (training-example preparation)
+# --------------------------------------------------------------------------
+_CHUNK = 32
+
+
+@query(
+    "t_chunk_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(ceil(len(toks) / {_CHUNK}.0) AS INT) - 1)) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           len(list_slice(toks, chunk_idx * {_CHUNK} + 1,
+                          chunk_idx * {_CHUNK} + {_CHUNK})) AS chunk_tokens,
+           array_to_string(list_slice(toks, chunk_idx * {_CHUNK} + 1,
+                           chunk_idx * {_CHUNK} + {_CHUNK}), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def t_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size token chunks (the example-
+    packing precursor: context-window-sized training rows). The token
+    array is materialized once per doc, then `explode(sequence)` fans out
+    one row per chunk and `slice` cuts the window — all JVM higher-order
+    functions, no shuffle at all (explode is pipelined into the scan;
+    output partitioning inherits the input's). At 100 TB this runs at
+    scan speed; the 1-to-ceil(n/32) row fan-out is the point, not a
+    hazard (it's the required output cardinality), and `slice` keeps peak
+    memory per row bounded by one chunk."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(f"sequence(0, CAST(ceil(size(toks) / {_CHUNK}.0) AS INT) - 1)")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"size(slice(toks, chunk_idx * {_CHUNK} + 1, {_CHUNK}))").alias(
+                "chunk_tokens"
+            ),
+            F.expr(
+                f"array_join(slice(toks, chunk_idx * {_CHUNK} + 1, {_CHUNK}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram frequency (top-k bigrams)
+# --------------------------------------------------------------------------
+@query(
+    "t_ngram_freq",
+    oracle="""
+    WITH t AS (
+      SELECT regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ), b AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def t_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigram counts — the n-gram language-model /
+    boilerplate-detection primitive. zip_with pairs adjacent tokens
+    in-row (no join), then ONE hash-aggregate keyed on the bigram with
+    map-side partial counts: the shuffle carries at most |vocabulary|²
+    rows per partition regardless of corpus size. Top-k via
+    orderBy().limit() = TakeOrderedAndProject (per-partition heaps, no
+    global sort shuffle). Tie-break (n DESC, bigram ASC) is total, so
+    the 50-row cut is deterministic cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(split(text, '\\\\s+'), 1, "
+                "size(split(text, '\\\\s+')) - 1), "
+                "slice(split(text, '\\\\s+'), 2, "
+                "size(split(text, '\\\\s+')) - 1), "
+                "(x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# --------------------------------------------------------------------------
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): char classes, bounded/unbounded repetition.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9-]{6,}"
+
+
+@query(
+    "t_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      -- The synthetic corpus contains no PII-shaped spans (letters-only
+      -- word soup), so the fixture plants deterministic contact strings
+      -- derived from doc_id; the operator under test is the scrub itself.
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone numbers) with per-doc match
+    counts — the compliance scrub every training-data pipeline runs
+    before tokenization. Pure JVM regexp_replace/regexp_count inside
+    whole-stage codegen: no shuffle, runs at scan speed, and the regexes
+    are anchored to character classes shared by Java regex and RE2 so
+    both engines see identical matches. Email is scrubbed before phone so
+    digit runs inside addresses can't double-match."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
