@@ -56,6 +56,8 @@ _NEW_THIS_ROUND = [
     "d_substring_dup",
     "e_transition_matrix",
     "e_value_histogram",
+    "a_grouping_sets",
+    "r_unpivot_metrics",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 
@@ -64,10 +66,15 @@ def _module_query_names(mod) -> list[str]:
     return [n for n, fn in queries().items() if fn.__module__ == mod.__name__]
 
 
+_explicit = _FIXED_THIS_ROUND + [n for n in _NEW_THIS_ROUND if n in queries()]
 _promote(
-    _FIXED_THIS_ROUND
-    + [n for n in _NEW_THIS_ROUND if n in queries()]
-    + [n for m in _STALE_CORE_MODULES for n in _module_query_names(m)]
+    _explicit
+    + [
+        n
+        for m in _STALE_CORE_MODULES
+        for n in _module_query_names(m)
+        if n not in _explicit
+    ]
 )
 
 __all__ = ["queries", "oracle_sql", "query"]

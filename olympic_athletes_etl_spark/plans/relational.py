@@ -781,3 +781,86 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (the general form behind ROLLUP/CUBE)
+# --------------------------------------------------------------------------
+@query(
+    "a_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with two disjoint single-dimension sets —
+    the shape neither ROLLUP nor CUBE can express (no combined cell, no
+    grand total). Catalyst's Expand turns both sets into ONE pass over
+    the fact table with a single shuffle keyed on (grouping-id, dims),
+    exactly like the rollup/cube twins — at 100 TB that's one scan
+    instead of one per report dimension."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt (inverse of r_pivot_counts)
+# --------------------------------------------------------------------------
+@query(
+    "r_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0, 2) AS total_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value
+    FROM (UNPIVOT wide ON n_orders, total_price INTO NAME metric VALUE value)
+    """,
+)
+def r_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): a per-priority metrics table folds
+    its metric columns into (metric, value) rows — the inverse of
+    r_pivot_counts and the standard normalizer before generic metric
+    sinks. The unpivot itself is a zero-shuffle in-row Expand (row count
+    multiplies by the metric-column count, columns drop accordingly);
+    the only shuffle is the upstream 5-key aggregate. Metric sums run on
+    exact integer cents (order-independent cross-engine) and both
+    metrics are emitted as DOUBLE so the long `value` column has one
+    type."""
+    orders = load(spark, sf_dir, "orders")
+    wide = (
+        orders.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_price"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_orders", "total_price"], "metric", "value"
+    )

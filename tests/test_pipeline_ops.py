@@ -179,3 +179,31 @@ def test_value_histogram_conserves_mass(spark, sf_dir):
     for r in rows:
         assert r["bucket_lo"] == r["bucket"] * 25.0
         assert r["n"] > 0
+
+
+# ---------------------------------------------------------------------------
+# a_grouping_sets / r_unpivot_metrics (relational completions)
+# ---------------------------------------------------------------------------
+def test_grouping_sets_emits_exactly_the_two_sets(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.relational import a_grouping_sets
+
+    rows = a_grouping_sets(spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    n_flags = li.select("l_returnflag").distinct().count()
+    n_status = li.select("l_linestatus").distinct().count()
+    # one row per flag (status='<all>') + one per status (flag='<all>'),
+    # no combined cell and no grand total
+    assert len(rows) == n_flags + n_status
+    assert all((r["returnflag"] == "<all>") != (r["linestatus"] == "<all>") for r in rows)
+    assert sum(r["n"] for r in rows) == 2 * li.count()
+
+
+def test_unpivot_is_lossless_long_form(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.relational import r_unpivot_metrics
+
+    rows = r_unpivot_metrics(spark, sf_dir).collect()
+    orders = load(spark, sf_dir, "orders")
+    n_prio = orders.select("o_orderpriority").distinct().count()
+    assert len(rows) == n_prio * 2
+    n_total = sum(r["value"] for r in rows if r["metric"] == "n_orders")
+    assert n_total == orders.count()
