@@ -58,6 +58,7 @@ _NEW_THIS_ROUND = [
     "e_value_histogram",
     "a_grouping_sets",
     "r_unpivot_metrics",
+    "s_ann_pq",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -651,3 +651,256 @@ def s_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (per-subspace codebooks + ADC shortlist)
+# --------------------------------------------------------------------------
+# The vector splits into _PQ_M contiguous subspaces of _PQ_SUBDIM dims;
+# each subspace trains its own _PQ_KSUB-centroid spherical k-means
+# codebook (same integer-exact machinery as the IVF k-means above: init =
+# first k subvectors, sum-as-centroid — valid because cosine assignment
+# is scale-invariant). A vector's code word is its per-subspace centroid
+# ids; search scores every vector from the probe's precomputed ADC lookup
+# tables (pdot[j][c] = <probe_j, codebook_j[c]>, |codebook_j[c]|² — all
+# exact integer arithmetic, identical in both engines), shortlists
+# _PQ_SHORTLIST candidates by approximate cosine, then re-ranks exactly.
+# See Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 (ADC = asymmetric distance computation).
+_PQ_M = 16
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_KSUB = 16
+_PQ_ITERS = 1
+_PQ_SHORTLIST = 50
+
+
+def _pq_sub_sql(j: int, col: str = "vq") -> str:
+    return f"slice({col}, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+
+
+def _pq_entries(
+    cents: list[tuple[int, list[int]]], sq_sql: str, sqn_sql: str
+) -> F.Column:
+    """(sim, c_id) structs of the subvector expression ``sq_sql`` (norm
+    expression ``sqn_sql``) against each codebook entry — the subspace
+    twin of _km_entries, parametrized so the same helper serves both the
+    training pass (materialized sq/sqn columns) and the in-row encode."""
+    entries = []
+    for c_id, comps in cents:
+        arr = f"array({', '.join(f'CAST({int(c)} AS DOUBLE)' for c in comps)})"
+        dot = _DOT.format(a=sq_sql, b=arr)
+        cdot = _DOT.format(a=arr, b=arr)
+        entries.append(
+            F.struct(
+                F.expr(f"(({dot}) / (({sqn_sql}) * sqrt({cdot})))").alias("sim"),
+                F.lit(c_id).alias("c_id"),
+            )
+        )
+    return F.array(*entries)
+
+
+def _pq_code_col(cents: list[tuple[int, list[int]]], j: int) -> F.Column:
+    sq = _pq_sub_sql(j)
+    sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
+    return F.element_at(_sim_desc_sorted(_pq_entries(cents, sq, sqn)), 1)["c_id"]
+
+
+def _pq_fit(n: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
+    """Train one spherical-k-means codebook per subspace (driver loop —
+    each round is a shuffle-free broadcast assignment pass plus a
+    bounded (k·subdim)-row aggregate, independent of table size)."""
+    books: dict[int, list[tuple[int, list[int]]]] = {}
+    for j in range(_PQ_M):
+        sub = n.select("vec_id", F.expr(_pq_sub_sql(j)).alias("sq")).withColumn(
+            "sqn", F.sqrt(F.expr(_DOT.format(a="sq", b="sq")))
+        )
+        cent_rows = (
+            sub.filter(F.col("vec_id") < _PQ_KSUB).select("vec_id", "sq").collect()
+        )
+        cents = sorted(
+            (int(r["vec_id"]), [int(x) for x in r["sq"]]) for r in cent_rows
+        )
+        for _ in range(_PQ_ITERS):
+            asg = sub.withColumn(
+                "code",
+                F.element_at(_sim_desc_sorted(_pq_entries(cents, "sq", "sqn")), 1)[
+                    "c_id"
+                ],
+            )
+            sums = (
+                asg.select("code", F.posexplode("sq").alias("d", "x"))
+                .groupBy("code", "d")
+                .agg(F.sum("x").alias("s"))
+                .collect()  # bounded: ≤ k·subdim rows regardless of data size
+            )
+            by_code: dict[int, dict[int, int]] = {}
+            for r in sums:
+                by_code.setdefault(int(r["code"]), {})[int(r["d"])] = int(r["s"])
+            cents = sorted(
+                (c_id, [comp[d] for d in range(_PQ_SUBDIM)])
+                for c_id, comp in by_code.items()
+            )
+        books[j] = cents
+    return books
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace training + ADC + exact re-rank as CTEs."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nq2 AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnrm,
+             list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)) AS vq,
+             sqrt(list_dot_product(
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)),
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)))) AS qnrm
+      FROM e
+    )"""
+    ]
+    assign = (
+        "(SELECT c.c_id FROM {cent} c"
+        " ORDER BY list_dot_product(s.sq, c.cv)"
+        " / (s.sqn * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC"
+        " LIMIT 1)"
+    )
+    for j in range(_PQ_M):
+        lo = j * _PQ_SUBDIM + 1
+        hi = (j + 1) * _PQ_SUBDIM
+        parts.append(
+            f""", sub{j} AS (
+      SELECT vec_id, list_slice(vq, {lo}, {hi}) AS sq,
+             sqrt(list_dot_product(list_slice(vq, {lo}, {hi}),
+                                   list_slice(vq, {lo}, {hi}))) AS sqn
+      FROM nq2
+    ), cent{j}_0 AS (
+      SELECT vec_id AS c_id, sq AS cv FROM sub{j} WHERE vec_id < {_PQ_KSUB}
+    )"""
+        )
+        prev = f"cent{j}_0"
+        for it in range(_PQ_ITERS):
+            parts.append(
+                f""", asg{j}_{it} AS (
+      SELECT s.*, {assign.format(cent=prev)} AS code FROM sub{j} s
+    ), sum{j}_{it} AS (
+      SELECT code, d, CAST(sum(sq[d]) AS BIGINT) AS su
+      FROM asg{j}_{it} CROSS JOIN range(1, {_PQ_SUBDIM + 1}) t(d)
+      GROUP BY code, d
+    ), cent{j}_{it + 1} AS (
+      SELECT code AS c_id, list(CAST(su AS DOUBLE) ORDER BY d) AS cv
+      FROM sum{j}_{it} GROUP BY code
+    )"""
+            )
+            prev = f"cent{j}_{it + 1}"
+        parts.append(
+            f""", codes{j} AS (
+      SELECT s.vec_id, {assign.format(cent=prev)} AS code FROM sub{j} s
+    ), probe{j} AS (
+      SELECT sq AS psq FROM sub{j} WHERE vec_id = {_QUERY_VEC_ID}
+    ), part{j} AS (
+      SELECT k.vec_id,
+             list_dot_product(p.psq, c.cv) AS num,
+             list_dot_product(c.cv, c.cv) AS cn2
+      FROM codes{j} k
+      JOIN {prev} c ON c.c_id = k.code
+      CROSS JOIN probe{j} p
+    )"""
+        )
+    joins = " ".join(f"JOIN part{j} USING (vec_id)" for j in range(1, _PQ_M))
+    nums = " + ".join(f"part{j}.num" for j in range(_PQ_M))
+    cn2s = " + ".join(f"part{j}.cn2" for j in range(_PQ_M))
+    parts.append(
+        f""", pn AS (
+      SELECT qnrm AS pqnrm, v AS pv, vnrm AS pnrm FROM nq2
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ), adc AS (
+      SELECT part0.vec_id, ({nums}) / (pn.pqnrm * sqrt({cn2s})) AS score
+      FROM part0 {joins} CROSS JOIN pn
+      WHERE part0.vec_id != {_QUERY_VEC_ID}
+    ), shortlist AS (
+      SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC
+      LIMIT {_PQ_SHORTLIST}
+    ), rescored AS (
+      SELECT n.vec_id,
+             list_dot_product(n.v, pn.pv) / (n.vnrm * pn.pnrm) AS cos_raw
+      FROM nq2 n CROSS JOIN pn
+      WHERE n.vec_id IN (SELECT vec_id FROM shortlist)
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM rescored
+    QUALIFY rank <= {_K}"""
+    )
+    return "".join(parts)
+
+
+@query("s_ann_pq", oracle=_pq_oracle())
+def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 16 subspace codebooks × 16 centroids
+    give a 16-symbol (8-byte) code per vector; the probe's ADC lookup tables (an
+    8-entry literal map per subspace, built driver-side from the trained
+    codebooks and the collected 64-int probe — both bounded) score every
+    vector from its codes alone, shortlist _PQ_SHORTLIST by approximate
+    cosine via TakeOrderedAndProject, and only the shortlist re-ranks
+    against the exact vectors. At 100 TB the codes would be precomputed
+    columns (8 bytes/vector vs 256 for the raw floats), so the scored
+    scan reads ~3% of the bytes and the full vectors are touched for
+    exactly _PQ_SHORTLIST rows."""
+    n = _km_base(spark, sf_dir)
+    books = _pq_fit(n)
+    probe_q = [
+        int(x)
+        for x in n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("vq")
+        .collect()[0]["vq"]
+    ]
+
+    scored = n
+    num_expr: F.Column = F.lit(0.0)
+    cn2_expr: F.Column = F.lit(0.0)
+    for j, cents in sorted(books.items()):
+        psub = probe_q[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
+        pdot_map = F.create_map(
+            *[
+                x
+                for c_id, comps in cents
+                for x in (
+                    F.lit(c_id),
+                    F.lit(float(sum(p * c for p, c in zip(psub, comps)))),
+                )
+            ]
+        )
+        cn2_map = F.create_map(
+            *[
+                x
+                for c_id, comps in cents
+                for x in (F.lit(c_id), F.lit(float(sum(c * c for c in comps))))
+            ]
+        )
+        scored = scored.withColumn(f"code{j}", _pq_code_col(cents, j))
+        num_expr = num_expr + F.element_at(pdot_map, F.col(f"code{j}"))
+        cn2_expr = cn2_expr + F.element_at(cn2_map, F.col(f"code{j}"))
+
+    adc = num_expr / (F.col("qnrm") * F.sqrt(cn2_expr))
+    shortlist = (
+        scored.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "v", "vnrm", adc.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    probe = n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("pv"), F.col("vnrm").alias("pnrm")
+    )
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("vnrm") * F.col("pnrm"))
+    rescored = shortlist.crossJoin(F.broadcast(probe)).select(
+        "vec_id", cos.alias("cos_raw")
+    )
+    topk = rescored.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # Unpartitioned window over exactly K rows (post-limit); the logged
+    # "No Partition Defined" warning is accepted — see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
