@@ -68,6 +68,11 @@ _NEW_THIS_ROUND = [
     "q16_part_supplier_count",
     "q20_excess_stock",
     "q21_waiting_suppliers",
+    # training-pipeline completions (late round 3):
+    "d_incremental_dedup",
+    "d_cluster_canonical",
+    "t_unigram_commonness",
+    "e_gap_days",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -27,7 +27,7 @@ so every query here has a full value-hash oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olympic_athletes_etl_spark.plans.registry import query
@@ -626,37 +626,30 @@ def d_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Dedup clusters — connected components over MinHash candidate pairs
 # --------------------------------------------------------------------------
-@query(
-    "d_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
-    mh AS (
-      SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
-      FROM hashed CROSS JOIN {_minhash_values_sql()}
-      GROUP BY doc_id, k
-    ),
-    bands AS (
-      SELECT doc_id, k // 2 AS band,
-             min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
-             min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
-      FROM mh GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
-       AND a.doc_id < b.doc_id
-    ),
-    sym AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
+def _closure_ctes(pairs_cte: str = "cand") -> str:
+    """Shared transitive-closure CTE chain (expects ``{pairs_cte}(doc_a,
+    doc_b)`` in scope; yields ``comp(doc_id, cluster)``). Single source
+    of truth for every cluster-producing oracle (d_dup_clusters,
+    d_neardup_pipeline's tail, d_cluster_canonical) — same rationale as
+    _minhash_cand_ctes: a closure edit can't desynchronize them."""
+    return f"""sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM {pairs_cte}
+      UNION SELECT doc_b, doc_a FROM {pairs_cte}
     ),
     reach(v, r) AS (
       SELECT a, a FROM sym
       UNION
       SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
     ),
-    comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+    comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)"""
+
+
+@query(
+    "d_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_cand_ctes()},
+    {_closure_ctes()}
     SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """,
@@ -702,16 +695,7 @@ _VERIFY_JACCARD = 0.5
       JOIN sizes sb ON sb.doc_id = s.doc_b
       WHERE CAST(s.i AS DOUBLE) / (sa.n + sb.n - s.i) >= {_VERIFY_JACCARD}
     ),
-    sym AS (
-      SELECT doc_a AS a, doc_b AS b FROM verified
-      UNION SELECT doc_b, doc_a FROM verified
-    ),
-    reach(v, r) AS (
-      SELECT a, a FROM sym
-      UNION
-      SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b
-    ),
-    comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+    {_closure_ctes("verified")}
     SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """,
@@ -977,5 +961,106 @@ def d_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 4,
             ).alias("dup_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup — new batch vs existing corpus
+# --------------------------------------------------------------------------
+@query(
+    "d_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    inc AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+    ),
+    firsts AS (SELECT h, min(doc_id) AS doc_id FROM inc GROUP BY h)
+    SELECT f.doc_id, f.h AS content_hash
+    FROM firsts f
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = f.h)
+    """,
+)
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot) dedup — the shape every continuously-fed
+    training corpus needs: an incoming batch (doc_id >= 400 stands in)
+    is deduplicated (a) within itself, keeping the first arrival per
+    content hash, and (b) against the already-ingested corpus
+    (doc_id < 400), via an anti-join on the hash. Both sides reduce to
+    hashes BEFORE any join — the corpus side never ships text. At 100 TB
+    the corpus hash store is a persisted bucketed table (sources/io.py:
+    bucketed_write) so the anti-join co-locates without a shuffle on the
+    corpus side; here both derive from one documents scan."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    firsts = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        firsts.join(corpus, "h", "left_anti")
+        .select("doc_id", F.col("h").alias("content_hash"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster canonicalization — keep the best document per near-dup cluster
+# --------------------------------------------------------------------------
+@query(
+    "d_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_cand_ctes()},
+    {_closure_ctes()},
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    best AS (
+      SELECT cluster, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM labeled
+    ),
+    members AS (SELECT cluster, count(*) AS n_members FROM labeled GROUP BY 1)
+    SELECT b.cluster, b.doc_id AS canonical_doc, b.n_chars AS canonical_chars,
+           m.n_members
+    FROM best b JOIN members m ON m.cluster = b.cluster
+    WHERE b.rn = 1
+    """,
+)
+def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion: after clustering (d_dup_clusters), keep ONE
+    canonical document per near-dup cluster — the longest (n_chars), ties
+    to the lowest doc_id — plus the member count, i.e. the survivor list
+    a dedup pass actually emits. Selection is a row_number window
+    partitioned by cluster (deterministic total order per partition on
+    both engines — max_by would leave ties engine-defined); member counts
+    ride the same shuffle key. Window state per cluster is the cluster
+    size — bounded by near-dup cliques, not corpus size."""
+    labeled = d_dup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    both = labeled.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    members = both.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(members, "cluster")
+        .select(
+            "cluster",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").alias("canonical_chars"),
+            "n_members",
         )
     )

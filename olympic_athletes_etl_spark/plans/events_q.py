@@ -7,8 +7,9 @@ Structured Streaming in ``olympic_athletes_etl_spark.streaming`` (windowed
 aggs + watermarks), which shares these semantics but is tested separately
 (streams aren't DuckDB-oracle-able).
 
-``events.ts`` is nanos parquet truncated to micros on load — identical to
-DuckDB's read (see plans.tables).
+``events.ts`` arrives as whatever the driver round shipped physically
+(nanos→truncated-to-micros in r1-2, native micros/TIMESTAMP_NTZ in r3+) —
+plans.tables normalizes both to DuckDB-identical values.
 """
 
 from __future__ import annotations
@@ -604,4 +605,54 @@ def e_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("c") / 100.0, 2).alias("total_value"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar-spine gap detection (missing active days per user)
+# --------------------------------------------------------------------------
+@query(
+    "e_gap_days",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (
+      SELECT user_id, min(d) AS d0, max(d) AS d1 FROM act GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    )
+    SELECT s.user_id, CAST(s.d AS VARCHAR) AS missing_date
+    FROM spine s
+    WHERE NOT EXISTS (SELECT 1 FROM act a
+                      WHERE a.user_id = s.user_id AND a.d = s.d)
+    """,
+)
+def e_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection: for each user, the days inside their
+    [first event, last event] span with ZERO events — the generate-then-
+    anti-join pattern (Spark `sequence` + explode == DuckDB
+    generate_series) that also powers time-series gap filling. Spine size
+    is span-days per user (bounded by the date range, not event count),
+    the anti-join keys on (user_id, day) — well-distributed — and the
+    observed-day set is pre-shrunk by DISTINCT before both the span
+    aggregate and the join. Dates stringify identically on both engines.
+    """
+    events = load(spark, sf_dir, "events")
+    act = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    span = act.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    return spine.join(act, ["user_id", "d"], "left_anti").select(
+        "user_id", F.col("d").cast("string").alias("missing_date")
     )

@@ -880,3 +880,57 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-frequency commonness score (unigram-LM quality proxy)
+# --------------------------------------------------------------------------
+@query(
+    "t_unigram_commonness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(f.c) AS BIGINT) AS freq_sum,
+           CAST(sum(f.c) AS DOUBLE) / count(*) AS mean_token_freq
+    FROM tok t JOIN freq f ON f.w = t.w
+    GROUP BY t.doc_id
+    """,
+)
+def t_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: each document scored by the mean corpus
+    frequency of its tokens — boilerplate/templated docs score high,
+    rare-vocabulary docs low (the integer-exact cousin of mean unigram
+    log-probability: frequencies sum as exact bigints, ONE double
+    division at the end, where a sum of log-doubles would be
+    summation-order-dependent across engines).
+
+    Scale shape: the vocabulary table is Heaps'-law-bounded (sublinear in
+    corpus size) and carries just (token, count) — so it BROADCASTS, and
+    the token→frequency lookup is a map-side hash join. That broadcast is
+    also the skew story: joining on the token by shuffle would put every
+    "the" on one reducer; the broadcast join has no reduce side at all.
+    If the vocab ever outgrows broadcast, split it hot/cold by df
+    (hot = tiny + broadcast, cold = shuffle) — same two-tier pattern as
+    d_ngram_jaccard's stop-shingle cap."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("freq_sum"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
