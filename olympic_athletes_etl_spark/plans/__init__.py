@@ -73,6 +73,7 @@ _NEW_THIS_ROUND = [
     "d_cluster_canonical",
     "t_unigram_commonness",
     "e_gap_days",
+    "s_knn_graph",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

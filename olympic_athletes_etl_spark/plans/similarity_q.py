@@ -904,3 +904,77 @@ def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# KNN-graph construction — top-k neighbors for EVERY vector
+# --------------------------------------------------------------------------
+_K_GRAPH = 3
+
+
+@query(
+    "s_knn_graph",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_bucket_sql_duck()} AS bucket
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_raw DESC, dst ASC) AS rank
+    FROM pairs
+    QUALIFY rank <= {_K_GRAPH}
+    """,
+)
+def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-GRAPH construction: top-k cosine neighbors for EVERY vector at
+    once — the batch primitive under semantic dedup, embedding
+    clustering, and graph-based retrieval, where a per-probe loop (500
+    brute-force scans here, billions at corpus scale) is the wrong shape.
+    Candidates come from the same deterministic hyperplane buckets as
+    s_ann_lsh: the self-join keys on the bucket id, so each vector only
+    scores against its bucket (expected n/2^planes candidates), then a
+    per-source row_number window keeps k. Two shuffles total — bucket,
+    then src — regardless of corpus size; the bucket join's per-key cost
+    is quadratic only WITHIN a bucket, which the plane count controls.
+    Vectors alone in their bucket emit no edges (documented sparsity —
+    raise coverage with multi-probe as in s_ann_lsh_multiprobe).
+    Ranking runs on raw doubles (bit-identical), rounding on output."""
+    n = _emb_double(spark, sf_dir).select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = n.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K_GRAPH)
+        .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )

@@ -12,10 +12,12 @@ from olympic_athletes_etl_spark.sources.io import (
     compacted_write,
     object_store_conf,
     read_csv,
+    read_jsonl,
     read_parquet,
     read_parquet_glob,
     resume_remaining,
     split_by_tag,
+    write_jsonl,
     write_parquet,
 )
 
@@ -27,11 +29,13 @@ __all__ = [
     "parse_results_table",
     "parse_tables",
     "read_csv",
+    "read_jsonl",
     "read_parquet",
     "read_parquet_glob",
     "resume_remaining",
     "scrape_source",
     "split_by_tag",
     "tagged_to_tables",
+    "write_jsonl",
     "write_parquet",
 ]

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 # --------------------------------------------------------------------------
@@ -60,6 +60,49 @@ def read_csv(
 # --------------------------------------------------------------------------
 # Object store (S9)
 # --------------------------------------------------------------------------
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines scan with an EXPLICIT schema — the training-data
+    interchange format (one JSON document per line, .jsonl/.jsonl.gz).
+
+    Explicit schema is mandatory here (engine rule §4): ``inferSchema``
+    on JSONL costs a full extra pass AND drifts types across shards.
+    Malformed lines follow the S10 error-side-channel pattern instead of
+    failing the job: PERMISSIVE mode nulls the data columns and captures
+    the raw line in ``corrupt_col`` (pair with ``split_by_tag`` on
+    ``corrupt_col IS NOT NULL`` to route rejects — after a
+    cache()/persist() of the parsed frame: Spark refuses plans that
+    reference ONLY the corrupt column,
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN). Pass
+    ``corrupt_col=None`` for strict FAILFAST ingestion. Line-split JSON
+    stays fully parallel at any file size; gzip shards parallelize per
+    FILE, so shard (~256 MB-1 GB each), never one giant .gz."""
+    if corrupt_col is not None:
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = StructType(
+                [*schema.fields, StructField(corrupt_col, StringType(), True)]
+            )
+        return (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """JSONL sink (one JSON object per line per row). ``num_files``
+    compacts via ``coalesce`` — same sizing rule as compacted_write:
+    target ~256 MB-1 GB per shard at scale, never 1."""
+    out = df.coalesce(num_files) if num_files else df
+    out.write.mode("overwrite").json(path)
+
+
 def object_store_conf(
     spark: SparkSession,
     endpoint: str | None = None,

@@ -144,3 +144,54 @@ def test_read_parquet_evolved_unions_schema_versions(spark, tmp_path):
     )
     explicit = read_parquet_evolved(spark, d, schema=contract)
     assert {r["id"]: (r["a"], r["b"]) for r in explicit.collect()} == rows
+
+
+def test_read_jsonl_roundtrip_and_corrupt_side_channel(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from olympic_athletes_etl_spark.sources import read_jsonl, split_by_tag
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world"}\n')
+        f.write('{"doc_id": 2, "text": "second doc"}\n')
+        f.write('{"doc_id": 3, "text": "broken\n')  # malformed line
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = read_jsonl(spark, p, schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {(r["doc_id"], r["text"]) for r in rows if r["_corrupt_record"] is None}
+    assert good == {(1, "hello world"), (2, "second doc")}
+    # malformed line lands in the side channel with data columns nulled
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    # routes through the S10 splitter. cache() first: Spark refuses plans
+    # whose referenced columns reduce to only the corrupt-record column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materializing the parse decouples
+    # the routing query from the raw scan.
+    tagged = df.cache().withColumn(
+        "route",
+        F.when(df["_corrupt_record"].isNotNull(), "error").otherwise("ok"),
+    )
+    routed = split_by_tag(tagged, "route", ["ok", "error"])
+    assert routed["ok"].count() == 2 and routed["error"].count() == 1
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from olympic_athletes_etl_spark.sources import read_jsonl, write_jsonl
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema=schema)
+    out = str(tmp_path / "out_jsonl")
+    write_jsonl(df, out, num_files=1)
+    back = read_jsonl(spark, out, schema, corrupt_col=None)
+    assert {(r["doc_id"], r["text"]) for r in back.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
