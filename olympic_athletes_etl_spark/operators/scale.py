@@ -69,3 +69,27 @@ def cocluster_join(
     tests/test_scale_ops.py) — if an Exchange appears, the bucket specs
     don't match and the write-side contract was broken."""
     return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
+
+
+def range_sorted_write(
+    df: DataFrame,
+    path: str,
+    key: str,
+    num_partitions: int,
+    fmt: str = "parquet",
+) -> None:
+    """Globally-sorted layout writer: ``repartitionByRange(key)`` +
+    ``sortWithinPartitions(key)`` — file i holds keys strictly below
+    file i+1, each file internally sorted. Costs ONE range-exchange
+    (sampled bounds; no single-reducer global sort), and buys parquet
+    min/max row-group statistics that make later range predicates on
+    the key prune at the FOOTER level — the layout to publish
+    time-keyed or id-keyed data at 100 TB. ``num_partitions`` sizes the
+    output files (target ~256 MB-1 GB each; never 1)."""
+    (
+        df.repartitionByRange(num_partitions, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -74,6 +74,7 @@ _NEW_THIS_ROUND = [
     "t_unigram_commonness",
     "e_gap_days",
     "s_knn_graph",
+    "a_table_profile",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

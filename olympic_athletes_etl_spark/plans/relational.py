@@ -864,3 +864,90 @@ def r_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["o_orderpriority"], ["n_orders", "total_price"], "metric", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# Single-scan table profiler (per-column stats, unpivoted)
+# --------------------------------------------------------------------------
+@query(
+    "a_table_profile",
+    oracle="""
+    SELECT 'l_orderkey' AS col,
+           CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_v,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus',
+           CAST(count(*) - count(l_linestatus) AS BIGINT),
+           CAST(count(DISTINCT l_linestatus) AS BIGINT),
+           min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity_cents',
+           CAST(count(*) - count(l_quantity) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT),
+           CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           CAST(count(*) - count(l_shipdate) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def a_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler: per-column (nulls, distinct, min, max) in ONE scan.
+    The oracle expresses it as five UNIONed scans (the naive per-column
+    form); the Spark plan computes every stat in a single aggregate over
+    one pass and unpivots 5 rows with ``stack`` — at 100 TB that is the
+    difference between 1× and 5× table I/O, and the distinct counts all
+    partial-aggregate map-side in the same shuffle. Doubles are profiled
+    as exact cents (min/max/distinct on the bigint) — double→string
+    formatting is the one place engines disagree, integers never do.
+    Stats values stringify for the unpivot (one schema for all columns)."""
+    li = load(spark, sf_dir, "lineitem")
+    q_cents = F.expr("CAST(round(l_quantity * 100) AS BIGINT)")
+    n = F.count(F.lit(1))
+    agg = li.agg(
+        (n - F.count("l_orderkey")).alias("nn_ok"),
+        F.countDistinct("l_orderkey").alias("nd_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        (n - F.count("l_returnflag")).alias("nn_rf"),
+        F.countDistinct("l_returnflag").alias("nd_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        (n - F.count("l_linestatus")).alias("nn_ls"),
+        F.countDistinct("l_linestatus").alias("nd_ls"),
+        F.min("l_linestatus").alias("mn_ls"),
+        F.max("l_linestatus").alias("mx_ls"),
+        (n - F.count("l_quantity")).alias("nn_q"),
+        F.countDistinct(q_cents).alias("nd_q"),
+        F.min(q_cents).cast("string").alias("mn_q"),
+        F.max(q_cents).cast("string").alias("mx_q"),
+        (n - F.count("l_shipdate")).alias("nn_sd"),
+        F.countDistinct("l_shipdate").alias("nd_sd"),
+        F.min("l_shipdate").cast("string").alias("mn_sd"),
+        F.max("l_shipdate").cast("string").alias("mx_sd"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 'l_orderkey', nn_ok, nd_ok, mn_ok, mx_ok,"
+            " 'l_returnflag', nn_rf, nd_rf, mn_rf, mx_rf,"
+            " 'l_linestatus', nn_ls, nd_ls, mn_ls, mx_ls,"
+            " 'l_quantity_cents', nn_q, nd_q, mn_q, mx_q,"
+            " 'l_shipdate', nn_sd, nd_sd, mn_sd, mx_sd)"
+            " AS (col, n_null, n_distinct, min_v, max_v)"
+        )
+    )

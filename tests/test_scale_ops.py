@@ -71,3 +71,29 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
+def test_range_sorted_write_layout(spark, sf_dir, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.operators.scale import range_sorted_write
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    out = str(tmp_path / "orders_by_date")
+    orders = load(spark, sf_dir, "orders")
+    range_sorted_write(orders, out, "o_orderkey", num_partitions=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    # non-overlapping key ranges across files, sorted within each file
+    spans = []
+    for f in files:
+        rows = [r["o_orderkey"] for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows)
+        spans.append((min(rows), max(rows)))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b
+    # round-trips the full table
+    assert spark.read.parquet(out).count() == orders.count()
