@@ -75,6 +75,10 @@ _NEW_THIS_ROUND = [
     "e_gap_days",
     "s_knn_graph",
     "a_table_profile",
+    "j_full_outer_recon",
+    "a_intersect_keys",
+    "j_salted_enrich",
+    "e_late_arrivals",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -656,3 +656,51 @@ def e_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(act, ["user_id", "d"], "left_anti").select(
         "user_id", F.col("d").cast("string").alias("missing_date")
     )
+
+
+# --------------------------------------------------------------------------
+# Out-of-order arrival diagnostic (watermark sizing input)
+# --------------------------------------------------------------------------
+@query(
+    "e_late_arrivals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prior
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE ts < max_prior) AS BIGINT) AS n_late,
+           CAST(coalesce(max(CASE WHEN ts < max_prior
+                                  THEN epoch_us(max_prior) - epoch_us(ts)
+                             END), 0) AS BIGINT) AS max_late_us
+    FROM seq GROUP BY 1
+    """,
+)
+def e_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival profile per user: an event is LATE when its
+    event time precedes the max event time already seen in arrival order
+    (event_id = ingestion sequence). n_late and the worst lateness (in
+    exact integer MICROseconds — never a double of seconds) are exactly
+    the numbers that size a Structured Streaming watermark: withWatermark
+    must exceed max_late to not drop data. One shuffle on user_id; the
+    running max reuses it for the window and the aggregate."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    with_prior = events.withColumn("max_prior", F.max("ts").over(w))
+    late = F.col("ts") < F.col("max_prior")
+    return with_prior.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.coalesce(
+            F.max(F.when(late, us("max_prior") - us("ts"))), F.lit(0)
+        ).alias("max_late_us"),
+    )

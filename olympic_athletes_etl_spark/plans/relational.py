@@ -951,3 +951,133 @@ def a_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col, n_null, n_distinct, min_v, max_v)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full-outer reconciliation join
+# --------------------------------------------------------------------------
+@query(
+    "j_full_outer_recon",
+    oracle="""
+    WITH prof AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ),
+    act AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spent_cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           c_custkey IS NOT NULL AS has_profile,
+           o_custkey IS NOT NULL AS has_activity,
+           spent_cents
+    FROM prof FULL OUTER JOIN act ON c_custkey = o_custkey
+    """,
+)
+def j_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the audit join every ETL handoff
+    needs: high-balance customer profiles vs 1996 order activity, keys
+    coalesced, presence flagged on each side (profile-only rows surface
+    dormant accounts, activity-only rows surface missing profiles).
+    Money sums as exact cents. Both sides pre-filter/pre-aggregate
+    BEFORE the join, so the full-outer shuffle carries two reduced
+    keyed tables — never raw facts."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    prof = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    act = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "spent_cents"
+            )
+        )
+    )
+    return prof.join(
+        act, F.col("c_custkey") == F.col("o_custkey"), "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_profile"),
+        F.col("o_custkey").isNotNull().alias("has_activity"),
+        "spent_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT set op (completes union / except / intersect)
+# --------------------------------------------------------------------------
+@query(
+    "a_intersect_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def a_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — nations present on BOTH sides of the
+    market. Spark compiles set-intersection to a left-semi join over
+    distinct inputs; with union (a_union_align) and EXCEPT
+    (a_except_distinct) this completes the set-op family."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_nationkey").alias("nationkey")
+    ).intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+
+
+# --------------------------------------------------------------------------
+# Salted skew join, registered form
+# --------------------------------------------------------------------------
+@query(
+    "j_salted_enrich",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, count(*) AS n_ev,
+             CASE WHEN count(*) >= 100 THEN 'heavy'
+                  WHEN count(*) >= 50 THEN 'mid' ELSE 'light' END AS tier
+      FROM events GROUP BY 1
+    )
+    SELECT s.tier, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN stats s ON s.user_id = e.user_id
+    GROUP BY 1
+    """,
+)
+def j_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED skew join on the gated surface: events (probe, heavy-
+    hitter users) enriched with a per-user tier dim via
+    operators.scale.salted_join — the build side replicates across 8
+    salts so one hot user's events spread over 8 reducers instead of one
+    straggler. Salting is physically invisible to the result, which is
+    exactly what the oracle pins: plain-SQL join semantics survive the
+    rewrite. (At this dim size broadcast would also work — the query
+    exists to correctness-gate the salting machinery used when the build
+    side is too big to broadcast but small enough to replicate.)"""
+    from olympic_athletes_etl_spark.operators.scale import salted_join
+
+    events = load(spark, sf_dir, "events")
+    stats = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .withColumn(
+            "tier",
+            F.when(F.col("n_ev") >= 100, "heavy")
+            .when(F.col("n_ev") >= 50, "mid")
+            .otherwise("light"),
+        )
+    )
+    joined = salted_join(
+        events.select("event_id", "user_id"), stats, "user_id", n_salts=8
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
