@@ -34,10 +34,11 @@ from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 # Everything else (dedup/ANN/events/multimodal/validate/lifecycle) was
 # driver-green in r2 and falls to the back of the registry; every query
 # stays covered locally by tools/check_parity.py regardless of order.
-# Prefix math (assuming the driver audits 50 again): 3 fixed + 27 new
-# (incl. the six tpch_close completions) = 30 explicit, then the first
-# ~20 relational-core queries; the rest of relational plus textops/tpch
-# (r1-green) slip out this round — promote them first next round.
+# Prefix math (assuming the driver audits 50 again): 3 fixed + 37 new
+# (21 early-round, 6 tpch_close completions, 10 late-round) = 40
+# explicit, then the first ~10 relational-core queries; the rest of
+# relational plus textops/tpch (r1-green) slip out this round —
+# promote them first next round.
 _FIXED_THIS_ROUND = ["d_simhash", "d_simhash_wide", "e_sessionize"]
 _NEW_THIS_ROUND = [
     "s_ann_ivf_kmeans",

@@ -52,3 +52,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the WHOLE engine
+    surface is reachable from raw ``spark.sql`` — a user migrating
+    SQL-first workloads points their FROM clauses at these names (the
+    same names the DuckDB oracles use, so any oracle string in this repo
+    is also a runnable Spark query modulo dialect). Views are lazy
+    references to the normalized ``load`` output: events ts handling and
+    session tuning apply identically to SQL and DataFrame users."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -185,3 +185,40 @@ def test_merge_upsert(spark):
     # without delete_col, flagged rows are kept as plain upserts
     out2 = merge_upsert(target, updates.drop("is_delete"), ["k"])
     assert sorted(r[0] for r in rows(out2, "k")) == [1, 2, 3, 4]
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tables import TABLES, load, register_views
+
+    register_views(spark, sf_dir)
+    # every table queryable by name from raw SQL, row counts agree
+    for name in TABLES:
+        n_sql = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
+        assert n_sql == load(spark, sf_dir, name).count(), name
+    # a join query over views matches the DataFrame composition
+    got = spark.sql(
+        """
+        SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    ).collect()
+    import pyspark.sql.functions as F
+
+    want = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # events view carries the normalized ts (queryable with time functions)
+    assert (
+        spark.sql("SELECT max(CAST(ts AS DATE)) AS d FROM events").collect()[0]["d"]
+        is not None
+    )
