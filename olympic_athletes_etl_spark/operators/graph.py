@@ -97,3 +97,69 @@ def dedup_clusters(
             F.coalesce("component", F.col("vertex")).alias("cluster"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """(vertex, rank) — PageRank over a DIRECTED edge list, fixed
+    iteration count (deterministic: no convergence-threshold float
+    compare; same input → same plan → same ranks).
+
+    Per iteration, one shuffle pattern: contributions = rank/out_degree
+    shipped along edges (join on src), summed per destination (aggregate
+    on dst), then the damping update. Dangling vertices (no out-edges)
+    redistribute nothing — their mass exits and the (1-d) teleport term
+    keeps the total bounded; ranks are normalized to sum = n_vertices at
+    the end so the output is comparable across graphs. localCheckpoint
+    truncates lineage each round exactly as connected_components does.
+
+    At 100 TB: per-round cost is |edges| shuffle bytes keyed on vertex
+    ids; heavy-hitter hub vertices are the skew risk — AQE skew splitting
+    handles the aggregate side, and the join side is bounded by
+    out-degree (k in a KNN graph). Tolerance-tested like the sketches —
+    iterative float fixpoints are not oracle-hashable.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    out_deg = e.groupBy(F.col("s").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["vertex"])
+            .join(out_deg, "vertex")
+            .select(F.col("t").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            verts.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    total = ranks.agg(F.sum("rank").alias("t"))
+    return ranks.crossJoin(F.broadcast(total)).select(
+        "vertex", (F.col("rank") * n / F.col("t")).alias("rank")
+    )

@@ -197,7 +197,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. The ``HAVING sum > fraction·total`` scalar subquery is a 1-row
     broadcast against the per-part aggregate; the share test is exact
     bigint (value·1000 > total) — a double fraction-multiply can flip
-    boundary parts between engines. Nation filter pushes through the
+    boundary parts between engines. TPC-H scales this fraction by 1/SF
+    (more data → stricter bar, stable row count); it is FIXED here
+    because the oracle gate runs at a single SF — at sf0.1 the even
+    spread over the same 2000 parts already empties the result, exactly
+    the behavior the original avoids by scaling. Nation filter pushes through the
     broadcast supplier dim BEFORE the per-part shuffle, so only 1/25th of
     the fact shuffles."""
     lineitem = load(spark, sf_dir, "lineitem")
