@@ -80,6 +80,7 @@ _NEW_THIS_ROUND = [
     "a_intersect_keys",
     "j_salted_enrich",
     "e_late_arrivals",
+    "w_ntile_deciles",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -1081,3 +1081,38 @@ def j_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking-distribution windows (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+@query(
+    "w_ntile_deciles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking distributions per market segment: balance decile
+    (ntile), percent_rank, cume_dist — the full ranking-window family in
+    one pass over ONE shuffle keyed on the segment. The order key is
+    total (acctbal, custkey) so every rank is engine-deterministic;
+    percent_rank and cume_dist are exact small-integer ratios, so the
+    doubles agree bit-for-bit before the display rounding. Partitioned
+    by segment, NOT global — the W2 caveat: an unpartitioned ntile over
+    a fact table is a single-reducer sort; for global quantiles at
+    100 TB use range partitioning or approx percentiles instead."""
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
