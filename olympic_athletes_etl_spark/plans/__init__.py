@@ -81,6 +81,7 @@ _NEW_THIS_ROUND = [
     "j_salted_enrich",
     "e_late_arrivals",
     "w_ntile_deciles",
+    "e_dow_hour_profile",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -704,3 +704,38 @@ def e_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(late, us("max_prior") - us("ts"))), F.lit(0)
         ).alias("max_late_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week × hour seasonality profile
+# --------------------------------------------------------------------------
+@query(
+    "e_dow_hour_profile",
+    oracle="""
+    SELECT isodow(ts) AS dow, hour(ts) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heat-map input: event count and exact value-cents per
+    (ISO day-of-week, hour). The date-part trap pinned here: Spark's
+    ``dayofweek`` is Sunday=1 while DuckDB's ``dow`` is Sunday=0 — both
+    sides use the ISO convention instead (Monday=1; Spark ``weekday``+1
+    == DuckDB ``isodow``). One shuffle over at most 7×24 groups;
+    map-side partial aggregation collapses virtually everything before
+    it."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+    )
