@@ -82,6 +82,7 @@ _NEW_THIS_ROUND = [
     "e_late_arrivals",
     "w_ntile_deciles",
     "e_dow_hour_profile",
+    "r_scd2_intervals",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -256,6 +256,17 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _doc_shingle_hashes(spark, sf_dir)
     # One shuffle: all 8 permutation-mins as aggregate columns (map-side
     # partial mins), instead of exploding 8× rows per shingle.
+    # MEASURED REJECTION (sf0.1, median-of-3): the tempting "shuffle-free"
+    # per-row form — array_min(transform(hs, h -> (a·h+b)%P)) over the
+    # bigram ARRAY, no explode, no groupBy — runs 54.8 s vs 1.03 s here
+    # (identical 157 998 output pairs). Catalyst's projection collapse
+    # inlines the whole shingle-construction expression into each of the
+    # 8 lambdas (no common-subexpression elimination across higher-order
+    # functions), so tokenization+hashing runs 8× per row. The explode
+    # materializes shingles ONCE and the groupBy's partial aggregation
+    # keeps the shuffle tiny — at any scale this plan wins unless the
+    # array form's input is pre-materialized, which costs the same
+    # shuffle it saves.
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{k}")

@@ -739,3 +739,52 @@ def e_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 interval construction (dimension versioning)
+# --------------------------------------------------------------------------
+@query(
+    "r_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(ts AS VARCHAR) AS valid_from,
+           CAST(lead(ts) OVER w AS VARCHAR) AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def r_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) build from an event stream:
+    collapse each user's event_type history into validity intervals
+    [valid_from, valid_to) with an is_current flag — the dimension-
+    versioning shape every warehouse maintains, and the batch
+    counterpart of the r_merge_upsert CDC sink. Change detection (lag)
+    and interval closing (lead) both partition on user_id, so the whole
+    query is ONE shuffle reused across two window passes; ordering is
+    total (ts, event_id) for engine-identical interval boundaries."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.withColumn("prev", F.lag("event_type").over(w))
+    changes = ordered.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
