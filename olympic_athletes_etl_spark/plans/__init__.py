@@ -83,6 +83,8 @@ _NEW_THIS_ROUND = [
     "w_ntile_deciles",
     "e_dow_hour_profile",
     "r_scd2_intervals",
+    "m_payload_dedup",
+    "s_dim_profile",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

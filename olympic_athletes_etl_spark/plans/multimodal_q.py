@@ -116,3 +116,30 @@ def m_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("src_h"),
     )
     return plan_resize_dims(m, "src_w", "src_h", _RESIZE_MAX_W, _RESIZE_MAX_H)
+
+
+@query(
+    "m_payload_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS canonical_id,
+           CAST(min(strlen(text)) AS BIGINT) AS payload_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def m_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the BINARY payload — the first pass of every
+    multimodal ingest (identical images/audio recur constantly in
+    crawled data): md5 over the raw bytes, one hash-aggregate shuffle on
+    the digest, min id as canonical. The oracle hashes the source text —
+    payloads here are its UTF-8 bytes, so the digests coincide; in
+    production this column is the object bytes and the same plan holds
+    at any payload size because only the 16-byte digest shuffles (the
+    hash computes map-side)."""
+    docs = attach_text_payload(load(spark, sf_dir, "documents"))
+    return docs.groupBy(F.md5("payload").alias("payload_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_id"),
+        F.min(F.length("payload")).cast("bigint").alias("payload_bytes"),
+    )

@@ -978,3 +978,44 @@ def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K_GRAPH)
         .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding distribution profile
+# --------------------------------------------------------------------------
+@query(
+    "s_dim_profile",
+    oracle=f"""
+    WITH el AS (
+      SELECT i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS e6
+      FROM embeddings, (SELECT unnest(range(1, {_DIM + 1})) AS i)
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(e6) AS BIGINT) AS sum_e6,
+           CAST(min(e6) AS BIGINT) AS min_e6,
+           CAST(max(e6) AS BIGINT) AS max_e6
+    FROM el GROUP BY 1
+    """,
+)
+def s_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (n/sum/min/max) —
+    the feature-drift check a training pipeline runs before trusting a
+    new embedding batch. Elements are fixed-pointed via floor(x·1e6):
+    ``floor`` of the identical double is engine-exact where ``round``
+    is not (Spark rounds the shortest decimal repr, DuckDB the binary
+    value), and bigint sums are order-independent where double sums are
+    not. posexplode keys the one shuffle on the dimension index — 64
+    perfectly balanced groups; map-side partial aggregation collapses
+    the explosion before it moves."""
+    emb = _emb_double(spark, sf_dir)
+    el = emb.select(
+        F.posexplode("v").alias("dim", "x")
+    ).select("dim", F.expr("CAST(floor(x * 1000000) AS BIGINT)").alias("e6"))
+    return el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e6").alias("sum_e6"),
+        F.min("e6").alias("min_e6"),
+        F.max("e6").alias("max_e6"),
+    )
