@@ -85,6 +85,7 @@ _NEW_THIS_ROUND = [
     "r_scd2_intervals",
     "m_payload_dedup",
     "s_dim_profile",
+    "t_chunk_overlap",
 ]
 _STALE_CORE_MODULES = (relational, textops, tpch)
 

@@ -934,3 +934,67 @@ def t_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping context windows (stride < window: sliding chunks)
+# --------------------------------------------------------------------------
+_WIN = 32
+_STRIDE = 16
+
+
+@query(
+    "t_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(1,
+               CAST(ceil((len(toks) - {_WIN - _STRIDE}) / {_STRIDE}.0) AS INT))))
+               AS win_idx
+      FROM t
+    )
+    SELECT doc_id, win_idx,
+           win_idx * {_STRIDE} AS start_tok,
+           len(list_slice(toks, win_idx * {_STRIDE} + 1,
+                          win_idx * {_STRIDE} + {_WIN})) AS win_tokens,
+           array_to_string(list_slice(toks, win_idx * {_STRIDE} + 1,
+                           win_idx * {_STRIDE} + {_WIN}), ' ') AS win_text
+    FROM c
+    """,
+)
+def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context windows: 32-token windows at stride 16
+    (50% overlap) — the training-data chunking that preserves context
+    across boundaries, vs t_chunk_split's disjoint cut. Window count is
+    max(1, ceil((n - overlap)/stride)), so every token is covered and
+    the final window is never a strict subset of the previous one. Same
+    scale shape as t_chunk_split: tokenize once, explode(sequence) the
+    window indices, slice per row — pipelined into the scan, zero
+    shuffles, and the deliberate ~2× row fan-out IS the output."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+    n_win = (
+        f"greatest(1, CAST(ceil((size(toks) - {_WIN - _STRIDE}) / {_STRIDE}.0)"
+        " AS INT))"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"sequence(0, {n_win} - 1)")).alias("win_idx"),
+        )
+        .select(
+            "doc_id",
+            "win_idx",
+            (F.col("win_idx") * _STRIDE).alias("start_tok"),
+            F.expr(
+                f"size(slice(toks, win_idx * {_STRIDE} + 1, {_WIN}))"
+            ).alias("win_tokens"),
+            F.expr(
+                f"array_join(slice(toks, win_idx * {_STRIDE} + 1, {_WIN}), ' ')"
+            ).alias("win_text"),
+        )
+    )

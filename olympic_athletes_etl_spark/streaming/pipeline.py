@@ -270,3 +270,23 @@ def stream_merge_into_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the genuinely streaming-only operator
+    batch dedup can't replace: duplicate deliveries (at-least-once
+    sources redelivering on retry) are dropped by key while state stays
+    BOUNDED via ``dropDuplicatesWithinWatermark`` — a key's dedup state
+    is freed once the watermark passes it, so state size tracks the
+    duplicate-arrival window, not the stream's lifetime key count.
+    Plain ``dropDuplicates`` on a stream grows state forever; this is
+    the form that survives at ingest scale. Duplicates arriving later
+    than the watermark are NOT caught (they're late data by definition)
+    — pair with a downstream batch d_exact_dup sweep for exactness."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
