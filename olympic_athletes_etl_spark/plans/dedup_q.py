@@ -1075,3 +1075,59 @@ def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-similarity histogram (dedup threshold tuning)
+# --------------------------------------------------------------------------
+@query(
+    "d_jaccard_histogram",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_cand_ctes()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+      GROUP BY 1, 2
+    )
+    SELECT CAST(floor(CAST(s.i AS DOUBLE) / (sa.n + sb.n - s.i) * 10)
+                AS BIGINT) AS jacc_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    GROUP BY 1
+    """,
+)
+def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity distribution over LSH CANDIDATES: exact Jaccard per
+    candidate pair, bucketed into deciles — the histogram an operator
+    reads to PICK the dedup threshold (where does the near-dup mass
+    separate from the background?) before committing a full pass. Cost
+    is bounded by the candidate set (LSH-pruned), never n²; the decile
+    is floor() of the identical double on both engines (exact — round()
+    would not be). Reuses the shared candidate CTEs, so a banding edit
+    re-tunes the histogram automatically."""
+    cand = d_minhash_lsh(spark, sf_dir)
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("h").alias("hb"))
+    shared = (
+        cand.join(ha, "doc_a")
+        .join(hb, (F.col("doc_b") == F.col("b_id")) & (F.col("h") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(F.floor(jac * 10).cast("bigint").alias("jacc_decile"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -788,3 +788,49 @@ def r_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.cast("string").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (WAU per day)
+# --------------------------------------------------------------------------
+@query(
+    "e_weekly_active_users",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM act)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS wau
+    FROM days
+    JOIN act ON act.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def e_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per active day (WAU) — the
+    engagement metric whose shape matters: COUNT(DISTINCT) is not
+    supported over Spark window frames, so the rolling distinct becomes
+    a bounded RANGE JOIN of the (day, user) activity set against the day
+    spine (each activity row lands in ≤7 day-buckets) and a distinct
+    count per day. Both sides are pre-shrunk to DISTINCT (day, user) /
+    day before the join — the fact table's row count never enters the
+    join. Shuffle keys on the day: ~365 well-filled groups per year at
+    any corpus size; skew equals traffic seasonality, which AQE
+    absorbs. An approximate alternative (HLL sketch per day, merged
+    over 7) lives in operators/sketches.py for when exactness can
+    yield."""
+    events = load(spark, sf_dir, "events")
+    act = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = act.select(F.col("d").alias("day")).distinct()
+    return (
+        days.join(
+            act,
+            (F.col("d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("d") <= F.col("day")),
+        )
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
