@@ -810,27 +810,32 @@ def r_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per active day (WAU) — the
     engagement metric whose shape matters: COUNT(DISTINCT) is not
-    supported over Spark window frames, so the rolling distinct becomes
-    a bounded RANGE JOIN of the (day, user) activity set against the day
-    spine (each activity row lands in ≤7 day-buckets) and a distinct
-    count per day. Both sides are pre-shrunk to DISTINCT (day, user) /
-    day before the join — the fact table's row count never enters the
-    join. Shuffle keys on the day: ~365 well-filled groups per year at
-    any corpus size; skew equals traffic seasonality, which AQE
-    absorbs. An approximate alternative (HLL sketch per day, merged
-    over 7) lives in operators/sketches.py for when exactness can
-    yield."""
+    supported over Spark window frames, and the naive BETWEEN join
+    against a day spine compiles to a broadcast NESTED-LOOP (every
+    activity row tested against every day). Instead each (day, user)
+    activity row EXPLODES into the exactly-7 target days it contributes
+    to (sequence(d, d+6)) and EQUI-joins the observed-day spine — a
+    hash join keyed on the day, ~365 well-filled groups per year at any
+    corpus size; skew equals traffic seasonality, which AQE absorbs.
+    Both inputs are pre-shrunk to DISTINCT (day, user) / day before the
+    explode, so the ×7 fan-out prices on active pairs, never raw
+    events. The oracle keeps the declarative BETWEEN form — pinning
+    that the explode rewrite is semantics-preserving. An approximate
+    alternative (HLL sketch per day, merged over 7) lives in
+    operators/sketches.py for when exactness can yield."""
     events = load(spark, sf_dir, "events")
     act = events.select(
         F.col("ts").cast("date").alias("d"), "user_id"
     ).distinct()
     days = act.select(F.col("d").alias("day")).distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
     return (
-        days.join(
-            act,
-            (F.col("d") >= F.date_sub(F.col("day"), 6))
-            & (F.col("d") <= F.col("day")),
-        )
+        contrib.join(days, "day")
         .groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
