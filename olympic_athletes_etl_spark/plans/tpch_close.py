@@ -394,3 +394,54 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q_revenue_trend_mom",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             CAST(sum({_REV_INT}) // 100 AS DOUBLE) / 100.0 AS revenue
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue,
+           round(CASE WHEN lag(revenue) OVER w > 0
+                      THEN 100.0 * (revenue - lag(revenue) OVER w)
+                           / lag(revenue) OVER w
+                 END, 4) AS mom_pct
+    FROM monthly
+    WINDOW w AS (ORDER BY yr, mo)
+    """,
+)
+def q_revenue_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend — the BI staple that composes a
+    time-bucketed aggregate with a lag window. Revenue reduces to exact
+    truncated cents FIRST (engine-stable), so the growth ratio divides
+    two identical doubles. The lag window is GLOBAL but over at most
+    12·years rows — aggregate-then-window: the single-partition window
+    sees dozens of rows, never the fact (the W2 tiny-input rule). One
+    fact shuffle (orderkey join), one aggregate shuffle, one
+    dozens-of-rows window."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    monthly = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.expr(f"CAST(sum({_REV_INT}) DIV 100 AS DOUBLE) / 100.0").alias("revenue"))
+    )
+    # Unpartitioned window over the tiny monthly aggregate (≤ 12·years
+    # rows) — the logged "No Partition Defined" warning is accepted, as
+    # in s_knn_bruteforce's post-limit ranking.
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr", "mo", "revenue",
+        F.round(
+            F.when(prev > 0, 100.0 * (F.col("revenue") - prev) / prev), 4
+        ).alias("mom_pct"),
+    )
