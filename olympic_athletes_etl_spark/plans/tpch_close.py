@@ -148,11 +148,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q9 shape: profit on a product line by supplier nation and order
     year. ``ps_supplycost`` is proxied by ``p_retailprice`` (cost =
-    retail·quantity), so profit = discounted revenue − retail cost — which
-    is routinely NEGATIVE, hence no integer division on the sum (Spark DIV
-    truncates toward zero, DuckDB // floors): the exact 1e-4-unit bigint
-    sum gets ONE double division. Part/supplier/nation broadcast; the only
-    fact shuffle is the orders equi-join."""
+    retail·quantity). Profit CAN be negative (sign depends on the data's
+    price-vs-retail margin — positive throughout this testdata, pinned
+    in test_tpch_close), so the sum is never integer-divided (Spark DIV
+    truncates toward zero, DuckDB // floors — they disagree below zero):
+    the exact 1e-4-unit bigint sum gets ONE double division.
+    Part/supplier/nation broadcast; the only fact shuffle is the orders
+    equi-join."""
     lineitem = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     supplier = load(spark, sf_dir, "supplier")
