@@ -1131,3 +1131,60 @@ def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(jac * 10).cast("bigint").alias("jacc_decile"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Containment similarity over LSH candidates (superset-dup detection)
+# --------------------------------------------------------------------------
+@query(
+    "d_containment_pairs",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_cand_ctes()},
+    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(s.i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.i AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT similarity (|A∩B| / min(|A|,|B|)) over LSH
+    candidates: a short document quoted wholesale inside a long one
+    scores near 1.0 here but low on Jaccard (the union is dominated by
+    the long doc) — the variant that catches quote-inclusion and
+    boilerplate-wrapping duplication. Same candidate-bounded cost shape
+    as d_jaccard_histogram; threshold compare on the identical double
+    both engines compute from exact integer counts. Caveat documented:
+    MinHash bands estimate JACCARD, so extreme size ratios can miss
+    high-containment pairs at candidate stage — production adds a
+    suffix-array or seed-and-extend pass (d_substring_dup) for those."""
+    cand = d_minhash_lsh(spark, sf_dir)
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("h").alias("hb"))
+    shared = (
+        cand.join(ha, "doc_a")
+        .join(hb, (F.col("doc_b") == F.col("b_id")) & (F.col("h") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("i").cast("double") / F.least("na", "nb")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

@@ -839,3 +839,62 @@ def e_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto concentration curve (activity share by user rank)
+# --------------------------------------------------------------------------
+@query(
+    "e_user_pareto",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_ev) AS total, count(*) AS n_users FROM per_user),
+    ranked AS (
+      SELECT user_id, n_ev,
+             row_number() OVER (ORDER BY n_ev DESC, user_id) AS rnk,
+             CAST(sum(n_ev) OVER (ORDER BY n_ev DESC, user_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_ev
+      FROM per_user
+    )
+    SELECT rnk, user_id, n_ev, cum_ev,
+           round(100.0 * cum_ev / total, 4) AS cum_pct,
+           round(100.0 * rnk / n_users, 4) AS user_pct
+    FROM ranked, tot
+    """,
+)
+def e_user_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: users ranked by event volume with the
+    cumulative share of all activity — "the top X% of users produce Y%
+    of events", the skew diagnostic that motivates salting
+    (j_salted_enrich) and per-key state bounds. Aggregate-then-window:
+    the global rank/cumsum window runs over the per-user AGGREGATE (one
+    row per user), never raw events — acceptable for dimension-sized
+    user counts (the W2 rule); at fact-scale user cardinality, bucket
+    the curve by n_ev deciles instead. Cumulative sums are exact
+    bigints; the two percentages divide identical doubles once."""
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    tot = per_user.agg(
+        F.sum("n_ev").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    # Unpartitioned window over the per-user aggregate (150 rows at test
+    # SF) — the logged "No Partition Defined" warning is accepted here
+    # exactly as in q_revenue_trend_mom.
+    w = Window.orderBy(F.desc("n_ev"), F.asc("user_id"))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum_ev", F.sum("n_ev").over(run))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "user_id",
+            "n_ev",
+            "cum_ev",
+            F.round(100.0 * F.col("cum_ev") / F.col("total"), 4).alias("cum_pct"),
+            F.round(100.0 * F.col("rnk") / F.col("n_users"), 4).alias("user_pct"),
+        )
+    )
