@@ -1188,3 +1188,46 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.8)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
+
+
+# --------------------------------------------------------------------------
+# Duplication rate by source (corpus-health report)
+# --------------------------------------------------------------------------
+@query(
+    "d_dup_rate_by_source",
+    oracle="""
+    WITH h AS (SELECT doc_id, source, md5(text) AS ch FROM documents),
+    g AS (SELECT ch, min(doc_id) AS keep FROM h GROUP BY ch)
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id <> g.keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dupes,
+           round(CAST(sum(CASE WHEN h.doc_id <> g.keep THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS dup_rate
+    FROM h JOIN g ON g.ch = h.ch
+    GROUP BY 1
+    """,
+)
+def d_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: per ingest source, how many documents are
+    exact duplicates of an earlier doc (first arrival per hash is the
+    keeper) — the number that decides which crawl feeds get demoted.
+    Two digest-keyed shuffles (hash-group, join-back), then a tiny
+    per-source aggregate; the text never shuffles, only (id, source,
+    digest). Dup attribution is deterministic: min doc_id holds the
+    canonical slot, later copies count against THEIR source."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("ch"))
+    g = h.groupBy("ch").agg(F.min("doc_id").alias("keep"))
+    is_dup = (F.col("doc_id") != F.col("keep")).cast("long")
+    return (
+        h.join(g, "ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("n_dupes"),
+            F.round(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_rate"
+            ),
+        )
+    )
