@@ -1,0 +1,152 @@
+"""Semantic invariants for the late-round-3 query additions not covered
+by test_corpus_ops / test_relational_batch3 / test_tpch_close."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans.dedup_q import (
+    d_containment_pairs,
+    d_dup_rate_by_source,
+    d_jaccard_histogram,
+    d_minhash_lsh,
+    d_ngram_jaccard,
+)
+from olympic_athletes_etl_spark.plans.events_q import (
+    e_dow_hour_profile,
+    e_user_pareto,
+)
+from olympic_athletes_etl_spark.plans.multimodal_q import m_payload_dedup
+from olympic_athletes_etl_spark.plans.similarity_q import (
+    _K_GRAPH,
+    s_dim_profile,
+    s_knn_graph,
+)
+from olympic_athletes_etl_spark.plans.tables import load
+from olympic_athletes_etl_spark.plans.textstats import (
+    _STRIDE,
+    _WIN,
+    t_chunk_overlap,
+)
+from olympic_athletes_etl_spark.plans.tpch_close import q_revenue_trend_mom
+
+
+def test_dow_hour_profile_partitions_events(spark, sf_dir):
+    rows = e_dow_hour_profile(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == load(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hr"] <= 23
+
+
+def test_revenue_trend_mom_identity(spark, sf_dir):
+    rows = sorted(
+        q_revenue_trend_mom(spark, sf_dir).collect(), key=lambda r: (r["yr"], r["mo"])
+    )
+    assert rows[0]["mom_pct"] is None  # no prior month
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["mom_pct"] is not None and prev["revenue"] > 0:
+            expect = 100.0 * (cur["revenue"] - prev["revenue"]) / prev["revenue"]
+            assert abs(cur["mom_pct"] - round(expect, 4)) < 1e-6
+
+
+def test_jaccard_histogram_covers_all_candidates(spark, sf_dir):
+    hist = d_jaccard_histogram(spark, sf_dir).collect()
+    n_cand = d_minhash_lsh(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in hist) == n_cand
+    for r in hist:
+        assert 0 <= r["jacc_decile"] <= 10  # 10 = exact-duplicate bucket
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in d_containment_pairs(spark, sf_dir).collect()
+    }
+    assert cont
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in d_ngram_jaccard(spark, sf_dir).collect()
+    }
+    for pair, c in cont.items():
+        assert 0.8 <= c <= 1.0
+        if pair in jac:
+            # |i|/min(|a|,|b|) >= |i|/|a∪b| always (different shingle
+            # capping makes this approximate only if the hot-cap fired;
+            # the synthetic corpus has no capped shingles at this SF)
+            assert c >= jac[pair] - 1e-9
+
+
+def test_user_pareto_is_cumulative_and_complete(spark, sf_dir):
+    rows = sorted(e_user_pareto(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    events = load(spark, sf_dir, "events")
+    assert rows[-1]["cum_ev"] == events.count()
+    assert abs(rows[-1]["cum_pct"] - 100.0) < 1e-6
+    assert len(rows) == events.select("user_id").distinct().count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_ev"] == prev["cum_ev"] + cur["n_ev"]
+        assert cur["n_ev"] <= prev["n_ev"]  # ranked by volume desc
+
+
+def test_dup_rate_by_source_accounts_for_every_doc(spark, sf_dir):
+    rows = d_dup_rate_by_source(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert sum(r["n_dupes"] for r in rows) == docs.count() - n_distinct
+
+
+def test_payload_dedup_matches_text_dedup(spark, sf_dir):
+    rows = m_payload_dedup(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert len(rows) == docs.select(F.md5("text")).distinct().count()
+    assert sum(r["n_copies"] for r in rows) == docs.count()
+
+
+def test_dim_profile_shape_and_counts(spark, sf_dir):
+    rows = s_dim_profile(spark, sf_dir).collect()
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n"] == n_vec
+        assert r["min_e6"] <= r["max_e6"]
+        assert r["n"] * r["min_e6"] <= r["sum_e6"] <= r["n"] * r["max_e6"]
+
+
+def test_chunk_overlap_covers_and_reconstructs(spark, sf_dir):
+    rows = t_chunk_overlap(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    # regex \s+ split == str.split() on this corpus (single-space text)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, wins in by_doc.items():
+        toks = docs[doc_id]
+        wins.sort(key=lambda r: r["win_idx"])
+        # every window is the exact slice at its stride offset
+        for w in wins:
+            lo = w["win_idx"] * _STRIDE
+            assert w["win_text"].split() == toks[lo : lo + _WIN]
+        # full coverage: last window reaches the end of the doc
+        last = wins[-1]
+        assert last["win_idx"] * _STRIDE + last["win_tokens"] >= len(toks)
+
+
+def test_knn_graph_ranks_are_contiguous_topk(spark, sf_dir):
+    rows = s_knn_graph(spark, sf_dir).collect()
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r)
+    for src, edges in by_src.items():
+        ranks = sorted(e["rank"] for e in edges)
+        assert ranks == list(range(1, len(edges) + 1))
+        assert len(edges) <= _K_GRAPH
+        # ranks ordered by similarity desc
+        edges.sort(key=lambda e: e["rank"])
+        for a, b in zip(edges, edges[1:]):
+            assert a["cos_sim"] >= b["cos_sim"] - 1e-9
