@@ -655,6 +655,46 @@ def _closure_ctes(pairs_cte: str = "cand") -> str:
     comp AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)"""
 
 
+def _intersection_ctes() -> str:
+    """Shared exact-intersection CTEs (expects ``hashed`` and ``cand`` in
+    scope; yields ``sizes(doc_id, n)`` and ``shared(doc_a, doc_b, i)``).
+    Single source of truth for every candidate-verification oracle
+    (d_neardup_pipeline, d_jaccard_histogram, d_containment_pairs) —
+    same rationale as _minhash_cand_ctes/_closure_ctes: an intersection-
+    semantics edit cannot desynchronize the three."""
+    return '''sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+      GROUP BY 1, 2
+    )'''
+
+
+def _candidate_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, i, na, nb) for every MinHash-LSH candidate pair:
+    shared-shingle count plus both docs' shingle-set sizes — the common
+    input to Jaccard (i/(na+nb-i)) and containment (i/min(na,nb))
+    scoring. Spark twin of _intersection_ctes, factored for the same
+    no-drift reason; cost is candidate-bounded (the joins key on doc id
+    and shingle hash, never a cross product)."""
+    cand = d_minhash_lsh(spark, sf_dir)
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("h").alias("hb"))
+    shared = (
+        cand.join(ha, "doc_a")
+        .join(hb, (F.col("doc_b") == F.col("b_id")) & (F.col("h") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
+
+
 @query(
     "d_dup_clusters",
     oracle=f"""
@@ -691,14 +731,7 @@ _VERIFY_JACCARD = 0.5
     oracle=f"""
     WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
     {_minhash_cand_ctes()},
-    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
-    shared AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS i
-      FROM cand c
-      JOIN hashed ha ON ha.doc_id = c.doc_a
-      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-      GROUP BY 1, 2
-    ),
+    {_intersection_ctes()},
     verified AS (
       SELECT s.doc_a, s.doc_b
       FROM shared s
@@ -1085,14 +1118,7 @@ def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
     {_minhash_cand_ctes()},
-    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
-    shared AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS i
-      FROM cand c
-      JOIN hashed ha ON ha.doc_id = c.doc_a
-      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-      GROUP BY 1, 2
-    )
+    {_intersection_ctes()}
     SELECT CAST(floor(CAST(s.i AS DOUBLE) / (sa.n + sb.n - s.i) * 10)
                 AS BIGINT) AS jacc_decile,
            CAST(count(*) AS BIGINT) AS n_pairs
@@ -1111,24 +1137,10 @@ def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is floor() of the identical double on both engines (exact — round()
     would not be). Reuses the shared candidate CTEs, so a banding edit
     re-tunes the histogram automatically."""
-    cand = d_minhash_lsh(spark, sf_dir)
-    hashed = _doc_shingle_hashes(spark, sf_dir)
-    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
-    hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("h").alias("hb"))
-    shared = (
-        cand.join(ha, "doc_a")
-        .join(hb, (F.col("doc_b") == F.col("b_id")) & (F.col("h") == F.col("hb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = _candidate_intersections(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .groupBy(F.floor(jac * 10).cast("bigint").alias("jacc_decile"))
+        inter.groupBy(F.floor(jac * 10).cast("bigint").alias("jacc_decile"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
@@ -1141,14 +1153,7 @@ def d_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
     {_minhash_cand_ctes()},
-    sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
-    shared AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS i
-      FROM cand c
-      JOIN hashed ha ON ha.doc_id = c.doc_a
-      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
-      GROUP BY 1, 2
-    )
+    {_intersection_ctes()}
     SELECT s.doc_a, s.doc_b,
            round(CAST(s.i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
     FROM shared s
@@ -1168,24 +1173,10 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash bands estimate JACCARD, so extreme size ratios can miss
     high-containment pairs at candidate stage — production adds a
     suffix-array or seed-and-extend pass (d_substring_dup) for those."""
-    cand = d_minhash_lsh(spark, sf_dir)
-    hashed = _doc_shingle_hashes(spark, sf_dir)
-    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ha = hashed.select(F.col("doc_id").alias("doc_a"), "h")
-    hb = hashed.select(F.col("doc_id").alias("b_id"), F.col("h").alias("hb"))
-    shared = (
-        cand.join(ha, "doc_a")
-        .join(hb, (F.col("doc_b") == F.col("b_id")) & (F.col("h") == F.col("hb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = _candidate_intersections(spark, sf_dir)
     cont = F.col("i").cast("double") / F.least("na", "nb")
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(cont >= 0.8)
+        inter.filter(cont >= 0.8)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
     )
 

@@ -791,7 +791,9 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(l_linestatus, '<all>') AS linestatus,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100
+                AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
@@ -803,16 +805,26 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand total). Catalyst's Expand turns both sets into ONE pass over
     the fact table with a single shuffle keyed on (grouping-id, dims),
     exactly like the rollup/cube twins — at 100 TB that's one scan
-    instead of one per report dimension."""
+    instead of one per report dimension. Revenue sums EXACT integer
+    cents×pct with one truncating division (round-3 self-review: the
+    original double-sum + round(,2) was a fresh instance of the
+    documented .xx5-boundary flake class — big partition-order-sensitive
+    double sums must never meet round())."""
     lineitem = load(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
     return (
         lineitem.groupingSets(
             [["l_returnflag"], ["l_linestatus"]],
             "l_returnflag",
             "l_linestatus",
         )
-        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT))) DIV 100"
+                " AS DOUBLE) / 100.0"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),

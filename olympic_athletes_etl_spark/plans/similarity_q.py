@@ -882,7 +882,14 @@ def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_expr = num_expr + F.element_at(pdot_map, F.col(f"code{j}"))
         cn2_expr = cn2_expr + F.element_at(cn2_map, F.col(f"code{j}"))
 
-    adc = num_expr / (F.col("qnrm") * F.sqrt(cn2_expr))
+    # ADC cosine denominator: PROBE's quantized norm (a constant — exact
+    # Python int arithmetic under the sqrt) × the reconstructed-candidate
+    # norm. Dividing by the CANDIDATE's own qnrm here instead was a bug:
+    # it reweights every score by a per-candidate factor and only matched
+    # the oracle because the shipped embeddings are unit-normalized
+    # (caught by the round-3 self-review; the oracle always had it right).
+    probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
+    adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
     shortlist = (
         scored.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .select("vec_id", "v", "vnrm", adc.alias("score"))

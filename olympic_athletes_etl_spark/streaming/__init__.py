@@ -18,7 +18,7 @@ from olympic_athletes_etl_spark.streaming.pipeline import (
     session_counts,
     sliding_counts,
     tumbling_counts,
-    view_purchase_attribution,
+    view_click_attribution,
 )
 
 __all__ = [
@@ -35,5 +35,5 @@ __all__ = [
     "sliding_counts",
     "to_kafka_wire",
     "tumbling_counts",
-    "view_purchase_attribution",
+    "view_click_attribution",
 ]

@@ -150,12 +150,16 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def view_purchase_attribution(
+def view_click_attribution(
     events: DataFrame, lag: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:
     """STREAM-STREAM join (self-join of the event stream): every 'click'
-    pairs with the same user's 'view' events from the preceding ``lag``
-    window — last-touch attribution. Both branches carry a watermark AND
+    pairs with ALL of the same user's 'view' events from the preceding
+    ``lag`` window — multi-touch attribution (one output row per
+    view×click pair; reduce downstream for last-touch). Renamed from
+    view_purchase_attribution in round 3: it always filtered clicks, so
+    the old name/columns mislabeled click events as purchases.
+    Both branches carry a watermark AND
     the join condition bounds event-time distance, which is what lets
     Spark evict join state: without the time-range predicate a
     stream-stream join buffers forever. State ∝ events inside the lag
@@ -170,24 +174,24 @@ def view_purchase_attribution(
             F.col("ts").alias("view_ts"),
         )
     )
-    purchases = (
+    clicks = (
         events.filter(F.col("event_type") == "click")
         .withWatermark("ts", watermark)
         .select(
             "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
         )
     )
-    return purchases.join(
+    return clicks.join(
         views,
         (F.col("user_id") == F.col("v_user"))
         & F.expr(
-            f"view_ts BETWEEN purchase_ts - INTERVAL {lag}"
-            " AND purchase_ts"
+            f"view_ts BETWEEN click_ts - INTERVAL {lag}"
+            " AND click_ts"
         ),
         "inner",
-    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+    ).select("click_id", "user_id", "click_ts", "view_id", "view_ts")
 
 
 def enrich_with_static_dim(

@@ -203,7 +203,7 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     streamed result must equal the batch twin of the identical logic."""
     from olympic_athletes_etl_spark.streaming import (
         read_event_stream,
-        view_purchase_attribution,
+        view_click_attribution,
     )
 
     # dedicated fixture: user 1 has views inside AND outside the 1-hour
@@ -223,7 +223,7 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
         "overwrite"
     ).parquet(d)
 
-    streamed = view_purchase_attribution(read_event_stream(spark, d))
+    streamed = view_click_attribution(read_event_stream(spark, d))
     # stream-stream inner joins emit in APPEND mode only
     q = (
         streamed.writeStream.format("memory")
@@ -234,12 +234,12 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     got = {
-        (r["purchase_id"], r["view_id"])
+        (r["click_id"], r["view_id"])
         for r in spark.table("attrib").collect()
     }
     expected = {
-        (r["purchase_id"], r["view_id"])
-        for r in view_purchase_attribution(
+        (r["click_id"], r["view_id"])
+        for r in view_click_attribution(
             spark.read.schema(EVENT_SCHEMA).parquet(d)
         ).collect()
     }

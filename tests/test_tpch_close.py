@@ -100,6 +100,29 @@ def test_q11_share_threshold_holds_exactly(spark, sf_dir):
     assert total <= full_total
     for r in rows:
         assert r["value_cents"] * 1000 > full_total
+    # an empty result must be CORRECT emptiness (q11's threshold is fixed,
+    # not SF-scaled — see its docstring — so at sf0.1 no part clears the
+    # bar; this branch keeps the test non-vacuous there): verify that the
+    # single largest part value indeed misses the cut
+    if not rows:
+        max_part = (
+            lineitem.join(
+                supplier.join(
+                    nation.filter(F.col("n_name") == "NATION_3"),
+                    F.col("n_nationkey") == F.col("s_nationkey"),
+                ).select("s_suppkey"),
+                F.col("s_suppkey") == F.col("l_suppkey"),
+            )
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                ).alias("v")
+            )
+            .agg(F.max("v"))
+            .collect()[0][0]
+        )
+        assert max_part * 1000 <= full_total
 
 
 def test_q16_excludes_negative_balance_suppliers(spark, sf_dir):
