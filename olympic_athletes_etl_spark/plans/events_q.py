@@ -898,3 +898,50 @@ def e_user_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.col("rnk") / F.col("n_users"), 4).alias("user_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-event cadence stats (gap distribution per event type)
+# --------------------------------------------------------------------------
+@query(
+    "e_inter_event_time",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           median(gap) AS median_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def e_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event cadence: the gap from each event to the SAME
+    user's previous event (any type), aggregated by the current event's
+    type — count/sum/max in exact integer microseconds plus the exact
+    median (interpolated halves of two integers are the same double on
+    both engines; a_group_median precedent). This is the arrival-rate
+    profile that sizes streaming trigger intervals and session-gap
+    thresholds. One user-keyed shuffle for the lag window, then a 5-row
+    aggregate; the median's per-group sort runs on the already-shuffled
+    gap column."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    g = events.select("event_type", (us - prev_us).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        F.median("gap").alias("median_gap_us"),
+    )

@@ -998,3 +998,83 @@ def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("win_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-gate funnel (pipeline observability)
+# --------------------------------------------------------------------------
+@query(
+    "t_quality_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS ch, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, u AS tok FROM t, unnest(toks) AS x(u)
+    ), g AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM c GROUP BY 1, 2
+    ), s AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(max(cnt) AS BIGINT) AS top_cnt,
+             CAST(sum(length(tok) * cnt) AS BIGINT) AS n_tok_chars
+      FROM g GROUP BY 1
+    ), keep AS (SELECT ch, min(doc_id) AS canon FROM t GROUP BY ch),
+    gated AS (
+      SELECT t.doc_id,
+             s.n_tokens >= {_G_MIN_TOKENS} AS pass_len,
+             CAST(s.top_cnt AS DOUBLE) / s.n_tokens <= {_G_TOP_FRAC}
+               AND CAST(s.n_tok_chars AS DOUBLE) / s.n_tokens
+                   BETWEEN {_G_MEAN_LEN_LO} AND {_G_MEAN_LEN_HI} AS pass_rep,
+             t.doc_id = k.canon AS pass_dedup
+      FROM t JOIN s ON s.doc_id = t.doc_id JOIN keep k ON k.ch = t.ch
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+           CAST(count(*) FILTER (WHERE pass_len) AS BIGINT) AS after_len,
+           CAST(count(*) FILTER (WHERE pass_len AND pass_rep) AS BIGINT)
+             AS after_repetition,
+           CAST(count(*) FILTER (WHERE pass_len AND pass_rep AND pass_dedup)
+                AS BIGINT) AS after_dedup
+    FROM gated
+    """,
+)
+def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-observability funnel: documents surviving each curation
+    gate in sequence — token-count floor → Gopher repetition/length
+    gates → exact dedup (first arrival per hash survives) — as ONE row
+    of cumulative counts. This is the report every corpus build watches
+    to see which gate is eating the data. All gates evaluate in one
+    pass over the per-doc token stats (the same two doc-keyed shuffles
+    as t_gopher_quality) plus the digest-keyed dedup aggregate; the
+    funnel itself is a map-side conditional count collapsing to one
+    row."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.md5("text").alias("ch"),
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    )
+    g = toks.groupBy("doc_id", "ch", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    s = g.groupBy("doc_id", "ch").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("n_tok_chars"),
+    )
+    keep = s.groupBy(F.col("ch").alias("kch")).agg(F.min("doc_id").alias("canon"))
+    gated = s.join(keep, F.col("ch") == F.col("kch")).select(
+        (F.col("n_tokens") >= _G_MIN_TOKENS).alias("pass_len"),
+        (
+            (F.col("top_cnt").cast("double") / F.col("n_tokens") <= _G_TOP_FRAC)
+            & (F.col("n_tok_chars").cast("double") / F.col("n_tokens")).between(
+                _G_MEAN_LEN_LO, _G_MEAN_LEN_HI
+            )
+        ).alias("pass_rep"),
+        (F.col("doc_id") == F.col("canon")).alias("pass_dedup"),
+    )
+    both = F.col("pass_len") & F.col("pass_rep")
+    return gated.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("pass_len").cast("long")).alias("after_len"),
+        F.sum(both.cast("long")).alias("after_repetition"),
+        F.sum((both & F.col("pass_dedup")).cast("long")).alias("after_dedup"),
+    )
