@@ -1222,3 +1222,48 @@ def d_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document novelty (share of never-seen-before shingles)
+# --------------------------------------------------------------------------
+@query(
+    "d_novelty_by_doc",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    first_seen AS (SELECT h, min(doc_id) AS first_doc FROM hashed GROUP BY h)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.first_doc = h.doc_id) AS BIGINT)
+             AS n_novel,
+           round(CAST(count(*) FILTER (WHERE f.first_doc = h.doc_id) AS DOUBLE)
+                 / count(*), 4) AS novelty_ratio
+    FROM hashed h JOIN first_seen f ON f.h = h.h
+    GROUP BY 1
+    """,
+)
+def d_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the share of a doc's shingles whose FIRST
+    occurrence (by doc_id = ingestion order) is the doc itself — the
+    marginal-content curve a corpus build watches to decide when a
+    source stops adding new material (novelty → 0 means you're
+    re-crawling what you have). Two shuffles: first-occurrence keyed on
+    the shingle hash (min partial-aggregates map-side), then the
+    per-doc roll-up keyed on doc_id. The shingle-keyed join inherits
+    d_ngram_jaccard's skew note — a stop-shingle's first_seen row is
+    one row here (min-aggregated), so unlike the pair self-join there
+    is NO quadratic key and no hot-cap needed."""
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    first_seen = hashed.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        hashed.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 4).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

@@ -1026,3 +1026,68 @@ def s_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("e6").alias("min_e6"),
         F.max("e6").alias("max_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batched KNN — top-k for a SET of probe vectors in one scan
+# --------------------------------------------------------------------------
+_BATCH_PROBES = (0, 7, 42, 99, 123)
+
+
+@query(
+    "s_knn_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probes AS (
+      SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm FROM n
+      WHERE vec_id IN {_BATCH_PROBES}
+    ), scored AS (
+      SELECT p.probe_id, n.vec_id,
+             list_dot_product(n.v, p.pv) / (n.nrm * p.pnrm) AS cos_raw
+      FROM n CROSS JOIN probes p
+      WHERE n.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= {_K}
+    """,
+)
+def s_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED exact KNN: top-k for a whole set of probe vectors in ONE
+    corpus scan — the retrieval-serving shape (a probe-at-a-time loop
+    rescans the corpus per query; the batch amortizes the scan across
+    all of them). The probe set broadcasts (bounded: requests-per-batch,
+    never corpus-sized), every corpus row scores against all probes
+    map-side, and a per-probe rank window keeps k — the one shuffle is
+    keyed on probe_id, i.e. width = batch size. Scale: corpus-scan cost
+    is paid once per BATCH instead of once per QUERY; combine with the
+    LSH/IVF bucket filters for sublinear scans when the batch is small.
+    """
+    n = _emb_double(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    probes = (
+        n.filter(F.col("vec_id").isin(*_BATCH_PROBES))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("nrm") * F.col("pnrm"))
+    scored = (
+        n.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
