@@ -945,3 +945,65 @@ def e_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap").alias("max_gap_us"),
         F.median("gap").alias("median_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Burst detection (minutes spiking above the trailing hour)
+# --------------------------------------------------------------------------
+@query(
+    "e_burst_minutes",
+    oracle="""
+    WITH pm AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    trail AS (
+      SELECT minute, n,
+             CAST(sum(n) OVER (ORDER BY epoch_us(minute)
+                               RANGE BETWEEN 3600000000 PRECEDING
+                                         AND 60000000 PRECEDING)
+                  AS BIGINT) AS trail_sum,
+             CAST(count(*) OVER (ORDER BY epoch_us(minute)
+                                 RANGE BETWEEN 3600000000 PRECEDING
+                                           AND 60000000 PRECEDING)
+                  AS BIGINT) AS trail_n
+      FROM pm
+    )
+    SELECT CAST(minute AS VARCHAR) AS minute, n, trail_sum, trail_n
+    FROM trail
+    WHERE trail_n > 0 AND n * trail_n > 3 * trail_sum
+    """,
+)
+def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: minutes whose event count exceeds 3× the mean of
+    the TRAILING hour's per-minute counts (current minute excluded via
+    the range frame's -1min upper bound) — the alerting primitive over
+    any event stream. The spike test is EXACT integer cross-
+    multiplication (n·trail_n > 3·trail_sum) — never a double average
+    compare that could flip on the boundary. Aggregate-then-window: the
+    RANGE frame orders the per-MINUTE aggregate (bounded rows/day), not
+    raw events; one shuffle for the minute aggregate, a global-ordered
+    window over the tiny minute table (time-ordered global windows over
+    per-time-bucket aggregates range-partition cleanly at scale)."""
+    events = load(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts").cast("timestamp"))
+    pm = events.groupBy(minute.alias("minute")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.orderBy(F.unix_micros(F.col("minute").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, -60_000_000)
+    )
+    trail = pm.select(
+        "minute",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    return trail.filter(
+        (F.col("trail_n") > 0)
+        & (F.col("n") * F.col("trail_n") > 3 * F.col("trail_sum"))
+    ).select(
+        F.col("minute").cast("string").alias("minute"), "n", "trail_sum", "trail_n"
+    )

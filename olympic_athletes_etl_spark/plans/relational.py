@@ -1128,3 +1128,73 @@ def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (orphaned foreign keys, one report)
+# --------------------------------------------------------------------------
+@query(
+    "v_fk_integrity",
+    oracle="""
+    SELECT 'lineitem.l_partkey->part' AS fk,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE NOT EXISTS (SELECT 1 FROM part
+                                   WHERE p_partkey = l_partkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier
+                                   WHERE s_suppkey = l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE NOT EXISTS (SELECT 1 FROM orders
+                                   WHERE o_orderkey = l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders
+                 WHERE NOT EXISTS (SELECT 1 FROM customer
+                                   WHERE c_custkey = o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer
+                 WHERE NOT EXISTS (SELECT 1 FROM nation
+                                   WHERE n_nationkey = c_nationkey)) AS BIGINT)
+    """,
+)
+def v_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema in ONE report:
+    orphaned-foreign-key counts for every fact→dim edge (the check every
+    warehouse load runs before publishing). Each edge is a LEFT ANTI
+    join counting rows with no match — dim sides broadcast (part/
+    supplier/orders dims; at 100 TB orders⋈lineitem anti-joins on the
+    shuffle key instead), and the five counts union into a single
+    5-row audit table. A nonzero row is a blocked publish."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    def orphans(fact: DataFrame, dim: DataFrame, fk: str, pk: str, label: str) -> DataFrame:
+        return (
+            fact.join(F.broadcast(dim), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, part.select("p_partkey"), "l_partkey", "p_partkey",
+                "lineitem.l_partkey->part")
+        .unionByName(orphans(li, supplier.select("s_suppkey"), "l_suppkey",
+                             "s_suppkey", "lineitem.l_suppkey->supplier"))
+        .unionByName(orphans(li, orders.select("o_orderkey"), "l_orderkey",
+                             "o_orderkey", "lineitem.l_orderkey->orders"))
+        .unionByName(orphans(orders, customer.select("c_custkey"), "o_custkey",
+                             "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(orphans(customer, nation.select("n_nationkey"),
+                             "c_nationkey", "n_nationkey",
+                             "customer.c_nationkey->nation"))
+    )
