@@ -1267,3 +1267,48 @@ def d_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle document-frequency histogram (Zipf / hot-cap diagnostic)
+# --------------------------------------------------------------------------
+_DF_BUCKET_SQL = """CASE WHEN df = 1 THEN 0
+                 WHEN df <= 2 THEN 1
+                 WHEN df <= 4 THEN 2
+                 WHEN df <= 8 THEN 3
+                 WHEN df <= 16 THEN 4
+                 WHEN df <= 32 THEN 5
+                 WHEN df <= 64 THEN 6
+                 WHEN df <= 128 THEN 7
+                 ELSE 8 END"""
+
+
+@query(
+    "d_shingle_df_histogram",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    df AS (SELECT h, count(*) AS df FROM hashed GROUP BY h)
+    SELECT CAST({_DF_BUCKET_SQL} AS BIGINT) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings
+    FROM df GROUP BY 1
+    """,
+)
+def d_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the shingle index (power-of-two
+    buckets: 1, 2, 3-4, 5-8, …) — how Zipfian the corpus is, which is
+    the number that justifies (or re-tunes) d_ngram_jaccard's hot-cap:
+    bucket 8 holds the shingles whose self-join cost is quadratic.
+    Buckets are integer CASE compares, never floor(log2(double)) — a
+    last-ulp log at a power-of-two boundary would flip buckets between
+    engines. One shingle-keyed aggregate (map-side partials) then a
+    9-row roll-up."""
+    hashed = _doc_shingle_hashes(spark, sf_dir)
+    df = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.groupBy(F.expr(f"CAST({_DF_BUCKET_SQL} AS BIGINT)").alias("df_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+        )
+    )

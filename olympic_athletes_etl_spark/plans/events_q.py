@@ -1007,3 +1007,94 @@ def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("minute").cast("string").alias("minute"), "n", "trail_sum", "trail_n"
     )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrent sessions (sweep line over session intervals)
+# --------------------------------------------------------------------------
+@query(
+    "e_peak_concurrency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id,
+             ts
+      FROM marked
+    ), spans AS (
+      SELECT user_id, session_id, min(ts) AS s0,
+             max(ts) + INTERVAL 30 MINUTE AS s1
+      FROM sessions GROUP BY 1, 2
+    ), bounds AS (
+      SELECT s0 AS t, 1 AS delta, 0 AS tie FROM spans
+      UNION ALL
+      SELECT s1, -1, 1 FROM spans
+    ), sweep AS (
+      SELECT t, CAST(sum(delta) OVER (ORDER BY t, tie, delta
+                                      ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS live
+      FROM bounds
+    )
+    SELECT CAST(time_bucket(INTERVAL '1 hour', t) AS VARCHAR) AS hour,
+           CAST(max(live) AS BIGINT) AS peak_concurrent
+    FROM sweep GROUP BY 1
+    """,
+)
+def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT sessions per hour — the sweep-line algorithm:
+    session intervals (e_sessionize's spans, closed 30 min after the
+    last event) emit +1/-1 boundary markers, a time-ordered running sum
+    is the live-session count, and the per-hour max is the capacity
+    number an ops team provisions against. End markers sort AFTER
+    coincident starts (tie column) so a session ending exactly when
+    another starts counts both as overlapping — pinned identically in
+    both engines. The global sweep window orders SESSION BOUNDARIES
+    (two rows per session, not per event); at 100 TB, range-partition
+    the timeline and carry per-partition offsets (documented pattern) —
+    the boundary table is still ~1e-3 of the event count."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s0"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s1"),
+        )
+    )
+    bounds = spans.select(
+        F.col("s0").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("tie")
+    ).unionByName(
+        spans.select(
+            F.col("s1").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("tie")
+        )
+    )
+    sweep_w = Window.orderBy("t", "tie", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = bounds.select("t", F.sum("delta").over(sweep_w).alias("live"))
+    return (
+        sweep.groupBy(
+            F.date_trunc("hour", F.col("t").cast("timestamp"))
+            .cast("string")
+            .alias("hour")
+        )
+        .agg(F.max("live").alias("peak_concurrent"))
+    )
