@@ -60,10 +60,13 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sessionization (gaps-and-islands, 30-minute inactivity gap)
 # --------------------------------------------------------------------------
-@query(
-    "e_sessionize",
-    oracle="""
-    WITH marked AS (
+def _session_ctes() -> str:
+    """Shared gaps-and-islands CTE chain (expects ``events``; yields
+    ``sessions(user_id, ts, event_id, session_id)``). Single source of
+    truth for every session-consuming oracle (e_sessionize,
+    e_peak_concurrency, e_session_durations) — a gap-threshold edit
+    cannot desynchronize them."""
+    return '''marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL
@@ -80,7 +83,29 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS session_id
       FROM marked
+    )'''
+
+
+def _sessionized(events: DataFrame) -> DataFrame:
+    """Spark twin of _session_ctes: events + (session_id) via one
+    user-keyed shuffle reused across the lag and running-sum windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(run)
     )
+
+
+@query(
+    "e_sessionize",
+    oracle=f"""
+    WITH {_session_ctes()}
     SELECT user_id, session_id, count(*) AS n_events,
            CAST(min(ts) AS VARCHAR) AS session_start,
            CAST(max(ts) AS VARCHAR) AS session_end
@@ -94,17 +119,8 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps and the final agg — same key). Streaming twin:
     ``session_window(ts, '30 minutes')``."""
     events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        events.withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(run))
+        _sessionized(events)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1014,23 +1030,8 @@ def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "e_peak_concurrency",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-                    OR lag(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessions AS (
-      SELECT user_id,
-             CAST(sum(new_session) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) AS session_id,
-             ts
-      FROM marked
-    ), spans AS (
+    oracle=f"""
+    WITH {_session_ctes()}, spans AS (
       SELECT user_id, session_id, min(ts) AS s0,
              max(ts) + INTERVAL 30 MINUTE AS s1
       FROM sessions GROUP BY 1, 2
@@ -1062,17 +1063,8 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the timeline and carry per-partition offsets (documented pattern) —
     the boundary table is still ~1e-3 of the event count."""
     events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
     spans = (
-        events.withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(run))
+        _sessionized(events)
         .groupBy("user_id", "session_id")
         .agg(
             F.min("ts").alias("s0"),
@@ -1097,4 +1089,62 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour")
         )
         .agg(F.max("live").alias("peak_concurrent"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Session-duration distribution
+# --------------------------------------------------------------------------
+_DUR_BUCKET_SQL = """CASE WHEN dur_us = 0 THEN 0
+                 WHEN dur_us <= 60000000 THEN 1
+                 WHEN dur_us <= 600000000 THEN 2
+                 WHEN dur_us <= 1800000000 THEN 3
+                 WHEN dur_us <= 7200000000 THEN 4
+                 ELSE 5 END"""
+
+
+@query(
+    "e_session_durations",
+    oracle=f"""
+    WITH {{_session}}, spans AS (
+      SELECT user_id, session_id,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+             count(*) AS n_ev
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT CAST({_DUR_BUCKET_SQL} AS BIGINT) AS dur_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us
+    FROM spans GROUP BY 1
+    """.replace("{_session}", _session_ctes()),
+)
+def e_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: durations (first→last event, exact
+    integer µs) bucketed as single-event / ≤1 min / ≤10 min / ≤30 min /
+    ≤2 h / longer — the engagement histogram product teams read next to
+    e_sessionize's raw sessions. Buckets are integer compares (same
+    rule as d_shingle_df_histogram: no float log/divide before
+    bucketing). Reuses the factored session CTEs/helper, so the
+    30-minute gap threshold stays in exactly one place. One user-keyed
+    shuffle (sessionize) + a 6-row roll-up."""
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = (
+        _sessionized(events)
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.max(us) - F.min(us)).alias("dur_us"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+    )
+    return (
+        spans.groupBy(
+            F.expr(f"CAST({_DUR_BUCKET_SQL} AS BIGINT)").alias("dur_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("dur_us").alias("max_dur_us"),
+        )
     )
