@@ -1148,3 +1148,50 @@ def e_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dur_us").alias("max_dur_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative user growth (running distinct via first-seen trick)
+# --------------------------------------------------------------------------
+@query(
+    "e_user_growth",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    daily_new AS (
+      SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_day GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM daily_new
+    """,
+)
+def e_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. A running
+    COUNT(DISTINCT) over an expanding window is inexpressible in both
+    engines; the first-seen rewrite makes it trivial: each user
+    contributes exactly once (their first active day), daily new-user
+    counts cumulative-sum into the running distinct total. Two shuffles
+    (per-user min, per-day count) and a running sum over the tiny daily
+    aggregate — the same aggregate-then-window discipline as
+    q_revenue_trend_mom; the dual diagnostic to e_gap_days's
+    missing-day spine."""
+    events = load(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily_new = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    # running sum over the per-day aggregate (≤ span-days rows) — the
+    # unpartitioned-window warning is accepted as in q_revenue_trend_mom.
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        F.col("day").cast("string").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

@@ -447,3 +447,58 @@ def q_revenue_trend_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prev > 0, 100.0 * (F.col("revenue") - prev) / prev), 4
         ).alias("mom_pct"),
     )
+
+
+@query(
+    "q_order_lifecycle",
+    oracle="""
+    WITH per_order AS (
+      SELECT o_orderkey, o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(max(l_shipdate) AS DATE)) AS days_to_complete
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderpriority, o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(CASE WHEN days_to_complete <= 30 THEN 0
+                     WHEN days_to_complete <= 60 THEN 1
+                     WHEN days_to_complete <= 90 THEN 2
+                     ELSE 3 END AS BIGINT) AS latency_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(days_to_complete) AS BIGINT) AS max_days
+    FROM per_order
+    GROUP BY 1, 2
+    """,
+)
+def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency: days from order date to the LAST
+    lineitem shipment, histogrammed per priority in integer-compare
+    buckets (≤30/≤60/≤90/longer days) — the SLA report an operations
+    team reads per priority class. Day diffs are exact integers
+    (date_diff == Spark datediff on date-cast timestamps); two shuffles
+    (per-order max on the orderkey, then a tiny priority×bucket
+    roll-up)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.max("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_complete")
+        )
+    )
+    bucket = (
+        F.when(F.col("days_to_complete") <= 30, 0)
+        .when(F.col("days_to_complete") <= 60, 1)
+        .when(F.col("days_to_complete") <= 90, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    return per_order.groupBy(
+        "o_orderpriority", bucket.alias("latency_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("days_to_complete").cast("bigint").alias("max_days"),
+    )
