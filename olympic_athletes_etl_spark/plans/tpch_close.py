@@ -502,3 +502,59 @@ def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.max("days_to_complete").cast("bigint").alias("max_days"),
     )
+
+
+@query(
+    "q_supplier_hhi",
+    oracle="""
+    WITH sup AS (
+      SELECT p_type, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS dollars
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(dollars) AS BIGINT) AS total_dollars,
+           round(CAST(sum(dollars * dollars) AS DOUBLE)
+                 / (CAST(sum(dollars) AS DOUBLE)
+                    * CAST(sum(dollars) AS DOUBLE)),
+                 6) AS hhi
+    FROM sup GROUP BY 1
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per part type: the Herfindahl index
+    Σ(shareᵢ²) computed WITHOUT per-supplier double shares — summing
+    share² in engine-dependent order flips last bits. Per-supplier
+    revenue is truncated to whole DOLLARS first (cents DIV 100 — exact
+    and engine-identical on non-negative ints), so the numerator
+    Σdollarsᵢ² stays an exact bigint through the gate SFs (cents² had
+    measurably overflowed long at sf0.01 — ANSI Spark errors where
+    DuckDB silently widens to HUGEINT, so integer squares must be sized
+    for BOTH engines); the denominator squares as double, and ONE
+    division produces the index. Two shuffles: (type, supplier)
+    partial-aggregate, then the 6-row type roll-up. Unit truncation
+    granularity scales with corpus revenue — at sf1+ move to DIV 10000
+    (whole-hundreds) and note the bucket edge."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.expr(
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) DIV 100"
+            " AS BIGINT)"
+        ).alias("dollars"))
+    )
+    total_d = F.sum("dollars").cast("double")
+    return sup.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("dollars").alias("total_dollars"),
+        F.round(
+            F.sum(F.col("dollars") * F.col("dollars")).cast("double")
+            / (total_d * total_d),
+            6,
+        ).alias("hhi"),
+    )
