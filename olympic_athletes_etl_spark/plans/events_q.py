@@ -988,15 +988,23 @@ def e_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(minute AS VARCHAR) AS minute, n, trail_sum, trail_n
     FROM trail
-    WHERE trail_n > 0 AND n * trail_n > 3 * trail_sum
+    WHERE minute >= (SELECT min(minute) + INTERVAL 1 HOUR FROM pm)
+      AND n >= 3
+      AND n * 60 > 3 * trail_sum
     """,
 )
 def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Burst detection: minutes whose event count exceeds 3× the mean of
-    the TRAILING hour's per-minute counts (current minute excluded via
-    the range frame's -1min upper bound) — the alerting primitive over
-    any event stream. The spike test is EXACT integer cross-
-    multiplication (n·trail_n > 3·trail_sum) — never a double average
+    """Burst detection: minutes whose event count exceeds 3× the
+    trailing hour's per-minute RATE — trail_sum divided by the fixed
+    60-minute window, NOT by the count of active minutes (the active-
+    minute mean is inflated after quiet periods and misses real bursts:
+    one busy minute 30 min ago would set the bar at 3× that single
+    minute — caught by the round-3 second self-review). Minutes inside
+    the first hour of data are excluded so the window is always fully
+    elapsed. An absolute floor (n ≥ 3) keeps sparse traffic from
+    degenerating into everything-is-a-burst — any active minute beats
+    a near-zero baseline by rate alone. The spike test is EXACT integer
+    cross-multiplication (n·60 > 3·trail_sum) — never a double average
     compare that could flip on the boundary. Aggregate-then-window: the
     RANGE frame orders the per-MINUTE aggregate (bounded rows/day), not
     raw events; one shuffle for the minute aggregate, a global-ordered
@@ -1017,11 +1025,18 @@ def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("trail_sum"),
         F.count(F.lit(1)).over(w).alias("trail_n"),
     )
-    return trail.filter(
-        (F.col("trail_n") > 0)
-        & (F.col("n") * F.col("trail_n") > 3 * F.col("trail_sum"))
-    ).select(
-        F.col("minute").cast("string").alias("minute"), "n", "trail_sum", "trail_n"
+    first_minute = pm.agg(F.min("minute").alias("m0"))
+    return (
+        trail.crossJoin(F.broadcast(first_minute))
+        .filter(
+            (F.col("minute") >= F.col("m0") + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("n") >= 3)
+            & (F.col("n") * 60 > 3 * F.col("trail_sum"))
+        )
+        .select(
+            F.col("minute").cast("string").alias("minute"),
+            "n", "trail_sum", "trail_n",
+        )
     )
 
 
@@ -1035,10 +1050,18 @@ def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, session_id, min(ts) AS s0,
              max(ts) + INTERVAL 30 MINUTE AS s1
       FROM sessions GROUP BY 1, 2
+    ), hours AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT time_bucket(INTERVAL '1 hour', min(s0)) FROM spans),
+               (SELECT time_bucket(INTERVAL '1 hour', max(s1)) FROM spans),
+               INTERVAL 1 HOUR)) AS TIMESTAMP) AS t,
+             0 AS delta, -1 AS tie
     ), bounds AS (
       SELECT s0 AS t, 1 AS delta, 0 AS tie FROM spans
       UNION ALL
       SELECT s1, -1, 1 FROM spans
+      UNION ALL
+      SELECT t, delta, tie FROM hours
     ), sweep AS (
       SELECT t, CAST(sum(delta) OVER (ORDER BY t, tie, delta
                                       ROWS UNBOUNDED PRECEDING)
@@ -1048,6 +1071,7 @@ def e_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(time_bucket(INTERVAL '1 hour', t) AS VARCHAR) AS hour,
            CAST(max(live) AS BIGINT) AS peak_concurrent
     FROM sweep GROUP BY 1
+    HAVING max(live) > 0
     """,
 )
 def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,10 +1082,17 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     number an ops team provisions against. End markers sort AFTER
     coincident starts (tie column) so a session ending exactly when
     another starts counts both as overlapping — pinned identically in
-    both engines. The global sweep window orders SESSION BOUNDARIES
-    (two rows per session, not per event); at 100 TB, range-partition
-    the timeline and carry per-partition offsets (documented pattern) —
-    the boundary table is still ~1e-3 of the event count."""
+    both engines. HOUR-BOUNDARY sample markers (delta 0, sorted before
+    coincident session starts) are unioned into the sweep so each
+    hour's max also sees the concurrency CARRIED INTO it — without
+    them, an hour whose peak was inherited at its boundary (or fully
+    spanned by one session) under-reports or goes missing (caught by
+    the round-3 second self-review, reproduced on synthetic spans);
+    zero-concurrency hours between activity are then dropped by the
+    HAVING. The sweep orders session boundaries plus one marker per
+    hour (never per event); at 100 TB, range-partition the timeline
+    and carry per-partition offsets (documented pattern) — the
+    boundary table is still ~1e-3 of the event count."""
     events = load(spark, sf_dir, "events")
     spans = (
         _sessionized(events)
@@ -1071,12 +1102,26 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s1"),
         )
     )
-    bounds = spans.select(
-        F.col("s0").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("tie")
-    ).unionByName(
+    hour_range = spans.agg(
+        F.date_trunc("hour", F.min("s0").cast("timestamp")).alias("h0"),
+        F.date_trunc("hour", F.max("s1").cast("timestamp")).alias("h1"),
+    )
+    hours = hour_range.select(
+        F.explode(F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("t"),
+        F.lit(0).alias("delta"),
+        F.lit(-1).alias("tie"),
+    )
+    bounds = (
         spans.select(
-            F.col("s1").alias("t"), F.lit(-1).alias("delta"), F.lit(1).alias("tie")
+            F.col("s0").alias("t"), F.lit(1).alias("delta"), F.lit(0).alias("tie")
         )
+        .unionByName(
+            spans.select(
+                F.col("s1").alias("t"), F.lit(-1).alias("delta"),
+                F.lit(1).alias("tie"),
+            )
+        )
+        .unionByName(hours)
     )
     sweep_w = Window.orderBy("t", "tie", "delta").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1089,6 +1134,7 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour")
         )
         .agg(F.max("live").alias("peak_concurrent"))
+        .filter(F.col("peak_concurrent") > 0)
     )
 
 
@@ -1106,7 +1152,7 @@ _DUR_BUCKET_SQL = """CASE WHEN dur_us = 0 THEN 0
 @query(
     "e_session_durations",
     oracle=f"""
-    WITH {{_session}}, spans AS (
+    WITH {_session_ctes()}, spans AS (
       SELECT user_id, session_id,
              epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
              count(*) AS n_ev
@@ -1117,7 +1163,7 @@ _DUR_BUCKET_SQL = """CASE WHEN dur_us = 0 THEN 0
            CAST(sum(n_ev) AS BIGINT) AS n_events,
            CAST(max(dur_us) AS BIGINT) AS max_dur_us
     FROM spans GROUP BY 1
-    """.replace("{_session}", _session_ctes()),
+    """,
 )
 def e_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-length distribution: durations (first→last event, exact

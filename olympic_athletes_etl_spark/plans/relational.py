@@ -1166,17 +1166,44 @@ def w_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema in ONE report:
     orphaned-foreign-key counts for every fact→dim edge (the check every
-    warehouse load runs before publishing). Each edge is a LEFT ANTI
-    join counting rows with no match — dim sides broadcast (part/
-    supplier/orders dims; at 100 TB orders⋈lineitem anti-joins on the
-    shuffle key instead), and the five counts union into a single
-    5-row audit table. A nonzero row is a blocked publish."""
+    warehouse load runs before publishing). The three lineitem edges
+    share a SINGLE fact scan — three LEFT joins against key-projected
+    dims and three conditional null-counts, stack-unpivoted (the per-
+    edge anti-join form read lineitem three times). part/supplier keys
+    broadcast; the orders keyset joins on the shuffle key — it scales
+    with the fact and must never be broadcast. orders→customer and
+    customer→nation are separate (smaller) scans. A nonzero row is a
+    blocked publish."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     supplier = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
+
+    li_counts = (
+        li.select("l_partkey", "l_suppkey", "l_orderkey")
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("p_partkey") == F.col("l_partkey"), "left")
+        .join(F.broadcast(supplier.select("s_suppkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .join(orders.select("o_orderkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .agg(
+            F.sum(F.col("p_partkey").isNull().cast("long")).alias("o_part"),
+            F.sum(F.col("s_suppkey").isNull().cast("long")).alias("o_supp"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias("o_ord"),
+        )
+        .select(
+            F.expr(
+                "stack(3,"
+                " 'lineitem.l_partkey->part', o_part,"
+                " 'lineitem.l_suppkey->supplier', o_supp,"
+                " 'lineitem.l_orderkey->orders', o_ord)"
+                " AS (fk, n_orphans)"
+            )
+        )
+    )
 
     def orphans(fact: DataFrame, dim: DataFrame, fk: str, pk: str, label: str) -> DataFrame:
         return (
@@ -1185,16 +1212,10 @@ def v_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(label).alias("fk"), "n_orphans")
         )
 
-    return (
-        orphans(li, part.select("p_partkey"), "l_partkey", "p_partkey",
-                "lineitem.l_partkey->part")
-        .unionByName(orphans(li, supplier.select("s_suppkey"), "l_suppkey",
-                             "s_suppkey", "lineitem.l_suppkey->supplier"))
-        .unionByName(orphans(li, orders.select("o_orderkey"), "l_orderkey",
-                             "o_orderkey", "lineitem.l_orderkey->orders"))
-        .unionByName(orphans(orders, customer.select("c_custkey"), "o_custkey",
-                             "c_custkey", "orders.o_custkey->customer"))
-        .unionByName(orphans(customer, nation.select("n_nationkey"),
-                             "c_nationkey", "n_nationkey",
-                             "customer.c_nationkey->nation"))
+    return li_counts.unionByName(
+        orphans(orders, customer.select("c_custkey"), "o_custkey",
+                "c_custkey", "orders.o_custkey->customer")
+    ).unionByName(
+        orphans(customer, nation.select("n_nationkey"), "c_nationkey",
+                "n_nationkey", "customer.c_nationkey->nation")
     )

@@ -372,11 +372,12 @@ _G_MIN_TOKENS = 30
 _G_TOP_FRAC = 0.12
 _G_MEAN_LEN_LO, _G_MEAN_LEN_HI = 3.0, 10.0
 
-
-@query(
-    "t_gopher_quality",
-    oracle=f"""
-    WITH t AS (
+# Shared per-doc token-stats pipeline + Gopher gate expressions: single
+# source of truth for t_gopher_quality (per-doc report) and
+# t_quality_funnel (its cumulative summary) — a tokenization or gate
+# edit cannot desynchronize the funnel from the report it summarizes
+# (same rationale as events_q._session_ctes / dedup_q._intersection_ctes).
+_TOKEN_STATS_CTES = """t AS (
       SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
       FROM documents
     ), c AS (
@@ -390,16 +391,50 @@ _G_MEAN_LEN_LO, _G_MEAN_LEN_HI = 3.0, 10.0
              CAST(max(cnt) AS BIGINT) AS top_cnt,
              CAST(sum(length(tok) * cnt) AS BIGINT) AS n_tok_chars
       FROM g GROUP BY 1
+    )"""
+_G_REP_GATE_SQL = (
+    f"CAST(top_cnt AS DOUBLE) / n_tokens <= {_G_TOP_FRAC}"
+    f" AND CAST(n_tok_chars AS DOUBLE) / n_tokens"
+    f" BETWEEN {_G_MEAN_LEN_LO} AND {_G_MEAN_LEN_HI}"
+)
+
+
+def _doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, top_cnt, n_tok_chars) — Spark twin
+    of _TOKEN_STATS_CTES: explode → (doc, token) count → per-doc stats,
+    two doc-keyed shuffles (no token-keyed shuffle, so no stop-word
+    skew: the hot key "the" stays bundled with its doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
     )
+    g = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return g.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("n_tok_chars"),
+    )
+
+
+def _gopher_rep_gate() -> F.Column:
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    mean_len = F.col("n_tok_chars").cast("double") / F.col("n_tokens")
+    return (top_frac <= _G_TOP_FRAC) & mean_len.between(
+        _G_MEAN_LEN_LO, _G_MEAN_LEN_HI
+    )
+
+
+@query(
+    "t_gopher_quality",
+    oracle=f"""
+    WITH {_TOKEN_STATS_CTES}
     SELECT doc_id, n_tokens,
            round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4)
              AS dup_token_ratio,
            round(CAST(top_cnt AS DOUBLE) / n_tokens, 4) AS top_token_frac,
            round(CAST(n_tok_chars AS DOUBLE) / n_tokens, 4) AS mean_token_len,
-           n_tokens >= {_G_MIN_TOKENS}
-             AND CAST(top_cnt AS DOUBLE) / n_tokens <= {_G_TOP_FRAC}
-             AND CAST(n_tok_chars AS DOUBLE) / n_tokens
-                 BETWEEN {_G_MEAN_LEN_LO} AND {_G_MEAN_LEN_HI}
+           n_tokens >= {_G_MIN_TOKENS} AND {_G_REP_GATE_SQL}
              AS passes_gopher
     FROM s
     """,
@@ -412,17 +447,7 @@ def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size (no token-keyed shuffle, so no stop-word skew: the
     hot key "the" stays bundled with its doc_id). All stats are exact
     integer sums; ratios divide only in the output row."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
-    )
-    g = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    s = g.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.length("tok") * F.col("cnt")).alias("n_tok_chars"),
-    )
+    s = _doc_token_stats(spark, sf_dir)
     top_frac = F.col("top_cnt").cast("double") / F.col("n_tokens")
     mean_len = F.col("n_tok_chars").cast("double") / F.col("n_tokens")
     return s.select(
@@ -434,9 +459,7 @@ def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_frac, 4).alias("top_token_frac"),
         F.round(mean_len, 4).alias("mean_token_len"),
         (
-            (F.col("n_tokens") >= _G_MIN_TOKENS)
-            & (top_frac <= _G_TOP_FRAC)
-            & mean_len.between(_G_MEAN_LEN_LO, _G_MEAN_LEN_HI)
+            (F.col("n_tokens") >= _G_MIN_TOKENS) & _gopher_rep_gate()
         ).alias("passes_gopher"),
     )
 
@@ -1006,28 +1029,15 @@ def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_quality_funnel",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, md5(text) AS ch, regexp_split_to_array(text, '\\s+') AS toks
-      FROM documents
-    ), c AS (
-      SELECT doc_id, u AS tok FROM t, unnest(toks) AS x(u)
-    ), g AS (
-      SELECT doc_id, tok, count(*) AS cnt FROM c GROUP BY 1, 2
-    ), s AS (
-      SELECT doc_id,
-             CAST(sum(cnt) AS BIGINT) AS n_tokens,
-             CAST(max(cnt) AS BIGINT) AS top_cnt,
-             CAST(sum(length(tok) * cnt) AS BIGINT) AS n_tok_chars
-      FROM g GROUP BY 1
-    ), keep AS (SELECT ch, min(doc_id) AS canon FROM t GROUP BY ch),
+    WITH {_TOKEN_STATS_CTES},
+    dh AS (SELECT doc_id, md5(text) AS ch FROM documents),
+    keep AS (SELECT ch, min(doc_id) AS canon FROM dh GROUP BY ch),
     gated AS (
-      SELECT t.doc_id,
+      SELECT s.doc_id,
              s.n_tokens >= {_G_MIN_TOKENS} AS pass_len,
-             CAST(s.top_cnt AS DOUBLE) / s.n_tokens <= {_G_TOP_FRAC}
-               AND CAST(s.n_tok_chars AS DOUBLE) / s.n_tokens
-                   BETWEEN {_G_MEAN_LEN_LO} AND {_G_MEAN_LEN_HI} AS pass_rep,
-             t.doc_id = k.canon AS pass_dedup
-      FROM t JOIN s ON s.doc_id = t.doc_id JOIN keep k ON k.ch = t.ch
+             {_G_REP_GATE_SQL} AS pass_rep,
+             dh.doc_id = k.canon AS pass_dedup
+      FROM s JOIN dh ON dh.doc_id = s.doc_id JOIN keep k ON k.ch = dh.ch
     )
     SELECT CAST(count(*) AS BIGINT) AS n_input,
            CAST(count(*) FILTER (WHERE pass_len) AS BIGINT) AS after_len,
@@ -1048,28 +1058,21 @@ def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     as t_gopher_quality) plus the digest-keyed dedup aggregate; the
     funnel itself is a map-side conditional count collapsing to one
     row."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.md5("text").alias("ch"),
-        F.explode(F.split("text", r"\s+")).alias("tok"),
+    stats = _doc_token_stats(spark, sf_dir)
+    dh = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("ch")
     )
-    g = toks.groupBy("doc_id", "ch", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    s = g.groupBy("doc_id", "ch").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.max("cnt").alias("top_cnt"),
-        F.sum(F.length("tok") * F.col("cnt")).alias("n_tok_chars"),
+    keep = dh.groupBy(F.col("ch").alias("kch")).agg(
+        F.min("doc_id").alias("canon")
     )
-    keep = s.groupBy(F.col("ch").alias("kch")).agg(F.min("doc_id").alias("canon"))
-    gated = s.join(keep, F.col("ch") == F.col("kch")).select(
-        (F.col("n_tokens") >= _G_MIN_TOKENS).alias("pass_len"),
-        (
-            (F.col("top_cnt").cast("double") / F.col("n_tokens") <= _G_TOP_FRAC)
-            & (F.col("n_tok_chars").cast("double") / F.col("n_tokens")).between(
-                _G_MEAN_LEN_LO, _G_MEAN_LEN_HI
-            )
-        ).alias("pass_rep"),
-        (F.col("doc_id") == F.col("canon")).alias("pass_dedup"),
+    gated = (
+        stats.join(dh, "doc_id")
+        .join(keep, F.col("ch") == F.col("kch"))
+        .select(
+            (F.col("n_tokens") >= _G_MIN_TOKENS).alias("pass_len"),
+            _gopher_rep_gate().alias("pass_rep"),
+            (F.col("doc_id") == F.col("canon")).alias("pass_dedup"),
+        )
     )
     both = F.col("pass_len") & F.col("pass_rep")
     return gated.agg(

@@ -150,3 +150,51 @@ def test_knn_graph_ranks_are_contiguous_topk(spark, sf_dir):
         edges.sort(key=lambda e: e["rank"])
         for a, b in zip(edges, edges[1:]):
             assert a["cos_sim"] >= b["cos_sim"] - 1e-9
+
+
+def test_peak_concurrency_carries_over_hour_boundaries(spark, sf_dir):
+    # review-caught scenario: two sessions starting at 09:50/09:55 are
+    # both live at 10:00-10:20 though no boundary marker falls in hour 10
+    # with a positive running sum at max — the hour spine must carry it.
+    import datetime as dt
+
+    from olympic_athletes_etl_spark.plans.events_q import e_peak_concurrency
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    rows = {r["hour"]: r["peak_concurrent"] for r in e_peak_concurrency(spark, sf_dir).collect()}
+    # recompute ground truth per hour by dense minute sampling of spans
+    from olympic_athletes_etl_spark.plans.events_q import _sessionized
+    from pyspark.sql import functions as F
+
+    spans = (
+        _sessionized(load(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s0"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s1"),
+        )
+        .collect()
+    )
+    intervals = [(r["s0"], r["s1"]) for r in spans]
+    # ground truth at minute granularity (session boundaries are always
+    # on exact microseconds; minute sampling plus the boundary points
+    # covers every change point because we also sample each boundary)
+    points = sorted({t for s0, s1 in intervals for t in (s0, s1)})
+    per_hour: dict[str, int] = {}
+    for t in points:
+        live = sum(1 for s0, s1 in intervals if s0 <= t < s1)
+        hour = str(t.replace(minute=0, second=0, microsecond=0))
+        per_hour[hour] = max(per_hour.get(hour, 0), live)
+        # also credit the NEXT hour boundary if the interval spans it
+    # carry-in: live count exactly at each hour start
+    if points:
+        h = points[0].replace(minute=0, second=0, microsecond=0)
+        end = points[-1]
+        while h <= end:
+            live = sum(1 for s0, s1 in intervals if s0 <= h < s1)
+            if live > 0:
+                key = str(h)
+                per_hour[key] = max(per_hour.get(key, 0), live)
+            h += dt.timedelta(hours=1)
+    per_hour = {k: v for k, v in per_hour.items() if v > 0}
+    assert rows == per_hour
