@@ -1091,3 +1091,55 @@ def s_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K)
         .select("probe_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH bucket-occupancy diagnostic
+# --------------------------------------------------------------------------
+@query(
+    "s_bucket_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, {_bucket_sql_duck()} AS bucket FROM e
+    ), occ AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+    SELECT CAST(CASE WHEN n = 1 THEN 0
+                     WHEN n <= 2 THEN 1
+                     WHEN n <= 4 THEN 2
+                     WHEN n <= 8 THEN 3
+                     WHEN n <= 16 THEN 4
+                     ELSE 5 END AS BIGINT) AS occupancy_bucket,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(max(n) AS BIGINT) AS max_occupancy
+    FROM occ GROUP BY 1
+    """,
+)
+def s_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram (power-of-two bands over bucket
+    sizes) — the ANN capacity diagnostic: probe cost is the PROBED
+    bucket's size, so the tail of this histogram IS the worst-case
+    latency, and a fat tail says add planes (split buckets) or
+    multi-probe smaller ones. Integer CASE bands (the
+    d_shingle_df_histogram rule — no float log); one bucket-keyed
+    aggregate over per-row bucket ids computed at scan, then a 6-row
+    roll-up."""
+    b = _emb_double(spark, sf_dir).select(
+        "vec_id", _bucket_expr_spark().alias("bucket")
+    )
+    occ = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    band = (
+        F.when(F.col("n") == 1, 0)
+        .when(F.col("n") <= 2, 1)
+        .when(F.col("n") <= 4, 2)
+        .when(F.col("n") <= 8, 3)
+        .when(F.col("n") <= 16, 4)
+        .otherwise(5)
+        .cast("bigint")
+    )
+    return occ.groupBy(band.alias("occupancy_bucket")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_vectors"),
+        F.max("n").cast("bigint").alias("max_occupancy"),
+    )

@@ -558,3 +558,71 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@query(
+    "q_nation_trade_balance",
+    oracle=f"""
+    WITH sells AS (
+      SELECT s_nationkey AS nk,
+             CAST(sum({_REV_INT}) // 100 AS BIGINT) AS sell_cents
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1
+    ),
+    buys AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum({_REV_INT}) // 100 AS BIGINT) AS buy_cents
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           coalesce(sell_cents, 0) AS sell_cents,
+           coalesce(buy_cents, 0) AS buy_cents,
+           coalesce(sell_cents, 0) - coalesce(buy_cents, 0) AS balance_cents
+    FROM nation
+    LEFT JOIN sells ON sells.nk = n_nationkey
+    LEFT JOIN buys  ON buys.nk = n_nationkey
+    """,
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-perspective fact aggregation: each nation's revenue as
+    SELLER (via its suppliers) versus spend as BUYER (via its
+    customers), netted into a trade balance. The fact is scanned from
+    two different dimension paths and the two tiny per-nation
+    aggregates join back onto the nation dim — never onto each other's
+    fact sides. The balance is an exact bigint difference (DIV 100 on
+    each non-negative side first, then subtract — subtracting the
+    1e-4-unit sums before a truncating division would reintroduce the
+    negative-DIV engine divergence q9 documents)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev_div = f"CAST(sum({_REV_INT}) DIV 100 AS BIGINT)"
+    sells = (
+        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.expr(rev_div).alias("sell_cents"))
+    )
+    buys = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk_b"))
+        .agg(F.expr(rev_div).alias("buy_cents"))
+    )
+    return (
+        nation.join(sells, F.col("nk_s") == F.col("n_nationkey"), "left")
+        .join(buys, F.col("nk_b") == F.col("n_nationkey"), "left")
+        .select(
+            "n_name",
+            F.coalesce("sell_cents", F.lit(0)).alias("sell_cents"),
+            F.coalesce("buy_cents", F.lit(0)).alias("buy_cents"),
+            (
+                F.coalesce("sell_cents", F.lit(0))
+                - F.coalesce("buy_cents", F.lit(0))
+            ).alias("balance_cents"),
+        )
+    )
