@@ -1241,3 +1241,44 @@ def e_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("cum_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily event-type mix (share trend / mix-shift monitor)
+# --------------------------------------------------------------------------
+@query(
+    "e_type_mix_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(day AS VARCHAR) AS day, event_type, n,
+           CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day), 6)
+             AS share
+    FROM d
+    """,
+)
+def e_type_mix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type mix: each type's share of the day's traffic —
+    the mix-shift monitor that catches a broken client (one type's
+    share collapsing) before totals move. One (day, type) aggregate,
+    then the day totals ride a window PARTITIONED BY day over that
+    aggregate (≤ types-per-day rows each — no second shuffle over the
+    fact and no unpartitioned window); the share divides two exact
+    integers once."""
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day")
+    total = F.sum("n").over(w)
+    return d.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n",
+        total.alias("day_total"),
+        F.round(F.col("n").cast("double") / total, 6).alias("share"),
+    )

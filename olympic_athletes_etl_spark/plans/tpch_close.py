@@ -626,3 +626,52 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance_cents"),
         )
     )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often bought in
+    the SAME order — the classic co-purchase mining query. The self-join
+    keys on the orderkey, so pair generation is quadratic only WITHIN an
+    order (≈7 items → ≈21 pairs — bounded by basket width, not corpus
+    size; the same within-key-quadratic argument as the LSH bucket
+    joins, with the basket as the bucket). DISTINCT parts per order
+    first so quantity re-lines don't inflate counts; top-20 via
+    TakeOrderedAndProject on a total order (count DESC, then both
+    keys)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
