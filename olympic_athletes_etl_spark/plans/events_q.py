@@ -1282,3 +1282,57 @@ def e_type_mix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("day_total"),
         F.round(F.col("n").cast("double") / total, 6).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bot detection (superhuman cadence flags per user)
+# --------------------------------------------------------------------------
+@query(
+    "e_bot_suspects",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(gap) AS BIGINT) AS min_gap_us,
+             CAST(count(*) FILTER (WHERE gap IS NOT NULL AND gap < 1000000)
+                  AS BIGINT) AS n_subsecond
+      FROM g GROUP BY 1
+    )
+    SELECT user_id, n_events, min_gap_us, n_subsecond,
+           n_subsecond * 10 > n_events AS is_suspect
+    FROM per_user
+    """,
+)
+def e_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot screening: per user, the minimum inter-event gap
+    and the count of sub-second gaps, flagging users where >10% of
+    events arrive faster than humanly plausible — the abuse-detection
+    primitive that runs before any engagement metric is trusted. The
+    suspect test is exact integer cross-multiplication
+    (n_subsecond·10 > n_events); gaps are exact integer µs from the
+    same one user-keyed shuffle the lag window already needs."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    g = events.select("user_id", (us - prev_us).alias("gap"))
+    sub = (F.col("gap").isNotNull() & (F.col("gap") < 1_000_000)).cast("long")
+    per_user = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("gap").alias("min_gap_us"),
+        F.sum(sub).alias("n_subsecond"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "min_gap_us",
+        "n_subsecond",
+        (F.col("n_subsecond") * 10 > F.col("n_events")).alias("is_suspect"),
+    )
