@@ -77,14 +77,19 @@ def test_containment_dominates_jaccard(spark, sf_dir):
 
 
 def test_user_pareto_is_cumulative_and_complete(spark, sf_dir):
-    rows = sorted(e_user_pareto(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    # round-4 shape: one row per DISTINCT activity level (n_ev), not per
+    # user — the bounded curve that replaced the global per-user cumsum.
+    rows = sorted(e_user_pareto(spark, sf_dir).collect(), key=lambda r: -r["n_ev"])
     events = load(spark, sf_dir, "events")
     assert rows[-1]["cum_ev"] == events.count()
+    assert rows[-1]["cum_users"] == events.select("user_id").distinct().count()
     assert abs(rows[-1]["cum_pct"] - 100.0) < 1e-6
-    assert len(rows) == events.select("user_id").distinct().count()
+    assert abs(rows[-1]["user_pct"] - 100.0) < 1e-6
+    assert len(rows) == len({r["n_ev"] for r in rows})  # distinct levels
     for prev, cur in zip(rows, rows[1:]):
-        assert cur["cum_ev"] == prev["cum_ev"] + cur["n_ev"]
-        assert cur["n_ev"] <= prev["n_ev"]  # ranked by volume desc
+        assert cur["n_ev"] < prev["n_ev"]  # strictly descending grid
+        assert cur["cum_ev"] == prev["cum_ev"] + cur["n_ev"] * cur["n_users"]
+        assert cur["cum_users"] == prev["cum_users"] + cur["n_users"]
 
 
 def test_dup_rate_by_source_accounts_for_every_doc(spark, sf_dir):
