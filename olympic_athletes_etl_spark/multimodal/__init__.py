@@ -1,22 +1,34 @@
 """Multimodal column support (beyond-reference extension): opaque
 ``binary`` payloads + typed metadata, processed via Arrow-batched
-``mapInPandas`` — the Spark-side plumbing is real and tested; actual
-image/audio decoding is stubbed (codec libs absent in this container)."""
+``mapInPandas``. Decode paths are REAL for the dependency-free codecs —
+PPM/PGM/BMP images (pure numpy parsers), PCM WAV audio (stdlib wave) —
+with PNG/JPEG dispatching to pillow when installed; unsupported codecs
+raise ValueError for the quarantine side-channel."""
 
 from olympic_athletes_etl_spark.multimodal.columns import (
     MEDIA_META_SCHEMA,
     attach_text_payload,
+    decode_audio,
     decode_image,
+    decode_image_stats,
+    encode_ppm,
+    encode_wav,
     extract_byte_features,
     fake_decode_meta,
+    resize_image,
     sample_frame_indices,
 )
 
 __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_text_payload",
+    "decode_audio",
     "decode_image",
+    "decode_image_stats",
+    "encode_ppm",
+    "encode_wav",
     "extract_byte_features",
     "fake_decode_meta",
+    "resize_image",
     "sample_frame_indices",
 ]

@@ -18,6 +18,7 @@ Conventions for media at 100 TB:
 
 from __future__ import annotations
 
+import sys
 from typing import Iterator
 
 import pandas as pd
@@ -30,6 +31,18 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# mapInPandas closures below reference this module's decode functions.
+# Cloudpickle serializes module-level functions BY REFERENCE, so a Spark
+# Python worker whose sys.path lacks this repo (driver launched from an
+# arbitrary cwd) would fail the import. Registering the module for
+# by-value pickling makes every shipped closure self-contained.
+try:  # pragma: no cover - exercised implicitly by every mapInPandas test
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 - older cloudpickle: fall back to by-ref
+    pass
 
 #: typed metadata carried beside every binary payload
 MEDIA_META_SCHEMA = StructType(
@@ -106,19 +119,113 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     return w, h, mean
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode — STUB: codec libraries (PIL/opencv) are not in
-    this container. The call signature and the mapInPandas plumbing
-    around it are real; swap the body for ``PIL.Image.open`` in an
-    environment that has it."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv, absent in this container; "
-            "use fake_decode_meta for plumbing tests"
-        ) from exc
-    raise NotImplementedError("wire PIL here when available")
+def _read_pnm_token(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited PNM header token, skipping ``#`` comments."""
+    while pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c in (b" ", b"\t", b"\n", b"\r"):
+            pos += 1
+        elif c == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < len(buf) and buf[pos : pos + 1] not in (b" ", b"\t", b"\n", b"\r"):
+        pos += 1
+    return buf[start:pos], pos
+
+
+def _decode_pnm(payload: bytes):
+    import numpy as np
+
+    magic, pos = _read_pnm_token(payload, 0)
+    w_b, pos = _read_pnm_token(payload, pos)
+    h_b, pos = _read_pnm_token(payload, pos)
+    mx_b, pos = _read_pnm_token(payload, pos)
+    w, h, mx = int(w_b), int(h_b), int(mx_b)
+    if mx > 255:
+        raise ValueError("16-bit PNM is unsupported (maxval > 255)")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated PNM raster: need {need}, got {len(raster)}")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+    if channels == 1:  # grayscale → replicate to RGB
+        arr = np.repeat(arr, 3, axis=2)
+    return w, h, arr
+
+
+def _decode_bmp24(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed (BI_RGB) BMP is supported")
+    bottom_up, h = h_signed > 0, abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    raster = payload[data_off : data_off + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = (
+        np.frombuffer(raster, dtype=np.uint8)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        rows = rows[::-1]
+    return w, h, rows[..., ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes):
+    """REAL image decode → ``(width, height, pixels)`` with pixels an
+    ``uint8`` ndarray of shape (height, width, 3). Zero-dependency
+    parsers for the uncompressed formats — PPM (P6), PGM (P5, gray
+    replicated to RGB), 24-bit BI_RGB BMP — cover the container; PNG /
+    JPEG dispatch to pillow when installed (optional extra). Unknown
+    magic raises ValueError — a data error routed to the quarantine
+    side-channel (S10), not a stub."""
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise ValueError(
+                "PNG/JPEG decode requires the optional pillow extra; "
+                "built-in decoders cover PPM/PGM/BMP"
+            ) from exc
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return img.width, img.height, np.asarray(img, dtype=np.uint8)
+    raise ValueError(
+        f"unsupported image codec (magic {payload[:4]!r}); "
+        "supported: PPM/PGM/BMP built-in, PNG/JPEG via pillow"
+    )
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the
+    deterministic interchange format for the decode/resize round-trip."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
 def sample_frame_indices(
@@ -229,16 +336,106 @@ def fake_resize_payload(payload: bytes, src_len: int, dst_len: int) -> bytes:
     return bytes(payload[(i * src_len) // dst_len] for i in range(dst_len))
 
 
-def resize_image(payload: bytes, dst_w: int, dst_h: int):  # pragma: no cover
-    """Real image resize — STUB: codec libraries are not in this
-    container. Signature + the mapInPandas plumbing are real; swap the
-    body for PIL's ``Image.open(...).resize((dst_w, dst_h))`` where
-    available."""
+def resize_image(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL image resize: decode (any supported codec), nearest-neighbor
+    resample via integer index maps (``(i·src)//dst`` — pure integer, so
+    bit-reproducible across platforms, unlike float-kernel resamplers),
+    re-encode as PPM. Pair with ``plan_resize_dims`` so only
+    ``needs_resize`` rows reach this Python path."""
+    import numpy as np
+
+    _, _, arr = decode_image(payload)
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(int(dst_h)) * src_h) // int(dst_h)
+    xs = (np.arange(int(dst_w)) * src_w) // int(dst_w)
+    return encode_ppm(arr[ys][:, xs])
+
+
+def decode_audio(payload: bytes):
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module →
+    ``(sample_rate, n_channels, samples)`` with samples an int16 ndarray
+    of shape (n_frames, n_channels). 8-bit PCM is center-shifted to the
+    signed range; other widths/codecs raise ValueError (quarantine
+    side-channel, as in decode_image)."""
+    import io
+    import wave
+
+    import numpy as np
+
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, absent in this container; "
-            "use fake_resize_payload for plumbing tests"
-        ) from exc
-    raise NotImplementedError("wire PIL here when available")
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise ValueError(f"only 8/16-bit PCM WAV supported, got {8 * width}-bit")
+    return rate, nch, samples.reshape(-1, nch)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) int16 array as 16-bit PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(arr.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(int(sample_rate))
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+_DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode every payload with the REAL ``decode_image`` and emit
+    per-image pixel statistics — the typical ingest-side feature pass
+    (dimensions recovered from the codec header, channel-sum for
+    normalization stats). Same Arrow-batch contract as
+    ``extract_byte_features``: project to (id, payload) before the
+    Python boundary."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, npx, spx = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, arr = decode_image(bytes(payload))
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                npx.append(int(arr.size))
+                spx.append(int(np.sum(arr, dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "sum_px": pd.Series(spx, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, _DECODE_STATS_SCHEMA)

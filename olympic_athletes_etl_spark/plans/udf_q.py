@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olympic_athletes_etl_spark.etl.noc import canonicalize_noc_udf
+from olympic_athletes_etl_spark.etl.noc import (
+    LEGACY_NOC_MAP,
+    canonicalize_noc_df,
+    canonicalize_noc_udf,
+)
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 
@@ -58,3 +62,106 @@ def u_noc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("noc_raw", compound)
         .select("n_nationkey", udf(F.col("noc_raw")).alias("noc_canon"))
     )
+
+
+# --------------------------------------------------------------------------
+# U1b — the pure-DataFrame NOC twin, oracle-gated (round-4 verdict item 5)
+# --------------------------------------------------------------------------
+def _legacy_chain_sql(expr: str) -> str:
+    """Nest DuckDB ``replace()`` calls mirroring the ordered legacy-name
+    rewrite exactly as the DF twin's chained ``regexp_replace`` (both
+    replace every occurrence, in map order, cascading)."""
+    for old, new in LEGACY_NOC_MAP:
+        o, n = old.replace("'", "''"), new.replace("'", "''")
+        expr = f"replace({expr}, '{o}', '{n}')"
+    return expr
+
+
+_NOC_DF_ORACLE = f"""
+    WITH other AS (SELECT n_nationkey AS k2, n_name AS other_name FROM nation),
+    pairs AS (
+      SELECT n.n_nationkey, n.n_name, o.other_name
+      FROM nation n JOIN other o ON ((n.n_nationkey * 7 + 3) % 25) = o.k2
+    ),
+    raw AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 3 = 0 THEN n_name || ' and ' || other_name
+                  WHEN n_nationkey % 3 = 1 THEN n_name || '/' || other_name
+                  ELSE n_name || ', ' || other_name || ' team'
+             END AS noc_raw
+      FROM pairs
+    ),
+    norm AS (
+      SELECT n_nationkey, noc_raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               {_legacy_chain_sql('lower(trim(noc_raw))')},
+               '[/,;]', ' ', 'g'), '\\band\\b', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS s
+      FROM raw
+    ),
+    countries AS (SELECT DISTINCT lower(trim(n_name)) AS c FROM nation),
+    matches AS (
+      SELECT nm.n_nationkey, c.c
+      FROM norm nm JOIN countries c
+        ON regexp_matches(nm.s, '\\b' || c || '\\b')
+    ),
+    survivors AS (
+      SELECT DISTINCT m.n_nationkey, m.c FROM matches m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM matches l
+        WHERE l.n_nationkey = m.n_nationkey
+          AND length(l.c) > length(m.c)
+          AND regexp_matches(l.c, '\\b' || m.c || '\\b')
+      )
+    ),
+    canon AS (
+      SELECT n_nationkey, string_agg(c, ',' ORDER BY c) AS noc_canon
+      FROM survivors GROUP BY 1
+    )
+    SELECT nm.n_nationkey,
+           coalesce(canon.noc_canon,
+                    trim(regexp_replace(lower(trim(nm.noc_raw)),
+                                        '\\s+', ' ', 'g'))) AS noc_canon
+    FROM norm nm LEFT JOIN canon USING (n_nationkey)
+"""
+
+
+@query("u_noc_df", oracle=_NOC_DF_ORACLE)
+def u_noc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB NOC path on the correctness surface: the same
+    synthetic compounds as u_noc_canonicalize, canonicalized by the
+    pure-DataFrame twin ``canonicalize_noc_df`` (etl/noc.py — chained
+    regexp_replace legacy rewrite + broadcast word-boundary candidate
+    join + longest-match-containment filter; no Python in the scan
+    path). Unlike the procedural UDF this IS SQL-expressible, so the U1
+    family finally gets a hash-checked driver row (round-4 verdict item
+    5): the DuckDB oracle mirrors the rewrite chain with nested
+    ``replace()`` in map order and RE2 ``\\b`` boundaries — equivalent
+    to the Spark side's lookarounds because every country name starts
+    and ends with a word character. The UDF variant stays rows-only;
+    tests pin UDF==DF agreement on the overlap-free name list."""
+    nation = load(spark, sf_dir, "nation")
+    other = nation.select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("other_name")
+    )
+    pairs = (
+        nation.withColumn("k2", (F.col("n_nationkey") * 7 + 3) % 25)
+        .join(F.broadcast(other), on="k2")
+        .select("n_nationkey", "n_name", "other_name")
+    )
+    compound = (
+        F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.concat(F.col("n_name"), F.lit(" and "), F.col("other_name")),
+        )
+        .when(
+            F.col("n_nationkey") % 3 == 1,
+            F.concat(F.col("n_name"), F.lit("/"), F.col("other_name")),
+        )
+        .otherwise(
+            F.concat(F.col("n_name"), F.lit(", "), F.col("other_name"), F.lit(" team"))
+        )
+    )
+    work = pairs.withColumn("noc_raw", compound).select("n_nationkey", "noc_raw")
+    out = canonicalize_noc_df(work, nation, noc_col="noc_raw", name_col="n_name")
+    return out.select("n_nationkey", F.col("noc_raw").alias("noc_canon"))

@@ -43,9 +43,76 @@ def test_fake_decode_deterministic():
     assert fake_decode_meta(b"") == (16, 16, 0)
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_decode_ppm_round_trip():
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal import encode_ppm
+
+    arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    w, h, out = decode_image(encode_ppm(arr))
+    assert (w, h) == (5, 4)
+    assert np.array_equal(out, arr)
+
+
+def test_decode_pgm_replicates_gray_to_rgb():
+    import numpy as np
+
+    gray = bytes(range(12))
+    payload = b"P5\n# a comment\n4 3\n255\n" + gray
+    w, h, out = decode_image(payload)
+    assert (w, h) == (4, 3)
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[..., 0], np.frombuffer(gray, np.uint8).reshape(3, 4))
+    assert np.array_equal(out[..., 0], out[..., 1]) and np.array_equal(
+        out[..., 0], out[..., 2]
+    )
+
+
+def _bmp24(pixels) -> bytes:
+    """Hand-roll a bottom-up 24-bit BI_RGB BMP from an (h, w, 3) RGB array."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y][..., ::-1].tobytes()  # RGB → BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows
+
+
+def test_decode_bmp24_matches_source_pixels():
+    import numpy as np
+
+    arr = (np.arange(6 * 3 * 3, dtype=np.int64) * 7 % 256).astype(np.uint8)
+    arr = arr.reshape(3, 6, 3)  # w=6 → stride padding exercised (18 → 20)
+    w, h, out = decode_image(_bmp24(arr))
+    assert (w, h) == (6, 3)
+    assert np.array_equal(out, arr)
+
+
+def test_decode_image_rejects_unknown_codec():
+    with pytest.raises(ValueError, match="unsupported image codec"):
+        decode_image(b"GIF89a....")
+
+
+def test_decode_wav_round_trip():
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal import decode_audio, encode_wav
+
+    samples = (np.arange(200, dtype=np.int64) * 331 % 20000 - 10000).astype(np.int16)
+    stereo = samples.reshape(-1, 2)
+    rate, nch, out = decode_audio(encode_wav(stereo, 8000))
+    assert (rate, nch) == (8000, 2)
+    assert np.array_equal(out, stereo)
+    with pytest.raises(ValueError, match="not a PCM WAV"):
+        decode_audio(b"nonsense bytes")
 
 
 def test_sample_frame_indices(spark):
@@ -96,10 +163,21 @@ def test_fake_resize_payload_stride_sampling():
     assert fake_resize_payload(src, len(src), 200) == src  # never upscales
 
 
-def test_resize_image_stub_raises_without_pil():
-    import pytest
+def test_resize_image_nearest_neighbor_exact():
+    import numpy as np
 
-    from olympic_athletes_etl_spark.multimodal.columns import resize_image
+    from olympic_athletes_etl_spark.multimodal import encode_ppm, resize_image
 
-    with pytest.raises(NotImplementedError):
-        resize_image(b"xx", 8, 8)
+    # 4×4 checkerboard downscaled 2×: each dst pixel is the exact source
+    # pixel at (y*src//dst, x*src//dst) — integer nearest-neighbor.
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    src[::2, ::2] = 255
+    src[1::2, 1::2] = 7
+    out_w, out_h, out = decode_image(resize_image(encode_ppm(src), 2, 2))
+    assert (out_w, out_h) == (2, 2)
+    expect = src[(np.arange(2) * 4) // 2][:, (np.arange(2) * 4) // 2]
+    assert np.array_equal(out, expect)
+    # upscale also exact (indices repeat)
+    _, _, up = decode_image(resize_image(encode_ppm(src), 8, 8))
+    ys = (np.arange(8) * 4) // 8
+    assert np.array_equal(up, src[ys][:, ys])
