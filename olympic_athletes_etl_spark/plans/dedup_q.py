@@ -1312,3 +1312,96 @@ def d_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").alias("n_postings"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching — blocked, JVM-side levenshtein
+# --------------------------------------------------------------------------
+_FUZZY_MAX_DIST = 4
+
+
+@query(
+    "d_fuzzy_block_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+    ),
+    b AS (
+      SELECT p_name, n, string_split(p_name, ' ')[1] AS blk FROM dim
+    )
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist,
+           a.n AS n_a, c.n AS n_b
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND a.p_name < c.p_name
+     AND abs(strlen(a.p_name) - strlen(c.p_name)) <= {_FUZZY_MAX_DIST}
+    WHERE levenshtein(a.p_name, c.p_name) <= {_FUZZY_MAX_DIST}
+    """,
+)
+def d_fuzzy_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-match join (closes the reference's declared-but-unused
+    rapidfuzz capability — pandas_based/requirements.txt:10): candidate
+    name pairs within edit distance 4 (_FUZZY_MAX_DIST), BLOCKED by first
+    token so pairs come from an equi-join on the block key, never a
+    cross join (operators/fuzzy.py scale notes — Fellegi-Sunter
+    blocking). Runs on the DISTINCT name dim (sub-linear by Heaps' law)
+    with each name's fact-row count carried along; the length-difference
+    prefilter bounds the O(len²) distance to survivors. levenshtein is
+    the JVM codegen expression — identical unit-cost edit distance in
+    DuckDB."""
+    from olympic_athletes_etl_spark.operators.fuzzy import fuzzy_block_pairs
+
+    part = load(spark, sf_dir, "part")
+    dim = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    pairs = fuzzy_block_pairs(
+        dim, "p_name", F.split(F.col("p_name"), " ").getItem(0), _FUZZY_MAX_DIST
+    )
+    counts_a = dim.select(F.col("p_name").alias("name_a"), F.col("n").alias("n_a"))
+    counts_b = dim.select(F.col("p_name").alias("name_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(counts_a), on="name_a")
+        .join(F.broadcast(counts_b), on="name_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+@query(
+    "d_fuzzy_dedup",
+    oracle=f"""
+    WITH dim AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
+    ),
+    b AS (
+      SELECT p_name, n_parts, string_split(p_name, ' ')[1] AS blk FROM dim
+    )
+    SELECT a.p_name AS name, min(c.p_name) AS canonical, a.n_parts AS n_parts
+    FROM b a JOIN b c
+      ON a.blk = c.blk
+     AND abs(strlen(a.p_name) - strlen(c.p_name)) <= {_FUZZY_MAX_DIST}
+     AND levenshtein(a.p_name, c.p_name) <= {_FUZZY_MAX_DIST}
+    GROUP BY a.p_name, a.n_parts
+    """,
+)
+def d_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy canonicalization: every distinct name maps to the
+    lexicographic min over its in-block ≤ 4-edit (_FUZZY_MAX_DIST)
+    neighborhood (self included, so isolates map to themselves) — the
+    merge-candidate table a curation pipeline reviews before collapsing
+    variant spellings. One-hop by design (deterministic, idempotent,
+    one equi-join + one hash aggregate); chains needing transitive
+    closure compose d_fuzzy_block_join's pairs into d_dup_clusters'
+    iterative CC. Fact rows then join back to the canonical by exact
+    key — the quadratic step never touches fact scale."""
+    from olympic_athletes_etl_spark.operators.fuzzy import fuzzy_canonicalize
+
+    part = load(spark, sf_dir, "part")
+    dim = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    canon = fuzzy_canonicalize(
+        dim, "p_name", F.split(F.col("p_name"), " ").getItem(0), _FUZZY_MAX_DIST
+    )
+    return (
+        canon.join(
+            F.broadcast(dim.select(F.col("p_name").alias("name"), "n_parts")),
+            on="name",
+        ).select("name", "canonical", "n_parts")
+    )
