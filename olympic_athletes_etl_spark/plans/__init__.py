@@ -72,6 +72,9 @@ _NEW_THIS_ROUND = [
     "m_image_decode",
     "d_fuzzy_block_join",
     "d_fuzzy_dedup",
+    "t_sequence_pack",
+    "d_semantic_dedup",
+    "e_retention_cohorts",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 

@@ -1405,3 +1405,85 @@ def d_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             on="name",
         ).select("name", "canonical", "n_parts")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster-blocked embedding-cosine canonical)
+# --------------------------------------------------------------------------
+def _semantic_dedup_oracle() -> str:
+    from olympic_athletes_etl_spark.plans.similarity_q import _km_train_ctes
+
+    ctes, _ = _km_train_ctes()
+    return f"""{ctes},
+    pairs AS (
+      SELECT a.vec_id AS aid, min(b.vec_id) AS canon
+      FROM asgF a JOIN asgF b
+        ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+       AND list_dot_product(a.v, b.v) / (a.vnrm * b.vnrm) >= 0.45
+      GROUP BY 1
+    )
+    SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS cluster,
+           coalesce(p.canon, a.vec_id) AS canonical_id,
+           coalesce(p.canon, a.vec_id) <> a.vec_id AS is_dup
+    FROM asgF a LEFT JOIN pairs p ON p.aid = a.vec_id"""
+
+
+@query("d_semantic_dedup", oracle=_semantic_dedup_oracle())
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023): embeddings are
+    k-means-clustered (the shared deterministic Lloyd fit of
+    s_kmeans_clusters), then exact cosine runs ONLY within a cluster and
+    every vector canonicalizes to the min vec_id among its ≥0.45
+    neighbors (self included). The cluster is the blocking key — the
+    quadratic step is bounded by cluster width, the knob k controls
+    (SemDeDup's actual scale design: more clusters → smaller blocks), and
+    the pair join is an equi-join on cluster id, never a cross product.
+    Same one-hop canonical convention as d_fuzzy_dedup; threshold and
+    double-compare discipline shared with d_embedding_neardup (the _DOT
+    fold mirrors DuckDB's list_dot_product accumulation order, so the
+    ≥ compare cannot flip cross-engine)."""
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _DOT,
+        _km_base,
+        _km_entries,
+        _km_fit,
+        _sim_desc_sorted,
+    )
+
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    assigned = n.withColumn(
+        "cluster",
+        F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)["c_id"].cast(
+            "bigint"
+        ),
+    ).select("vec_id", "cluster", "v", "vnrm")
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("aid"),
+        F.col("v").alias("av"),
+        F.col("vnrm").alias("anrm"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("bid"),
+        F.col("v").alias("bv"),
+        F.col("vnrm").alias("bnrm"),
+    )
+    cos = F.expr(_DOT.format(a="av", b="bv")) / (F.col("anrm") * F.col("bnrm"))
+    canon = (
+        a.join(b, on="cluster")
+        .filter(F.col("bid") < F.col("aid"))
+        .filter(cos >= 0.45)
+        .groupBy("aid")
+        .agg(F.min("bid").alias("canon"))
+    )
+    return (
+        assigned.join(canon, F.col("vec_id") == F.col("aid"), "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("canon", "vec_id").alias("canonical_id"),
+            (F.coalesce("canon", "vec_id") != F.col("vec_id")).alias("is_dup"),
+        )
+    )

@@ -1159,26 +1159,21 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(hours)
     )
-    # Two-pass partitioned sweep. Pass 1: per-day running sum — the day
-    # bucket is monotone in t, so concatenating per-day prefixes in day
-    # order reconstructs the global order.
-    day = F.date_trunc("day", F.col("t").cast("timestamp"))
-    marked = bounds.withColumn("day", day)
-    day_w = Window.partitionBy("day").orderBy("t", "tie", "delta").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Two-pass partitioned sweep (operators/windows.py): day buckets are
+    # monotone in t, so per-day prefixes + carried-in offsets equal the
+    # global running sum; day count is driver-small → offsets broadcast.
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
     )
-    local = marked.withColumn("local_live", F.sum("delta").over(day_w))
-    # Pass 2: per-day totals → running offset of all PRIOR days. One row
-    # per day; the unpartitioned window here is over the tiny day dim.
-    day_tot = marked.groupBy("day").agg(F.sum("delta").alias("day_delta"))
-    off_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = day_tot.select(
-        "day",
-        F.coalesce(F.sum("day_delta").over(off_w), F.lit(0)).alias("offset"),
-    )
-    sweep = local.join(F.broadcast(offsets), on="day").select(
-        "t", (F.col("local_live") + F.col("offset")).alias("live")
-    )
+
+    sweep = partitioned_running_sum(
+        bounds,
+        bucket=F.date_trunc("day", F.col("t").cast("timestamp")),
+        order_cols=["t", "tie", "delta"],
+        value_col="delta",
+        out_col="live",
+        broadcast_offsets=True,
+    ).select("t", "live")
     return (
         sweep.groupBy(
             F.date_trunc("hour", F.col("t").cast("timestamp"))
@@ -1387,4 +1382,77 @@ def e_bot_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_gap_us",
         "n_subsecond",
         (F.col("n_subsecond") * 10 > F.col("n_events")).alias("is_suspect"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix (first-seen week × activity week)
+# --------------------------------------------------------------------------
+@query(
+    "e_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firstw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+    act AS (
+      SELECT f.cohort, u.wk, CAST(count(*) AS BIGINT) AS n_active
+      FROM uw u JOIN firstw f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    csize AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firstw GROUP BY 1
+    )
+    SELECT CAST(a.cohort AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', a.cohort, a.wk) // 7 AS BIGINT)
+             AS week_offset,
+           a.n_active,
+           s.cohort_size,
+           round(100.0 * a.n_active / s.cohort_size, 4) AS retention_pct
+    FROM act a JOIN csize s USING (cohort)
+    """,
+)
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION — the triangle every growth team reads: users
+    grouped by first-active ISO week, each cohort's share still active
+    k weeks later. Built from the distinct (user, week) activity grid:
+    per-user first week (one user-keyed aggregate), joined back on the
+    SAME user key (one shuffle, reused), rolled up to (cohort, week) —
+    output is weeks², bounded by time span, not user count. Week
+    offsets are exact integer day-diffs DIV 7 (non-negative — wk ≥
+    cohort by construction — so truncate-vs-floor cannot diverge);
+    retention divides two exact bigints once. Complements e_user_growth
+    (arrivals) and e_weekly_active_users (totals) with the
+    per-generation decay those two cannot show."""
+    events = load(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("wk"),
+    ).distinct()
+    firstw = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (
+        uw.join(firstw, on="user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    csize = firstw.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.join(csize, on="cohort")
+        .select(
+            F.col("cohort").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(100.0 * F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention_pct"
+            ),
+        )
     )

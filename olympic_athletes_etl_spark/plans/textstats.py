@@ -1081,3 +1081,73 @@ def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(both.cast("long")).alias("after_repetition"),
         F.sum((both & F.col("pass_dedup")).cast("long")).alias("after_dedup"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-sequence packing (document concatenation into context windows)
+# --------------------------------------------------------------------------
+_PACK_WINDOW = 256
+
+
+@query(
+    "t_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_WINDOW} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_WINDOW} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — how LLM pretraining lays documents into fixed
+    context windows: per source, docs are concatenated in doc_id order
+    and each doc's window assignment is its START offset in the stream
+    (pack_id = start DIV 256, pack_offset = start MOD 256); a doc
+    spilling past a window boundary continues into the next pack, the
+    standard concat-then-chunk regime (contrast t_chunk_split, which
+    chunks WITHIN a doc). The per-source token cumsum is the
+    partitioned_running_sum operator (operators/windows.py) with
+    doc_id-range buckets (``doc_id DIV 100`` — monotone in the order),
+    so no window's input grows with corpus size: pass-1 windows see one
+    id-range of one source, pass-2 sees per-bucket totals. Token count
+    is the whitespace-split convention shared with t_token_count."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    c = partitioned_running_sum(
+        t,
+        bucket=F.expr("doc_id DIV 100"),
+        order_cols=["doc_id"],
+        value_col="n_tokens",
+        out_col="cum",
+        group_cols=["source"],
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"CAST((cum - n_tokens) DIV {_PACK_WINDOW} AS BIGINT)").alias(
+            "pack_id"
+        ),
+        (start % _PACK_WINDOW).cast("bigint").alias("pack_offset"),
+    )

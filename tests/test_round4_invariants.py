@@ -211,3 +211,61 @@ def test_order_lifecycle_conserves_orders_and_bucket_bounds(spark, sf_dir):
             assert r["max_days"] <= hi[r["latency_bucket"]]
         else:
             assert r["latency_bucket"] == 3 and r["max_days"] > 90
+
+
+# ------------------------------------------------- round-4 new queries
+
+
+def test_sequence_pack_reconstructs_contiguous_streams(spark, sf_dir):
+    rows = _q("t_sequence_pack")(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()  # every doc packed exactly once
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["pack_offset"] < 256
+        by_source.setdefault(r["source"], []).append(r)
+    for docs_in_src in by_source.values():
+        docs_in_src.sort(key=lambda r: r["doc_id"])
+        # start offsets are the exact running sum: doc k starts where
+        # doc k-1 ended (concat-then-chunk leaves no gaps)
+        cum = 0
+        for r in docs_in_src:
+            assert r["pack_id"] * 256 + r["pack_offset"] == cum
+            cum += r["n_tokens"]
+        # pack ids are non-decreasing along the stream
+        ids = [r["pack_id"] for r in docs_in_src]
+        assert ids == sorted(ids)
+
+
+def test_semantic_dedup_canonical_properties(spark, sf_dir):
+    rows = _q("d_semantic_dedup")(spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    n_dups = 0
+    for r in rows:
+        assert r["canonical_id"] <= r["vec_id"]  # min-id convention
+        assert r["is_dup"] == (r["canonical_id"] != r["vec_id"])
+        n_dups += int(r["is_dup"])
+        # canonical lives in the same cluster (blocking invariant)
+        assert by_id[r["canonical_id"]]["cluster"] == r["cluster"]
+    # the synthetic corpus has near-dup structure: dedup must fire
+    assert 0 < n_dups < len(rows)
+
+
+def test_retention_cohorts_triangle_properties(spark, sf_dir):
+    rows = _q("e_retention_cohorts")(spark, sf_dir).collect()
+    events = load(spark, sf_dir, "events")
+    n_users = events.select("user_id").distinct().count()
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert 0 < r["retention_pct"] <= 100.0
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    assert sum(c[0]["cohort_size"] for c in by_cohort.values()) == n_users
+    for parts in by_cohort.values():
+        parts.sort(key=lambda r: r["week_offset"])
+        # week 0 is full by definition: everyone is active in the week
+        # they first appeared
+        assert parts[0]["week_offset"] == 0
+        assert parts[0]["n_active"] == parts[0]["cohort_size"]
