@@ -75,6 +75,7 @@ _NEW_THIS_ROUND = [
     "t_sequence_pack",
     "d_semantic_dedup",
     "e_retention_cohorts",
+    "e_funnel_conversion",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 

@@ -1456,3 +1456,97 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion (view → click → purchase)
+# --------------------------------------------------------------------------
+@query(
+    "e_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'view>click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'view>click>purchase',
+             CAST((SELECT count(*) FROM s3) AS BIGINT)
+    )
+    SELECT stage_idx, stage, n_users,
+           round(100.0 * n_users
+                 / (SELECT n_users FROM counts WHERE stage_idx = 1), 4)
+             AS pct_of_entry
+    FROM counts
+    """,
+)
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel: users who viewed, then clicked strictly AFTER
+    their first view, then purchased strictly after that first
+    qualifying click — the sequence-constrained conversion report
+    (contrast e_transition_matrix, which counts adjacent pairs without
+    anchoring to a funnel entry). Each stage is one user-keyed
+    min-aggregate joined to the previous stage's anchor time — all
+    three shuffles key on user_id, so at scale the funnel is one
+    repartition reused; per-stage counts are 1-row aggregates unioned
+    into a 3-row report with exact-integer conversion ratios divided
+    once. Deepening the funnel is strictly additive (one more
+    join+aggregate per stage)."""
+    events = load(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, anchor: str, out: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(prev, on="user_id")
+            .filter(F.col("ts") > F.col(anchor))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1.select("user_id", "t1"), "click", "t1", "t2")
+    s3 = first_after(s2.select("user_id", "t2"), "purchase", "t2", "t3")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    counts = (
+        stage(1, "view", s1)
+        .unionByName(stage(2, "view>click", s2))
+        .unionByName(stage(3, "view>click>purchase", s3))
+    )
+    entry = counts.filter(F.col("stage_idx") == 1).select(
+        F.col("n_users").alias("n_entry")
+    )
+    return counts.crossJoin(F.broadcast(entry)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(100.0 * F.col("n_users") / F.col("n_entry"), 4).alias(
+            "pct_of_entry"
+        ),
+    )

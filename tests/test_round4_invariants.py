@@ -269,3 +269,28 @@ def test_retention_cohorts_triangle_properties(spark, sf_dir):
         # they first appeared
         assert parts[0]["week_offset"] == 0
         assert parts[0]["n_active"] == parts[0]["cohort_size"]
+
+
+def test_funnel_is_monotone_and_subset_consistent(spark, sf_dir):
+    rows = sorted(
+        _q("e_funnel_conversion")(spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "view", "view>click", "view>click>purchase",
+    ]
+    # funnel can only narrow, and entry is 100% by definition
+    assert rows[0]["n_users"] >= rows[1]["n_users"] >= rows[2]["n_users"]
+    assert abs(rows[0]["pct_of_entry"] - 100.0) < 1e-9
+    for r in rows:
+        assert abs(
+            r["pct_of_entry"] - round(100.0 * r["n_users"] / rows[0]["n_users"], 4)
+        ) < 1e-9
+    # entry count is exactly the users with any 'view' event
+    events = load(spark, sf_dir, "events")
+    n_viewers = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id").distinct().count()
+    )
+    assert rows[0]["n_users"] == n_viewers
+    assert rows[1]["n_users"] > 0  # non-vacuous at the test SF
