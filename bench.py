@@ -71,6 +71,14 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # 1-minute load average at measurement time: a contended machine
+    # inflates every query uniformly (BENCH_r03 read +45% mid-build vs
+    # 7.2 s idle on identical code) — recording load makes that
+    # distinguishable from a real regression in the artifact itself.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        load1 = None
     print(
         json.dumps(
             {
@@ -79,6 +87,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load1": load1,
             }
         )
     )
