@@ -76,6 +76,8 @@ _NEW_THIS_ROUND = [
     "d_semantic_dedup",
     "e_retention_cohorts",
     "e_funnel_conversion",
+    "j_asof_join",
+    "j_range_band_join",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 
