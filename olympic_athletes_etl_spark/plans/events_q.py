@@ -1425,7 +1425,11 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort by construction — so truncate-vs-floor cannot diverge);
     retention divides two exact bigints once. Complements e_user_growth
     (arrivals) and e_weekly_active_users (totals) with the
-    per-generation decay those two cannot show."""
+    per-generation decay those two cannot show. Contrast
+    e_cohort_retention: that one is day-granular, capped at a 7-day
+    offset, and reports raw counts (the activation-week zoom); this is
+    the full ISO-week triangle with cohort sizes and percentages (the
+    long-horizon report). Different grain and horizon — both kept."""
     events = load(spark, sf_dir, "events")
     uw = events.select(
         "user_id",
@@ -1497,11 +1501,16 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDERED funnel: users who viewed, then clicked strictly AFTER
-    their first view, then purchased strictly after that first
-    qualifying click — the sequence-constrained conversion report
-    (contrast e_transition_matrix, which counts adjacent pairs without
-    anchoring to a funnel entry). Each stage is one user-keyed
+    """RE-SCANNING ordered funnel: users who viewed, then clicked
+    strictly AFTER their first view, then purchased strictly after that
+    first QUALIFYING click. Contrast e_funnel, which compares each
+    type's GLOBAL first occurrence (min click > min view) — there a
+    user who clicked before ever viewing drops out even if they clicked
+    again afterwards; here each stage re-anchors on the previous
+    stage's qualifying time, the event-order-faithful (and costlier:
+    one join per stage vs e_funnel's single aggregate) definition.
+    Both are kept: they answer different product questions and their
+    counts legitimately diverge. Each stage is one user-keyed
     min-aggregate joined to the previous stage's anchor time — all
     three shuffles key on user_id, so at scale the funnel is one
     repartition reused; per-stage counts are 1-row aggregates unioned

@@ -1226,78 +1226,6 @@ def v_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# As-of join (most recent view at or before each purchase)
-# --------------------------------------------------------------------------
-@query(
-    "j_asof_join",
-    oracle="""
-    WITH p AS (
-      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
-    ),
-    v AS (
-      SELECT user_id, ts FROM events WHERE event_type = 'view'
-    )
-    SELECT p.event_id, p.user_id,
-           CAST(p.ts AS VARCHAR) AS purchase_ts,
-           CAST(max(v.ts) AS VARCHAR) AS asof_view_ts,
-           CAST(epoch_us(p.ts) - epoch_us(max(v.ts)) AS BIGINT) AS gap_us
-    FROM p LEFT JOIN v
-      ON v.user_id = p.user_id AND v.ts <= p.ts
-    GROUP BY p.event_id, p.user_id, p.ts
-    """,
-)
-def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF JOIN — each purchase matched to the same user's most recent
-    view AT OR BEFORE it (the time-series enrichment primitive: trades
-    as-of quotes, metrics as-of config). Spark has no ASOF operator, so
-    this is the SCALABLE single-pass rewrite: tag both streams, UNION,
-    and carry the last view timestamp forward with
-    last(ignorenulls) over a user-keyed (ts, tag, event_id) window —
-    views sort before coincident purchases so a same-microsecond view
-    qualifies (the <= bound). ONE user-keyed shuffle total,
-    output rows = purchases; the naive inequality join the oracle uses
-    is per-user quadratic and exists only as the DuckDB twin (the
-    correlated-max form is deterministic where row-level ASOF tie-break
-    is not). gap_us is exact integer microseconds; never-viewed
-    purchasers keep NULLs through the left semantics."""
-    events = load(spark, sf_dir, "events")
-    v = events.filter(F.col("event_type") == "view").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("src_event_id"),
-        F.lit(0).alias("tag"),
-        F.col("ts").alias("view_ts"),
-    )
-    p = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("src_event_id"),
-        F.lit(1).alias("tag"),
-        F.lit(None).cast(events.schema["ts"].dataType).alias("view_ts"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "src_event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = v.unionByName(p).withColumn(
-        "asof_view", F.last("view_ts", ignorenulls=True).over(w)
-    )
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    asof_us = F.unix_micros(F.col("asof_view").cast("timestamp"))
-    return (
-        carried.filter(F.col("tag") == 1)
-        .select(
-            F.col("src_event_id").alias("event_id"),
-            "user_id",
-            F.col("ts").cast("string").alias("purchase_ts"),
-            F.col("asof_view").cast("string").alias("asof_view_ts"),
-            (us - asof_us).alias("gap_us"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
 # Range-band join (irregular value bands, broadcast dim)
 # --------------------------------------------------------------------------
 _PRICE_BANDS = [
@@ -1332,10 +1260,13 @@ def j_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin whose inner loop is the band count — the
     CORRECT plan here (each probe scans 4 bands); this is the general
     form for bands that cannot be computed arithmetically (tax brackets,
-    SLA tiers). When bands ARE fixed-width, skip the join entirely and
-    derive the key arithmetically (e_value_histogram's DIV bucketing) —
-    documented contrast, same report. Money is summed in exact integer
-    cents (the c_math_ratio convention)."""
+    SLA tiers). Two documented contrasts: fixed-WIDTH bands need no join
+    at all (e_value_histogram's DIV bucketing), and GRID-ALIGNED
+    intervals turn the range join into a bucketed equi-join with a
+    residual predicate (e_range_join_buckets) — this query covers the
+    remaining case, a dim too irregular for either rewrite but small
+    enough to broadcast. Money is summed in exact integer cents (the
+    c_math_ratio convention)."""
     orders = load(spark, sf_dir, "orders")
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
     return (

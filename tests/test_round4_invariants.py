@@ -296,32 +296,6 @@ def test_funnel_is_monotone_and_subset_consistent(spark, sf_dir):
     assert rows[1]["n_users"] > 0  # non-vacuous at the test SF
 
 
-def test_asof_join_bounds_and_spot_recount(spark, sf_dir):
-    rows = _q("j_asof_join")(spark, sf_dir).collect()
-    events = load(spark, sf_dir, "events")
-    n_purch = events.filter(F.col("event_type") == "purchase").count()
-    assert len(rows) == n_purch  # exactly one output row per purchase
-    with_view = [r for r in rows if r["asof_view_ts"] is not None]
-    assert with_view  # non-vacuous at the test SF
-    for r in with_view:
-        assert r["asof_view_ts"] <= r["purchase_ts"]  # the as-of bound
-        assert r["gap_us"] >= 0
-    for r in rows:
-        assert (r["asof_view_ts"] is None) == (r["gap_us"] is None)
-    # spot-verify one purchase against a direct per-user recompute
-    target = max(with_view, key=lambda r: r["gap_us"])
-    best = (
-        events.filter(
-            (F.col("event_type") == "view")
-            & (F.col("user_id") == target["user_id"])
-            & (F.col("ts").cast("string") <= target["purchase_ts"])
-        )
-        .agg(F.max("ts").cast("string"))
-        .first()[0]
-    )
-    assert best == target["asof_view_ts"]
-
-
 def test_range_band_join_partitions_orders(spark, sf_dir):
     rows = {r["band"]: r for r in _q("j_range_band_join")(spark, sf_dir).collect()}
     orders = load(spark, sf_dir, "orders")
