@@ -439,3 +439,46 @@ def decode_image_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(compute, _DECODE_STATS_SCHEMA)
+
+
+_AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_samples", LongType()),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode every payload with the REAL ``decode_audio`` (stdlib WAV)
+    and emit per-clip sample statistics — rate/channels recovered from
+    the RIFF header, exact integer sample sum for normalization stats.
+    Same Arrow-batch contract as ``decode_image_stats``."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chans, frames, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, samples = decode_audio(bytes(payload))
+                ids.append(int(doc_id))
+                rates.append(rate)
+                chans.append(nch)
+                frames.append(int(samples.shape[0]))
+                sums.append(int(np.sum(samples, dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                    "sum_samples": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, _AUDIO_STATS_SCHEMA)

@@ -34,10 +34,9 @@ from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 #   3. queries NEW this round (no driver row yet);
 #   4. the r1-stale core: all of textops (11) and tpch (5) — driver-green
 #      in r1 but never re-checked since.
-# Prefix math (driver audits 50): 4 changed + 20 never-audited + 9 new
-# + 11 textops + 5 tpch = 49 explicit; no relational slots this
-# round beyond the single front-fill slot — ALL of relational
-# (r1-stale) rotates first in round 5
+# Prefix math (driver audits 50): 4 changed + 20 never-audited + 10 new
+# + 11 textops + 5 tpch = 50 explicit; no relational slots this
+# round — ALL of relational (r1-stale) rotates first in round 5
 # (recorded in COVERAGE.md). Everything demoted stays covered locally by
 # tools/check_parity.py regardless of order.
 _CHANGED_THIS_ROUND = [
@@ -78,6 +77,7 @@ _NEW_THIS_ROUND = [
     "e_retention_cohorts",
     "e_funnel_conversion",
     "j_range_band_join",
+    "m_audio_decode",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 

@@ -215,3 +215,73 @@ def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = docs.mapInPandas(synth, payload_schema)
     return decode_image_stats(with_payload)
+
+
+@query(
+    "m_audio_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 64 + (n_chars % 128) AS n_frames FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, n_frames - 1)) AS i
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(((doc_id * 131 + i * 7) % 20001) - 10000) AS BIGINT)
+             AS sum_samples
+    FROM smp GROUP BY 1
+    """,
+)
+def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode on the correctness surface — the WAV twin of
+    m_image_decode: synthesize a 16-bit PCM mono WAV per document
+    (sample i = (doc_id·131 + 7i) mod 20001 − 10000, length from doc
+    fields), ship it through Arrow as a binary column, decode with the
+    stdlib-wave parser (multimodal/columns.py:decode_audio) and emit
+    per-clip stats. sample_rate / n_channels / n_frames come from the
+    PARSED RIFF header, so a header-arithmetic bug breaks parity; the
+    oracle recomputes the exact integer sample sum from the formula."""
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        decode_audio_stats,
+        encode_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    payload_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                m = 64 + int(n_chars) % 128
+                i = np.arange(m, dtype=np.int64)
+                samples = ((int(doc_id) * 131 + i * 7) % 20001 - 10000).astype(
+                    np.int16
+                )
+                ids.append(int(doc_id))
+                payloads.append(encode_wav(samples, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return decode_audio_stats(docs.mapInPandas(synth, payload_schema))

@@ -310,3 +310,15 @@ def test_range_band_join_partitions_orders(spark, sf_dir):
         (F.col("o_totalprice") >= 50_000) & (F.col("o_totalprice") < 150_000)
     ).count()
     assert rows["mid"]["n_orders"] == n_mid
+
+
+def test_audio_decode_header_recovery_and_bounds(spark, sf_dir):
+    rows = _q("m_audio_decode")(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    for r in rows:
+        # recovered from the RIFF header the synth wrote
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert 64 <= r["n_frames"] <= 191  # 64 + n_chars % 128
+        # int16 samples: |sum| can never exceed n * 10000
+        assert abs(r["sum_samples"]) <= r["n_frames"] * 10000
