@@ -188,3 +188,92 @@ def test_parse_date_flexible_matches_python_strptime(spark):
         for r in df.select("i", parse_date_flexible("s").alias("d")).collect()
     }
     assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
+# ---------------------------------------------------------------- codecs
+# Round-4 decoders: encode→decode must be the identity for EVERY shape
+# and payload, not just the examples in test_multimodal.
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rand_pixels(draw, max_side=16):
+    h = draw(st.integers(min_value=1, max_value=max_side))
+    w = draw(st.integers(min_value=1, max_value=max_side))
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@st.composite
+def _pixels(draw):
+    return _rand_pixels(draw)
+
+
+@given(_pixels())
+@settings(max_examples=60, deadline=None)
+def test_ppm_round_trip_identity(arr):
+    from olympic_athletes_etl_spark.multimodal import decode_image, encode_ppm
+
+    w, h, out = decode_image(encode_ppm(arr))
+    assert (w, h) == (arr.shape[1], arr.shape[0])
+    assert np.array_equal(out, arr)
+
+
+@given(_pixels())
+@settings(max_examples=40, deadline=None)
+def test_bmp_round_trip_identity(arr):
+    from tests.test_multimodal import _bmp24
+
+    from olympic_athletes_etl_spark.multimodal import decode_image
+
+    w, h, out = decode_image(_bmp24(arr))
+    assert (w, h) == (arr.shape[1], arr.shape[0])
+    assert np.array_equal(out, arr)
+
+
+@given(
+    st.binary(min_size=2, max_size=400),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_round_trip_identity(data, nch, rate):
+    from olympic_athletes_etl_spark.multimodal import decode_audio, encode_wav
+
+    n = (len(data) // (2 * nch)) * (2 * nch)
+    if n == 0:
+        return
+    samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, nch)
+    got_rate, got_nch, out = decode_audio(encode_wav(samples, rate))
+    assert (got_rate, got_nch) == (rate, nch)
+    assert np.array_equal(out, samples)
+
+
+@given(
+    _pixels(),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_never_invents_pixels(arr, dst_w, dst_h):
+    from olympic_athletes_etl_spark.multimodal import decode_image, resize_image
+
+    w, h, out = decode_image(resize_image(encode_ppm_safe(arr), dst_w, dst_h))
+    assert (w, h) == (dst_w, dst_h)
+    # every output pixel is the exact source pixel at the integer map
+    src_h, src_w = arr.shape[:2]
+    for y in range(dst_h):
+        for x in range(dst_w):
+            assert (
+                out[y, x] == arr[(y * src_h) // dst_h, (x * src_w) // dst_w]
+            ).all()
+
+
+def encode_ppm_safe(arr):
+    from olympic_athletes_etl_spark.multimodal import encode_ppm
+
+    return encode_ppm(arr)
