@@ -21,6 +21,7 @@ from olympic_athletes_etl_spark.plans import tpch_close  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import tpch  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import relational  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
+from olympic_athletes_etl_spark.plans import sketch_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
@@ -34,11 +35,11 @@ from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 #   3. queries NEW this round (no driver row yet);
 #   4. the r1-stale core: all of textops (11) and tpch (5) — driver-green
 #      in r1 but never re-checked since.
-# Prefix math (driver audits 50): 4 changed + 20 never-audited + 10 new
-# + 11 textops + 5 tpch = 50 explicit; no relational slots this
-# round — ALL of relational (r1-stale) rotates first in round 5
-# (recorded in COVERAGE.md). Everything demoted stays covered locally by
-# tools/check_parity.py regardless of order.
+# Prefix math (driver audits 50): 4 changed + 20 never-audited + 14 new
+# + 11 textops = 49 explicit, then the first tpch-core query fills slot
+# 50 — the remaining 4 tpch-core and all of relational (r1-stale) rotate
+# first in round 5 (recorded in COVERAGE.md). Everything demoted stays
+# covered locally by tools/check_parity.py regardless of order.
 _CHANGED_THIS_ROUND = [
     "e_peak_concurrency",
     "e_user_pareto",
@@ -78,6 +79,10 @@ _NEW_THIS_ROUND = [
     "e_funnel_conversion",
     "j_range_band_join",
     "m_audio_decode",
+    "a_cardinality_sketch",
+    "t_heavy_hitters",
+    "r_zorder_layout",
+    "d_bloom_prefilter",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 

@@ -1,0 +1,417 @@
+"""Deterministic sketch & layout queries — the bounded-state estimators a
+100 TB engine runs INSTEAD of exact global aggregation, made
+oracle-hashable by fixing every hash parameter.
+
+The library operators in ``operators/sketches.py`` wrap Spark's native
+HLL++ / KLL (``approx_count_distinct`` / ``approx_percentile``) — those
+are tolerance-tested only, because their merge order is
+engine-internal. The queries here re-derive the same sketch *ideas*
+(KMV/minhash cardinality, count-min frequency, Bloom membership) from
+fixed modular hashes, so Spark and DuckDB compute bit-identical results
+and the driver's value-hash gate applies. That is the point: the scale
+behavior (map-side-combinable, fixed-size state, broadcastable summaries)
+is real, and correctness is pinned exactly rather than "close enough".
+
+Reference parity note: the reference has no sketch layer (its pandas
+engine holds everything in memory — e.g. plain ``nunique()`` /
+``value_counts()`` in pandas_based/src/data_exploration.py); these
+queries are the scale-path replacements for those exact per-column
+profiles, a core part of re-expressing the same capability at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans.registry import query
+from olympic_athletes_etl_spark.plans.tables import load
+
+_P = 1_000_000_007
+
+# --------------------------------------------------------------------------
+# KMV / minhash cardinality estimate — per-group distinct counting with
+# K independent min aggregates (fully map-side-combinable; 16 BIGINTs of
+# state per group, vs a hash-set of every distinct member for the exact
+# count).
+# --------------------------------------------------------------------------
+_KMV_K = 16
+# (a, b) of h_k(s) = (a_k * s + b_k) mod P over the SCRAMBLED key s —
+# fixed, so both engines draw the same "random" permutations.
+_KMV_PARAMS = [
+    ((2_654_435_761 * (k + 1)) % _P, (999_983 * (k + 7)) % _P)
+    for k in range(_KMV_K)
+]
+# Nonlinear scramble before the affine family: consecutive integer keys
+# under a purely affine h form a lattice whose minima are biased (a
+# 15-user group estimated 86-132 in the first two cuts); squaring a
+# mixed value mod P (quadratic congruential) breaks the lattice, after
+# which the estimator behaves like the uniform-hash theory says.
+_KMV_SCRAMBLE_SQL = (
+    "((user_id % {p} + 1000003) * 2654435761 % {p})"
+    " * ((user_id % {p} + 1000003) * 2654435761 % {p}) % {p}"
+).format(p=_P)
+
+
+@query(
+    "a_cardinality_sketch",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, user_id, {_KMV_SCRAMBLE_SQL} AS sk FROM events
+    ),
+    mins AS (
+      SELECT event_type,
+             {", ".join(
+                 f"min((sk * {a} + {b}) % {_P}) AS m{k}"
+                 for k, (a, b) in enumerate(_KMV_PARAMS)
+             )},
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_exact,
+           CAST({_KMV_K * _P} AS BIGINT)
+             // ({" + ".join(f"m{k}" for k in range(_KMV_K))}
+             + {_KMV_K}) - 1 AS est_distinct
+    FROM mins
+    """,
+)
+def a_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimate per event type from K=16 fixed minhash
+    permutations: E[min of n uniform hashes] = P/(n+1), pooled
+    harmonically as n-hat = K*P / (sum of mins + K) - 1, all in exact
+    BIGINT arithmetic so the estimate itself is hash-checkable.
+
+    Scale shape: the sketch is 16 ``min()`` aggregates — map-side
+    partial, 128 bytes of state per group, merge = elementwise min — so
+    the shuffle carries one tiny row per (partition, group) regardless
+    of how many billions of events feed it. The exact
+    ``count(DISTINCT)`` rides along here only to expose the error; at
+    100 TB you drop that column and keep the sketch (or use the native
+    HLL++ wrapper in operators/sketches.py when cross-engine
+    hash-stability isn't required)."""
+    mins = [
+        F.min((F.col("sk") * a + b) % _P).alias(f"m{k}")
+        for k, (a, b) in enumerate(_KMV_PARAMS)
+    ]
+    grouped = (
+        load(spark, sf_dir, "events")
+        .withColumn("sk", F.expr(_KMV_SCRAMBLE_SQL))
+        .groupBy("event_type")
+        .agg(*mins, F.countDistinct("user_id").alias("n_exact"))
+    )
+    msum = " + ".join(f"m{k}" for k in range(_KMV_K))
+    return grouped.select(
+        "event_type",
+        "n_exact",
+        F.expr(
+            f"CAST({_KMV_K * _P} AS BIGINT) div ({msum} + {_KMV_K}) - 1"
+        ).alias("est_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters — fixed-size frequency summary
+# --------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_A = [131, 137, 139, 149]
+_CMS_B = [7, 11, 13, 17]
+# a token is a heavy-hitter candidate when its CMS estimate is at least
+# total_tokens / _HH_INV_FRAC (the classic phi-heavy-hitter screen).
+_HH_INV_FRAC = 200
+
+_POLYHASH_DUCK_W = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+
+@query(
+    "t_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    tc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+    th AS (SELECT w, cnt, {_POLYHASH_DUCK_W} AS t FROM tc),
+    posed AS (
+      SELECT w, cnt, j,
+             ((t * ([{", ".join(map(str, _CMS_A))}])[j + 1]
+               + ([{", ".join(map(str, _CMS_B))}])[j + 1]) % {_P}) % {_CMS_W}
+               AS pos
+      FROM th, (SELECT unnest(range(0, {_CMS_D})) AS j)
+    ),
+    cells AS (
+      SELECT j, pos, CAST(sum(cnt) AS BIGINT) AS cell
+      FROM posed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.w, p.cnt, min(c.cell) AS cms_est
+      FROM posed p JOIN cells c USING (j, pos) GROUP BY 1, 2
+    )
+    SELECT w, cms_est, cnt AS n_exact
+    FROM est, tot WHERE cms_est >= n // {_HH_INV_FRAC}
+    """,
+)
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a 4x512 count-min sketch: every token
+    increments one bucket per hash row, a token's estimate is the min of
+    its 4 buckets (never under the true count), and tokens estimated at
+    >= 1/200 of total token mass are reported with their exact counts.
+
+    Scale shape: the sketch is a FIXED 2048-cell table however large the
+    corpus — per-partition arrays merge by cell-wise sum, which is
+    exactly the map-side-partial ``groupBy(j, pos).sum()`` here — and
+    the candidate screen joins the distinct-token dim against the
+    *broadcast* sketch, so no token-keyed shuffle of the fact is needed
+    beyond the one distinct-count pass (itself only kept to report
+    n_exact next to the estimate). CMS error is additive
+    (<= total/W per row, min over 4 rows), which is why the 1/200
+    screen with W=512 cannot miss a true heavy hitter."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    tot = tokens.agg(F.count(F.lit(1)).alias("n"))
+    tc = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    th = tc.withColumn(
+        "t",
+        F.expr(
+            "aggregate(split(w, ''), CAST(0 AS BIGINT),"
+            f" (acc, c) -> (acc * 31 + ascii(c)) % {_P})"
+        ),
+    )
+    a_arr = ", ".join(map(str, _CMS_A))
+    b_arr = ", ".join(map(str, _CMS_B))
+    posed = th.select(
+        "w",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+        F.col("t"),
+    ).withColumn(
+        "pos",
+        F.expr(
+            f"((t * element_at(array({a_arr}), j + 1)"
+            f" + element_at(array({b_arr}), j + 1)) % {_P}) % {_CMS_W}"
+        ),
+    )
+    cells = posed.groupBy("j", "pos").agg(F.sum("cnt").alias("cell"))
+    est = (
+        posed.join(F.broadcast(cells), ["j", "pos"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("cms_est") >= F.expr(f"n div {_HH_INV_FRAC}"))
+        .select("w", "cms_est", F.col("cnt").alias("n_exact"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout — multi-dimensional clustering for scan pruning
+# --------------------------------------------------------------------------
+_Z_BITS = 5  # 5 bits per dimension -> 10-bit z-value -> 64 files of 16
+_Z_Y_OFF = 1000.0  # shift c_acctbal (>= -999.99) to non-negative
+_Z_Y_DIV = 344.0  # 11000 / 32 buckets, rounded up
+
+
+def _z_interleave(x: str, y: str) -> str:
+    """Bit-interleave two _Z_BITS-wide non-negative ints (x in the odd
+    bit positions) — same string works as Spark SQL and DuckDB SQL."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "r_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_nationkey AS x,
+             least({2**_Z_BITS - 1}, greatest(0,
+               CAST(floor((c_acctbal + {_Z_Y_OFF}) / {_Z_Y_DIV}) AS INT)))
+               AS y
+      FROM customer
+    ),
+    z AS (SELECT x, y, {_z_interleave("x", "y")} AS zval FROM b)
+    SELECT CAST(zval // 16 AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_nation, max(x) AS max_nation,
+           min(y) AS min_balbucket, max(y) AS max_balbucket
+    FROM z GROUP BY 1
+    """,
+)
+def r_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of customers on
+    (nation, balance-bucket): interleave the bits of the two 5-bit
+    dimensions, assign 16 consecutive z-values per target file, and
+    report each file's per-dimension min/max envelope.
+
+    Why it matters at 100 TB: writing files in z order gives every file
+    a TIGHT min/max range on BOTH columns simultaneously (the envelopes
+    this query outputs are exactly what parquet row-group stats would
+    record), so a predicate on either dimension prunes most files at
+    scan time — one-dimensional sort can only do that for its leading
+    column. The registered aggregate verifies the envelope math; the
+    actual write path is ``df.repartitionByRange('zval').sortWithinPartitions
+    ('zval').write`` (see operators/scale.py:range_sorted_write), whose
+    range exchange is the only shuffle involved."""
+    cust = load(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_nationkey").alias("x"),
+        F.expr(
+            f"least({2**_Z_BITS - 1}, greatest(0,"
+            f" CAST(floor((c_acctbal + {_Z_Y_OFF}) / {_Z_Y_DIV}) AS INT)))"
+        ).alias("y"),
+    )
+    z = b.withColumn("zval", F.expr(_z_interleave("x", "y")))
+    return (
+        z.groupBy(F.expr("CAST(zval div 16 AS BIGINT)").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_nation"),
+            F.max("x").alias("max_nation"),
+            F.min("y").alias("min_balbucket"),
+            F.max("y").alias("max_balbucket"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter contamination prefilter — broadcast a bitset, not a table
+# --------------------------------------------------------------------------
+_BLOOM_M = 65_536  # bits
+_BLOOM_A = [1031, 2087, 4093]
+_BLOOM_B = [19, 23, 29]
+
+
+def _bloom_pos(h: str, j: str) -> tuple[str, str]:
+    """(spark_expr, duck_expr) for the j-th Bloom position of hash h."""
+    a = ", ".join(map(str, _BLOOM_A))
+    b = ", ".join(map(str, _BLOOM_B))
+    spark = (
+        f"(({h} * element_at(array({a}), {j} + 1)"
+        f" + element_at(array({b}), {j} + 1)) % {_P}) % {_BLOOM_M}"
+    )
+    duck = (
+        f"(({h} * ([{a}])[{j} + 1] + ([{b}])[{j} + 1]) % {_P}) % {_BLOOM_M}"
+    )
+    return spark, duck
+
+
+def _register_bloom() -> None:
+    # import here: dedup_q shares the shingle pipeline (same hashes on
+    # both engines keep this query consistent with d_contamination)
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _CONTAM_MOD,
+        _SHINGLE_HASHES_DUCK,
+        _doc_shingle_hashes,
+    )
+
+    spark_pos, duck_pos = _bloom_pos("h", "j")
+
+    @query(
+        "d_bloom_prefilter",
+        oracle=f"""
+        WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+        ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {_CONTAM_MOD} = 0),
+        evpos AS (
+          SELECT DISTINCT {duck_pos} AS pos
+          FROM ev, (SELECT unnest(range(0, {len(_BLOOM_A)})) AS j)
+        ),
+        train AS (
+          SELECT doc_id, h FROM hashed WHERE doc_id % {_CONTAM_MOD} != 0
+        ),
+        tp AS (
+          SELECT doc_id, h, {duck_pos} AS pos
+          FROM train, (SELECT unnest(range(0, {len(_BLOOM_A)})) AS j)
+        ),
+        grp AS (
+          SELECT doc_id, h,
+                 count(*) FILTER (pos IN (SELECT pos FROM evpos)) AS n_in
+          FROM tp GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (n_in = {len(_BLOOM_A)}) AS BIGINT)
+                 AS n_bloom_hits,
+               CAST(count(*) FILTER (h IN (SELECT h FROM ev)) AS BIGINT)
+                 AS n_exact_hits
+        FROM grp GROUP BY 1
+        HAVING count(*) FILTER (n_in = {len(_BLOOM_A)}) > 0
+        """,
+    )
+    def d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Decontamination prefilter via a fixed-hash Bloom filter: hash
+        every EVAL shingle into 3 of 65536 bit positions, then flag a
+        train shingle as a *possible* eval member when all 3 of its
+        positions are set. Per train doc, report total shingles, Bloom
+        hits (includes false positives), and exact hits — Bloom never
+        misses (no false negatives), which the invariant test pins as
+        n_bloom_hits >= n_exact_hits.
+
+        Scale shape vs d_contamination's exact shingle join: the eval
+        side collapses to a <= 8 KiB bitset (here a <= 65536-row distinct
+        position dim, broadcast), so the 100-TB train side is screened
+        map-side with NO shuffle — only the tiny fraction of docs that
+        survive the screen proceed to the exact (shuffling) overlap
+        join. That two-phase shape is the standard way to decontaminate
+        a petabyte corpus against a benchmark suite; the oracle
+        recomputes the same bit positions so even the false-positive
+        set hash-matches."""
+        sh = _doc_shingle_hashes(spark, sf_dir)
+        ev_h = (
+            sh.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+            .select("h")
+            .distinct()
+        )
+        eval_pos = (
+            ev_h.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(len(_BLOOM_A) - 1))
+                ).alias("j"),
+                "h",
+            )
+            .select(F.expr(spark_pos).alias("pos"))
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
+        train = sh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+        tp = train.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(len(_BLOOM_A) - 1))).alias(
+                "j"
+            ),
+        ).withColumn("pos", F.expr(spark_pos))
+        grp = (
+            tp.join(F.broadcast(eval_pos), "pos", "left")
+            .groupBy("doc_id", "h")
+            .agg(F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_in"))
+        )
+        ex = train.join(
+            F.broadcast(ev_h.withColumn("in_eval", F.lit(1))), "h", "left"
+        )
+        joined = grp.join(ex, ["doc_id", "h"])
+        return (
+            joined.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(
+                    F.when(F.col("n_in") == len(_BLOOM_A), 1).otherwise(0)
+                ).alias("n_bloom_hits"),
+                F.sum(F.coalesce(F.col("in_eval"), F.lit(0))).alias(
+                    "n_exact_hits"
+                ),
+            )
+            .filter(F.col("n_bloom_hits") > 0)
+        )
+
+
+_register_bloom()

@@ -1,0 +1,125 @@
+"""Invariant tests for the deterministic sketch/layout queries
+(plans/sketch_q.py). Each assertion is a property a buggy oracle that
+mirrored the bug could not catch: estimator-theory bounds (CMS never
+underestimates, Bloom never misses), conservation against the raw
+tables, and the z-order locality envelope the layout exists to provide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans import queries
+from olympic_athletes_etl_spark.plans.tables import load
+
+
+def _q(name):
+    return queries()[name]
+
+
+# ------------------------------------------------- KMV cardinality sketch
+
+
+def test_cardinality_sketch_estimates_within_sampling_error(spark, sf_dir):
+    rows = _q("a_cardinality_sketch")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_exact"] >= 1
+        assert r["est_distinct"] >= 0
+        # K=16 minima give ~1/sqrt(16) = 25% relative error; allow a
+        # generous 4x band so the test pins the ESTIMATOR (not noise)
+        # and still catches an off-by-modulus or dropped-permutation bug
+        # (which lands orders of magnitude off).
+        assert r["est_distinct"] <= 4 * r["n_exact"] + 4
+        assert 4 * (r["est_distinct"] + 1) >= r["n_exact"]
+
+
+def test_cardinality_sketch_covers_every_event_type(spark, sf_dir):
+    got = {r["event_type"] for r in _q("a_cardinality_sketch")(spark, sf_dir).collect()}
+    want = {
+        r["event_type"]
+        for r in load(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------- count-min heavy hitters
+
+
+def test_cms_never_underestimates_and_misses_no_heavy_hitter(spark, sf_dir):
+    rows = _q("t_heavy_hitters")(spark, sf_dir).collect()
+    assert len(rows) > 0  # stopwords clear the 1/200 screen even at sf0.001
+    for r in rows:
+        # CMS is an upper bound by construction (hash collisions only add).
+        assert r["cms_est"] >= r["n_exact"]
+    # no false negatives: every token whose EXACT count clears the screen
+    # must be in the output (est >= exact >= threshold).
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    tot = tokens.count()
+    exact_heavy = {
+        r["w"]
+        for r in tokens.groupBy("w")
+        .count()
+        .filter(F.col("count") >= tot // 200)
+        .collect()
+    }
+    got = {r["w"] for r in rows}
+    assert exact_heavy <= got
+
+
+# ------------------------------------------------- z-order layout
+
+
+def test_zorder_conserves_rows_and_bounds_envelopes(spark, sf_dir):
+    rows = _q("r_zorder_layout")(spark, sf_dir).collect()
+    cust = load(spark, sf_dir, "customer")
+    assert sum(r["n_rows"] for r in rows) == cust.count()
+    for r in rows:
+        assert 0 <= r["file_id"] <= 63
+        # 16 consecutive z-values only vary the low 2 bits of EACH
+        # dimension -> every file's envelope spans <= 4 values per axis.
+        # This is the pruning guarantee the layout exists for; a
+        # non-interleaved (e.g. concatenated-bits) zval would blow it.
+        assert r["max_nation"] - r["min_nation"] <= 3
+        assert r["max_balbucket"] - r["min_balbucket"] <= 3
+        assert 0 <= r["min_balbucket"] <= r["max_balbucket"] <= 31
+
+
+# ------------------------------------------------- Bloom prefilter
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
+    rows = _q("d_bloom_prefilter")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # Bloom can only over-approximate the eval set.
+        assert r["n_shingles"] >= r["n_bloom_hits"] >= r["n_exact_hits"] >= 0
+        assert r["n_bloom_hits"] > 0  # the registered screen
+
+
+def test_bloom_prefilter_screen_keeps_every_exact_contaminated_doc(
+    spark, sf_dir
+):
+    """Every train doc with >= 1 exact eval shingle must survive the
+    Bloom screen (no-false-negative at the doc level): compare against
+    an independently computed exact overlap."""
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _CONTAM_MOD,
+        _doc_shingle_hashes,
+    )
+
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("h").distinct()
+    exact_docs = {
+        r["doc_id"]
+        for r in sh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+        .join(ev, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got = {r["doc_id"] for r in _q("d_bloom_prefilter")(spark, sf_dir).collect()}
+    assert exact_docs <= got
