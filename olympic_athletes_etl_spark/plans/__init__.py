@@ -22,6 +22,7 @@ from olympic_athletes_etl_spark.plans import tpch  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import relational  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import textops  # noqa: E402,F401
 from olympic_athletes_etl_spark.plans import sketch_q  # noqa: E402,F401
+from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
@@ -35,11 +36,11 @@ from olympic_athletes_etl_spark.plans import sketch_q  # noqa: E402,F401
 #   3. queries NEW this round (no driver row yet);
 #   4. the r1-stale core: all of textops (11) and tpch (5) — driver-green
 #      in r1 but never re-checked since.
-# Prefix math (driver audits 50): 4 changed + 20 never-audited + 14 new
-# + 11 textops = 49 explicit, then the first tpch-core query fills slot
-# 50 — the remaining 4 tpch-core and all of relational (r1-stale) rotate
-# first in round 5 (recorded in COVERAGE.md). Everything demoted stays
-# covered locally by tools/check_parity.py regardless of order.
+# Prefix math (driver audits 50): 4 changed + 20 never-audited + 17 new
+# = 41 explicit, then the first 9 of textops fill the prefix to 50 —
+# the last 2 textops, all 5 tpch-core, and all of relational (r1-stale)
+# rotate first in round 5 (recorded in COVERAGE.md). Everything demoted
+# stays covered locally by tools/check_parity.py regardless of order.
 _CHANGED_THIS_ROUND = [
     "e_peak_concurrency",
     "e_user_pareto",
@@ -83,6 +84,9 @@ _NEW_THIS_ROUND = [
     "t_heavy_hitters",
     "r_zorder_layout",
     "d_bloom_prefilter",
+    "a_histogram_median",
+    "g_triangle_count",
+    "g_degree_histogram",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 

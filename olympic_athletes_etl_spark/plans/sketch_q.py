@@ -212,6 +212,109 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Histogram median — bounded-state quantile estimation
+# --------------------------------------------------------------------------
+_HIST_NBUCKETS = 64
+_HIST_OFF = 1000.0  # c_acctbal >= -999.99
+_HIST_DIV = 172.0  # 11000 / 64, rounded up
+
+_HIST_BUCKET = (
+    f"least({_HIST_NBUCKETS - 1}, greatest(0,"
+    f" CAST(floor((c_acctbal + {_HIST_OFF}) / {_HIST_DIV}) AS INT)))"
+)
+
+
+@query(
+    "a_histogram_median",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_nationkey, {_HIST_BUCKET} AS bucket FROM customer
+    ),
+    agg AS (
+      SELECT c_nationkey, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_nationkey, bucket,
+             sum(cnt) OVER (PARTITION BY c_nationkey ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY c_nationkey) AS n
+      FROM agg
+    ),
+    med AS (
+      SELECT c_nationkey,
+             CAST(min(n) AS BIGINT) AS n_customers,
+             CAST(min(CASE WHEN 2 * cum >= n THEN bucket END) AS BIGINT)
+               AS med_bucket
+      FROM cum GROUP BY 1
+    ),
+    ex AS (
+      SELECT c_nationkey, round(median(c_acctbal), 4) AS exact_median
+      FROM customer GROUP BY 1
+    )
+    SELECT c_nationkey, n_customers, med_bucket,
+           round(CAST(-{_HIST_OFF} + {_HIST_DIV} * (med_bucket + 0.5)
+                      AS DOUBLE), 4) AS est_median,
+           exact_median
+    FROM med JOIN ex USING (c_nationkey)
+    """,
+)
+def a_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median estimated from a FIXED 64-bucket histogram (midpoint of
+    the first bucket whose cumulative count reaches half the group),
+    reported next to the exact median so the bucket-width error is
+    visible.
+
+    Scale shape: the histogram is the quantile analogue of the CMS —
+    per-partition bucket counts merge by cell-wise sum (one map-side-
+    combinable groupBy on (group, bucket), <= 64 cells of state per
+    group), and the cumulative scan that extracts the quantile runs
+    over AT MOST 64 rows per group, vs the exact median's full
+    per-group sort. This is what per-column numeric profiling runs at
+    100 TB (the exact median column here exists to expose the error;
+    production drops it, or uses the native KLL wrapper in
+    operators/sketches.py when a tunable error bound matters more than
+    cross-engine hash-stability)."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    b = cust.select(
+        "c_nationkey",
+        F.expr(_HIST_BUCKET).alias("bucket"),
+        "c_acctbal",
+    )
+    agg = b.groupBy("c_nationkey", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = cust.groupBy("c_nationkey").agg(
+        F.round(F.median("c_acctbal"), 4).alias("exact_median")
+    )
+    w_cum = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("c_nationkey")
+    cum = agg.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    med = cum.groupBy("c_nationkey").agg(
+        F.min("n").alias("n_customers"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("bucket")))
+        .cast("bigint")
+        .alias("med_bucket"),
+    )
+    return med.join(exact, "c_nationkey").select(
+        "c_nationkey",
+        "n_customers",
+        "med_bucket",
+        F.round(
+            F.lit(-_HIST_OFF) + _HIST_DIV * (F.col("med_bucket") + 0.5), 4
+        ).alias("est_median"),
+        "exact_median",
+    )
+
+
+# --------------------------------------------------------------------------
 # Z-order layout — multi-dimensional clustering for scan pruning
 # --------------------------------------------------------------------------
 _Z_BITS = 5  # 5 bits per dimension -> 10-bit z-value -> 64 files of 16

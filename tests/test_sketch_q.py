@@ -100,6 +100,59 @@ def test_bloom_prefilter_has_no_false_negatives(spark, sf_dir):
         assert r["n_bloom_hits"] > 0  # the registered screen
 
 
+def test_histogram_median_brackets_the_lower_median(spark, sf_dir):
+    """The histogram targets the LOWER median (first bucket whose
+    cumulative count reaches half the group) — for tiny even-sized
+    groups the INTERPOLATED exact median can legitimately sit buckets
+    away, so the sharp invariant is against the lower median value:
+    it must fall inside the reported bucket (midpoint within half a
+    bucket width)."""
+    rows = _q("a_histogram_median")(spark, sf_dir).collect()
+    cust = load(spark, sf_dir, "customer")
+    assert sum(r["n_customers"] for r in rows) == cust.count()
+    by_nation: dict[int, list[float]] = {}
+    for r in cust.select("c_nationkey", "c_acctbal").collect():
+        by_nation.setdefault(r["c_nationkey"], []).append(r["c_acctbal"])
+    for r in rows:
+        assert 0 <= r["med_bucket"] <= 63
+        vals = sorted(by_nation[r["c_nationkey"]])
+        lower_med = vals[(len(vals) - 1) // 2]
+        assert abs(r["est_median"] - lower_med) <= 172.0 / 2
+
+
+# ------------------------------------------------- triangle counting
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.graph_q import _edges
+
+    edge_rows = _edges(spark, sf_dir).collect()
+    edges = {(r["pa"], r["pb"]) for r in edge_rows}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if b < c  # (a < b) already; a < b < c counts each triangle once
+    )
+    [row] = _q("g_triangle_count")(spark, sf_dir).collect()
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    assert 0.0 <= row["global_clustering"] <= 1.0
+
+
+def test_degree_histogram_conserves_nodes_and_edges(spark, sf_dir):
+    rows = _q("g_degree_histogram")(spark, sf_dir).collect()
+    [tri] = _q("g_triangle_count")(spark, sf_dir).collect()
+    assert sum(r["n_nodes"] for r in rows) == tri["n_nodes"]
+    # handshake lemma: sum of degrees = 2 * edges
+    assert sum(r["deg"] * r["n_nodes"] for r in rows) == 2 * tri["n_edges"]
+
+
 def test_bloom_prefilter_screen_keeps_every_exact_contaminated_doc(
     spark, sf_dir
 ):
