@@ -315,6 +315,90 @@ def a_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-moment correlation / OLS — float statistics from integer sums
+# --------------------------------------------------------------------------
+# Shared formula strings keep the FLOAT expression trees identical on
+# both engines (double arithmetic is deterministic only if the operation
+# sequence matches; the integer moments beneath are exact, so the only
+# float ops are the final few divisions/sqrt).
+_MOM = "(n * sqd - sq * sd)"
+_VARQ = "(n * sqq - sq * sq)"
+_VARD = "(n * sdd - sd * sd)"
+_CORR = (
+    f"CASE WHEN {_VARQ} = 0 OR {_VARD} = 0 THEN NULL ELSE "
+    f"round(CAST({_MOM} AS DOUBLE)"
+    f" / sqrt(CAST({_VARQ} AS DOUBLE) * CAST({_VARD} AS DOUBLE)), 6) END"
+)
+_SLOPE = (
+    f"CASE WHEN {_VARQ} = 0 THEN NULL ELSE "
+    f"round(CAST({_MOM} AS DOUBLE) / CAST({_VARQ} AS DOUBLE), 6) END"
+)
+
+
+@query(
+    "a_corr_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sd,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sdd,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS sqd
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sq, sd,
+           {_CORR} AS corr_qty_disc,
+           {_SLOPE} AS ols_slope
+    FROM m
+    """,
+)
+def a_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS slope of (quantity, discount-pct) per
+    return flag, computed from EXACT integer moments (n, Σx, Σy, Σx²,
+    Σy², Σxy) with floats entering only in the final closed-form — so
+    the result is bit-identical across engines and partitionings, unlike
+    ``corr()``/``covar_samp()`` whose double partial sums reorder under
+    parallel merge (the same exact-sums-first discipline as the q1/q17
+    revenue queries, applied to second moments).
+
+    Scale shape: one map-side-combinable groupBy carrying six BIGINTs of
+    state per group — the moment vector is a mergeable sketch (element-
+    wise sum), which is why single-pass distributed regression works at
+    all. Overflow headroom: Σx² ≤ n·2500, so BIGINT holds to ~3.7e15
+    rows per group; beyond that, shift to per-partition moments over
+    DECIMAL(38) (documented, not needed at any test SF)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qi"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("di"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").alias("sq"),
+        F.sum("di").alias("sd"),
+        F.sum(F.col("qi") * F.col("qi")).alias("sqq"),
+        F.sum(F.col("di") * F.col("di")).alias("sdd"),
+        F.sum(F.col("qi") * F.col("di")).alias("sqd"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        "sq",
+        "sd",
+        F.expr(_CORR).alias("corr_qty_disc"),
+        F.expr(_SLOPE).alias("ols_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Z-order layout — multi-dimensional clustering for scan pruning
 # --------------------------------------------------------------------------
 _Z_BITS = 5  # 5 bits per dimension -> 10-bit z-value -> 64 files of 16

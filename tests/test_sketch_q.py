@@ -120,6 +120,36 @@ def test_histogram_median_brackets_the_lower_median(spark, sf_dir):
         assert abs(r["est_median"] - lower_med) <= 172.0 / 2
 
 
+# ------------------------------------------------- exact-moment regression
+
+
+def test_corr_regression_matches_native_corr(spark, sf_dir):
+    rows = _q("a_corr_regression")(spark, sf_dir).collect()
+    assert len(rows) == 3  # A/N/R return flags
+    native = {
+        r["l_returnflag"]: (r["c"], r["s"])
+        for r in load(spark, sf_dir, "lineitem")
+        .withColumn("di", F.round(F.col("l_discount") * 100, 0))
+        .groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "di").alias("c"),
+            (
+                F.covar_pop("l_quantity", "di") / F.var_pop("l_quantity")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert -1.0 <= r["corr_qty_disc"] <= 1.0
+        nc, ns = native[r["l_returnflag"]]
+        # native float partial sums agree with the exact-moment form to
+        # well inside the 1e-4 band at these magnitudes
+        assert abs(r["corr_qty_disc"] - nc) < 1e-4
+        assert abs(r["ols_slope"] - ns) < 1e-4
+        # slope and correlation must share a sign (same numerator)
+        assert (r["corr_qty_disc"] >= 0) == (r["ols_slope"] >= 0)
+
+
 # ------------------------------------------------- triangle counting
 
 
