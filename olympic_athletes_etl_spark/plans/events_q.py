@@ -1559,3 +1559,78 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_entry"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily-volume anomaly detection — z-score with a PURE-INTEGER threshold
+# --------------------------------------------------------------------------
+@query(
+    "e_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n,
+           round(CAST(n_days * d.n - sx AS DOUBLE)
+                 / sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)), 3)
+             AS zscore
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE (n_days * d.n - sx) * (n_days * d.n - sx)
+            > 4 * (n_days * sxx - sx * sx)
+          AND n_days * sxx > sx * sx
+    """,
+)
+def e_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume is more than 2 population standard
+    deviations from that event type's daily mean — with the THRESHOLD
+    evaluated in exact integer arithmetic: z^2 > 4 is cross-multiplied
+    to (n_days*n - sx)^2 > 4*(n_days*sxx - sx^2), so no float rounding
+    can flip a row in or out of the result across engines (the reported
+    z itself is float, but only for display, from the same exact
+    integers). Derivation: with m days, mean sx/m and population
+    variance (m*sxx - sx^2)/m^2 give z^2 = (m*n - sx)^2/(m*sxx - sx^2)
+    — the m^2 factors cancel exactly. An earlier cut kept a stray m on
+    the left side and over-flagged; the brute-force invariant test
+    caught what oracle parity could not, since both engines shared the
+    same wrong formula. Compare a_corr_regression: same
+    exact-moments-first discipline, here applied to the filter rather
+    than the aggregate.
+
+    Scale shape: daily counts per type are bounded by the time span
+    (not event count), the per-type moment vector is 3 BIGINTs of
+    map-side-combinable state, and the stats join back onto the daily
+    grid is broadcast-sized. At 100 TB nothing in this plan grows
+    except the first map-side-combined groupBy."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    dev = F.col("n_days") * F.col("n") - F.col("sx")
+    var_num = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter((dev * dev > 4 * var_num) & (var_num > 0))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(
+                dev.cast("double") / F.sqrt(var_num.cast("double")), 3
+            ).alias("zscore"),
+        )
+    )

@@ -150,6 +150,39 @@ def test_corr_regression_matches_native_corr(spark, sf_dir):
         assert (r["corr_qty_disc"] >= 0) == (r["ols_slope"] >= 0)
 
 
+# ------------------------------------------------- integer z-score anomalies
+
+
+def test_anomaly_days_all_beyond_two_sigma(spark):
+    # sf0.001's short span yields few/no anomalies; pin at sf0.01.
+    sf = "/root/testdata/sf0.01"
+    rows = _q("e_anomaly_days")(spark, sf).collect()
+    assert len(rows) > 0
+    daily = (
+        load(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import statistics
+
+    by_type: dict[str, list[int]] = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append(r["n"])
+    flagged = {(r["event_type"], r["day"]) for r in rows}
+    for r in daily:
+        vals = by_type[r["event_type"]]
+        mu = statistics.fmean(vals)
+        sigma = statistics.pstdev(vals)
+        z = (r["n"] - mu) / sigma
+        assert ((r["event_type"], r["day"]) in flagged) == (abs(z) > 2), (
+            r,
+            z,
+        )
+    for r in rows:
+        assert abs(r["zscore"]) > 2.0
+
+
 # ------------------------------------------------- triangle counting
 
 
