@@ -163,3 +163,83 @@ def pagerank(
     return ranks.crossJoin(F.broadcast(total)).select(
         "vertex", (F.col("rank") * n / F.col("t")).alias("rank")
     )
+
+
+_TRI_STRIDE = 100_000_000_000  # (degree, id) packed total order; ids < 1e11
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    normalized: bool = False,
+) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles, global_clustering) for an
+    UNDIRECTED edge list (one row per edge, ``src < dst``, no
+    self-loops), by degree orientation — see plans/graph_q.py's
+    g_triangle_count docstring for the scale argument (out-degree capped
+    at O(sqrt m), three node-keyed equi-join shuffles).
+
+    Duplicate edge rows are collapsed; rows violating src < dst are
+    normalized rather than trusted (a reversed duplicate would
+    otherwise double-count). Pass ``normalized=True`` when the input is
+    already distinct with src < dst (e.g. produced by a groupBy) to
+    skip the normalization shuffle."""
+    e = edges.select(F.col(src).alias("pa"), F.col(dst).alias("pb"))
+    if not normalized:
+        e = (
+            e.select(
+                F.least("pa", "pb").alias("pa"),
+                F.greatest("pa", "pb").alias("pb"),
+            )
+            .filter(F.col("pa") < F.col("pb"))
+            .dropDuplicates()
+        )
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    okey = F.col("deg") * _TRI_STRIDE + F.col("node")
+    ka = deg.select(F.col("node").alias("pa"), okey.alias("ka"))
+    kb = deg.select(F.col("node").alias("pb"), okey.alias("kb"))
+    ek = e.join(ka, "pa").join(kb, "pb")
+    oriented = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("pa"))
+        .otherwise(F.col("pb"))
+        .alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("pb"))
+        .otherwise(F.col("pa"))
+        .alias("dst"),
+        F.greatest("ka", "kb").alias("kdst"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("kdst").alias("k1"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("kdst").alias("k2"))
+    wedges = (
+        o1.join(o2, "src").filter(F.col("k1") < F.col("k2")).select("v", "w")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wtot = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+    return (
+        tri.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                4,
+            ).alias("global_clustering"),
+        )
+    )

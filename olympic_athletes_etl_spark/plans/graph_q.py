@@ -150,43 +150,14 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the wedge join's within-key quadratic work is capped at
     out-deg^2 <= m per node and the whole plan is three equi-join
     shuffles keyed on node ids. The clustering coefficient divides by
-    the exact wedge total sum(d*(d-1)/2), computed in the same pass."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = _degrees(edges)
-    okey = F.col("deg") * _OKEY_STRIDE + F.col("node")
-    ka = deg.select(F.col("node").alias("pa"), okey.alias("ka"))
-    kb = deg.select(F.col("node").alias("pb"), okey.alias("kb"))
-    ek = edges.join(ka, "pa").join(kb, "pb")
-    oriented = ek.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("pa")).otherwise(F.col("pb")).alias("src"),
-        F.when(F.col("ka") < F.col("kb"), F.col("pb")).otherwise(F.col("pa")).alias("dst"),
-        F.greatest("ka", "kb").alias("kdst"),
-    ).localCheckpoint(eager=True)
-    o1 = oriented.select(F.col("src"), F.col("dst").alias("v"), F.col("kdst").alias("k1"))
-    o2 = oriented.select(F.col("src"), F.col("dst").alias("w"), F.col("kdst").alias("k2"))
-    wedges = o1.join(o2, "src").filter(F.col("k1") < F.col("k2")).select("v", "w")
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
-        ["v", "w"],
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    wtot = deg.agg(
-        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
-    )
-    return (
-        tri.crossJoin(F.broadcast(n_nodes))
-        .crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(wtot))
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_triangles",
-            F.round(
-                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
-                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
-                ),
-                4,
-            ).alias("global_clustering"),
-        )
+    the exact wedge total sum(d*(d-1)/2), computed in the same pass.
+
+    The edge-list-in, stats-out core lives in
+    ``operators.graph.triangle_stats`` so synthetic adversarial shapes
+    (complete graph, star hub, degree ties) pin the orientation logic
+    independently of this query's co-purchase edge derivation."""
+    from olympic_athletes_etl_spark.operators.graph import triangle_stats
+
+    return triangle_stats(
+        _edges(spark, sf_dir), src="pa", dst="pb", normalized=True
     )

@@ -77,3 +77,54 @@ def test_pagerank_deterministic_across_runs(spark):
     r1 = sorted((r["vertex"], r["rank"]) for r in pagerank(edges).collect())
     r2 = sorted((r["vertex"], r["rank"]) for r in pagerank(edges).collect())
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats — adversarial shapes for the degree-orientation logic
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, edges, **kw):
+    from olympic_athletes_etl_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    [row] = triangle_stats(df, **kw).collect()
+    return row
+
+
+def test_triangle_stats_complete_graph_k5(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    row = _tri(spark, edges)
+    assert row["n_triangles"] == 10  # C(5,3)
+    assert row["n_edges"] == 10 and row["n_nodes"] == 5
+    assert row["global_clustering"] == 1.0
+
+
+def test_triangle_stats_star_hub_has_none(spark):
+    # hub 0 with 20 leaves: max wedges at the hub, zero triangles —
+    # orientation must not blow up or miscount on the hub
+    row = _tri(spark, [(0, i) for i in range(1, 21)])
+    assert row["n_triangles"] == 0
+    assert row["global_clustering"] == 0.0
+
+
+def test_triangle_stats_degree_ties_and_reversed_dups(spark):
+    # triangle 1-2-3 (all degree 2: orientation falls back to id order)
+    # plus a reversed duplicate edge that normalization must collapse
+    edges = [(1, 2), (2, 3), (1, 3), (3, 1)]
+    row = _tri(spark, edges)
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+
+
+def test_triangle_stats_two_sharing_an_edge(spark):
+    # triangles 1-2-3 and 2-3-4 share edge (2,3)
+    row = _tri(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    assert row["n_triangles"] == 2
+    # wedges: degrees 2,3,3,2 -> 1+3+3+1 = 8; gcc = 3*2/8
+    assert row["global_clustering"] == 0.75
+
+
+def test_triangle_stats_normalized_fast_path_same_answer(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    assert _tri(spark, edges) == _tri(spark, edges, normalized=True)
