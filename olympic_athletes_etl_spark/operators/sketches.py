@@ -41,3 +41,100 @@ def approx_percentiles(
         col, list(probabilities), accuracy
     ).alias(f"approx_percentiles_{col}")
     return df.groupBy(*group).agg(agg) if group else df.agg(agg)
+
+
+# ---------------------------------------------------------------------------
+# Derandomized sketches — fixed hash parameters, so results are
+# reproducible across engines/runs and CAN sit on the oracle surface
+# (plans/sketch_q.py registers them over the testdata tables).
+# ---------------------------------------------------------------------------
+
+_P = 1_000_000_007
+
+
+def kmv_cardinality(
+    df: DataFrame,
+    key: str,
+    group: Sequence[str] = (),
+    k: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """Distinct-count estimate from ``k`` fixed minhash permutations:
+    n-hat = k*P / (sum of per-permutation minima + k) - 1, exact BIGINT
+    arithmetic end-to-end. State is k BIGINTs per group, merged by
+    elementwise min — fully map-side-combinable, vs a per-group hash
+    set for count(DISTINCT).
+
+    ``key`` must be an integer column. A quadratic-congruential
+    scramble precedes the affine permutation family: consecutive ids
+    under affine-only hashing form a lattice with biased minima (a
+    15-distinct group estimated ~9x high before the scramble).
+    ``exact=True`` adds the true count(DISTINCT) for error reporting.
+    ~25%% relative error at k=16 (1/sqrt(k) scaling); raise k for
+    tighter bounds at k*8 bytes per group."""
+    params = [
+        ((2_654_435_761 * (i + 1)) % _P, (999_983 * (i + 7)) % _P)
+        for i in range(k)
+    ]
+    g = f"(({key} % {_P} + 1000003) * 2654435761 % {_P})"
+    sk = F.expr(f"{g} * {g} % {_P}")
+    mins = [
+        F.min((sk * a + b) % _P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    aggs = list(mins) + (
+        [F.countDistinct(key).alias("n_exact")] if exact else []
+    )
+    grouped = df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+    msum = " + ".join(f"_m{i}" for i in range(k))
+    est = F.expr(f"CAST({k * _P} AS BIGINT) div ({msum} + {k}) - 1").alias(
+        "est_distinct"
+    )
+    keep = [*group, *(["n_exact"] if exact else [])]
+    return grouped.select(*keep, est)
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min frequency estimates for every distinct value of
+    ``col`` (string): (value, cnt, cms_est) where cms_est >= cnt always
+    and the sketch behind it is depth*width cells REGARDLESS of input
+    size — per-partition arrays merge by cell-wise sum (here the
+    map-side-combinable groupBy on (row, bucket)), and the per-value
+    estimate joins the distinct-value dim against the BROADCAST sketch.
+    Additive error <= total/width per row, min over ``depth`` rows.
+    Callers screen heavy hitters with ``cms_est >= threshold`` — never
+    lossy for true heavy hitters (see plans/sketch_q.py:t_heavy_hitters
+    for the oracle-gated phi-screen form)."""
+    a = ", ".join(str(131 + 6 * i) for i in range(depth))
+    b = ", ".join(str(7 + 4 * i) for i in range(depth))
+    tc = df.groupBy(F.col(col).alias("w")).agg(F.count(F.lit(1)).alias("cnt"))
+    th = tc.withColumn(
+        "t",
+        F.expr(
+            "aggregate(split(w, ''), CAST(0 AS BIGINT),"
+            f" (acc, c) -> (acc * 31 + ascii(c)) % {_P})"
+        ),
+    )
+    posed = th.select(
+        "w",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        "t",
+    ).withColumn(
+        "pos",
+        F.expr(
+            f"((t * element_at(array({a}), j + 1)"
+            f" + element_at(array({b}), j + 1)) % {_P}) % {width}"
+        ),
+    )
+    cells = posed.groupBy("j", "pos").agg(F.sum("cnt").alias("cell"))
+    return (
+        posed.join(F.broadcast(cells), ["j", "pos"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )

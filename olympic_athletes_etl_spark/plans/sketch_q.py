@@ -89,23 +89,16 @@ def a_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you drop that column and keep the sketch (or use the native
     HLL++ wrapper in operators/sketches.py when cross-engine
     hash-stability isn't required)."""
-    mins = [
-        F.min((F.col("sk") * a + b) % _P).alias(f"m{k}")
-        for k, (a, b) in enumerate(_KMV_PARAMS)
-    ]
-    grouped = (
-        load(spark, sf_dir, "events")
-        .withColumn("sk", F.expr(_KMV_SCRAMBLE_SQL))
-        .groupBy("event_type")
-        .agg(*mins, F.countDistinct("user_id").alias("n_exact"))
+    from olympic_athletes_etl_spark.operators.sketches import (
+        kmv_cardinality,
     )
-    msum = " + ".join(f"m{k}" for k in range(_KMV_K))
-    return grouped.select(
-        "event_type",
-        "n_exact",
-        F.expr(
-            f"CAST({_KMV_K * _P} AS BIGINT) div ({msum} + {_KMV_K}) - 1"
-        ).alias("est_distinct"),
+
+    return kmv_cardinality(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        group=["event_type"],
+        k=_KMV_K,
+        exact=True,
     )
 
 
@@ -114,8 +107,8 @@ def a_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # buckets per row
-_CMS_A = [131, 137, 139, 149]
-_CMS_B = [7, 11, 13, 17]
+_CMS_A = [131 + 6 * i for i in range(_CMS_D)]  # == operators.sketches.cms_frequencies
+_CMS_B = [7 + 4 * i for i in range(_CMS_D)]
 # a token is a heavy-hitter candidate when its CMS estimate is at least
 # total_tokens / _HH_INV_FRAC (the classic phi-heavy-hitter screen).
 _HH_INV_FRAC = 200
@@ -171,39 +164,16 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact next to the estimate). CMS error is additive
     (<= total/W per row, min over 4 rows), which is why the 1/200
     screen with W=512 cannot miss a true heavy hitter."""
+    from olympic_athletes_etl_spark.operators.sketches import (
+        cms_frequencies,
+    )
+
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     )
     tot = tokens.agg(F.count(F.lit(1)).alias("n"))
-    tc = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    th = tc.withColumn(
-        "t",
-        F.expr(
-            "aggregate(split(w, ''), CAST(0 AS BIGINT),"
-            f" (acc, c) -> (acc * 31 + ascii(c)) % {_P})"
-        ),
-    )
-    a_arr = ", ".join(map(str, _CMS_A))
-    b_arr = ", ".join(map(str, _CMS_B))
-    posed = th.select(
-        "w",
-        "cnt",
-        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
-        F.col("t"),
-    ).withColumn(
-        "pos",
-        F.expr(
-            f"((t * element_at(array({a_arr}), j + 1)"
-            f" + element_at(array({b_arr}), j + 1)) % {_P}) % {_CMS_W}"
-        ),
-    )
-    cells = posed.groupBy("j", "pos").agg(F.sum("cnt").alias("cell"))
-    est = (
-        posed.join(F.broadcast(cells), ["j", "pos"])
-        .groupBy("w", "cnt")
-        .agg(F.min("cell").alias("cms_est"))
-    )
+    est = cms_frequencies(tokens, "w", depth=_CMS_D, width=_CMS_W)
     return (
         est.crossJoin(F.broadcast(tot))
         .filter(F.col("cms_est") >= F.expr(f"n div {_HH_INV_FRAC}"))

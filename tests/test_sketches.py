@@ -32,3 +32,33 @@ def test_approx_percentiles_close_to_exact(spark):
     p50, p99 = approx
     assert abs(p50 - 50_000) < 1_000
     assert abs(p99 - 99_000) < 1_000
+
+
+def test_kmv_cardinality_tracks_known_distincts(spark):
+    from olympic_athletes_etl_spark.operators.sketches import kmv_cardinality
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 3000).alias("v")
+    )
+    rows = {
+        r["g"]: (r["n_exact"], r["est_distinct"])
+        for r in kmv_cardinality(df, "v", group=["g"], exact=True).collect()
+    }
+    for g, (n, est) in rows.items():
+        assert n == 1500
+        assert 1500 / 3 <= est <= 1500 * 3  # well inside 4x test band
+
+
+def test_cms_frequencies_upper_bounds_every_count(spark):
+    from olympic_athletes_etl_spark.operators.sketches import cms_frequencies
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("tok"), (F.col("id") % 400).cast("string")).alias("w")
+    )
+    rows = cms_frequencies(df, "w", depth=4, width=128).collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert r["cms_est"] >= r["cnt"]
+        # additive bound: total/width per row, min over 4 rows can only
+        # tighten it; with adversarial-free uniform data stay within 2x
+        assert r["cms_est"] <= r["cnt"] + 4 * (5000 // 128)
