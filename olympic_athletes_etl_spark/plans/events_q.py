@@ -1634,3 +1634,49 @@ def e_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bars — open/high/low/close aggregation in a single pass
+# --------------------------------------------------------------------------
+@query(
+    "e_ohlc_bars",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(first(value ORDER BY ts, event_id), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(last(value ORDER BY ts, event_id), 4) AS close
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type — the canonical time-series
+    downsample (finance bars, metrics rollups): open/close are the
+    first/last values in the bar, high/low the extremes, all in ONE
+    map-side-combinable aggregation pass via min_by/max_by (no sort, no
+    window). The orderings are made TOTAL with event_id as tie-break —
+    without it, same-timestamp rows would make open/close
+    partition-order-dependent and the cross-engine hash would flicker.
+
+    Scale shape: this is the downsampling pattern for petabyte metric
+    streams — the state per (type, day) group is five scalars
+    regardless of events per bar, so the single shuffle carries only
+    group cardinality (types x days). min_by/max_by partials merge
+    exactly like min/max."""
+    ev = load(spark, sf_dir, "events")
+    okey = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").alias("eid"),
+    )
+    return (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min_by("value", okey), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", okey), 4).alias("close"),
+        )
+    )

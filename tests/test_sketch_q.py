@@ -150,6 +150,23 @@ def test_corr_regression_matches_native_corr(spark, sf_dir):
         assert (r["corr_qty_disc"] >= 0) == (r["ols_slope"] >= 0)
 
 
+# ------------------------------------------------- OHLC bars
+
+
+def test_ohlc_bars_internally_consistent(spark, sf_dir):
+    rows = _q("e_ohlc_bars")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = load(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+    # single-event bars must collapse to one value on all four fields
+    for r in rows:
+        if r["n"] == 1:
+            assert r["open"] == r["high"] == r["low"] == r["close"]
+
+
 # ------------------------------------------------- integer z-score anomalies
 
 
