@@ -1151,3 +1151,69 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (start % _PACK_WINDOW).cast("bigint").alias("pack_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture schedule — epochs-per-source to hit a target sampling mixture
+# --------------------------------------------------------------------------
+@query(
+    "t_mix_schedule",
+    oracle="""
+    WITH pert AS (
+      SELECT source,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1
+               AS weight,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(weight) AS BIGINT) AS total_weight
+      FROM pert
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           (1000 * weight * total_tokens)
+             // (total_weight * n_tokens) AS epochs_milli
+    FROM pert, tot
+    """,
+)
+def t_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture scheduling: given a target sampling weight per
+    source (here weight = source index + 1 — in production the tuned
+    mixture vector), compute how many EPOCHS of each source (x1000,
+    integer) realize that mixture over the whole token budget:
+    epochs = (weight/total_weight) / (source_tokens/total_tokens).
+    epochs_milli > 1000 means the source must repeat (upsample);
+    < 1000 means subsample. This is the planning step behind
+    Pile/DoReMi-style weighted mixtures — the number every weighted
+    dataloader needs per source, derived inside the engine.
+
+    Scale shape: one map-side-combinable groupBy(source) carrying three
+    BIGINTs (token counting is size(split) per row, no explode), plus a
+    source-cardinality-row broadcast for the totals. Integer epoch
+    arithmetic end-to-end — no float mixture share ever materializes,
+    so the schedule is bit-reproducible."""
+    docs = load(spark, sf_dir, "documents")
+    pert = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens"),
+    ).withColumn(
+        "weight",
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint") + 1,
+    )
+    tot = pert.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("weight").alias("total_weight"),
+    )
+    return pert.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.expr(
+            "(1000 * weight * total_tokens)"
+            " div (total_weight * n_tokens)"
+        ).alias("epochs_milli"),
+    )

@@ -256,3 +256,27 @@ def test_bloom_prefilter_screen_keeps_every_exact_contaminated_doc(
     }
     got = {r["doc_id"] for r in _q("d_bloom_prefilter")(spark, sf_dir).collect()}
     assert exact_docs <= got
+
+
+# ------------------------------------------------- mixture schedule
+
+
+def test_mix_schedule_realizes_target_mixture(spark, sf_dir):
+    rows = _q("t_mix_schedule")(spark, sf_dir).collect()
+    assert len(rows) == 20
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    total_weight = sum(r["weight"] for r in rows)
+    # the scheduled token mass of each source must realize its target
+    # share up to the documented millis truncation
+    for r in rows:
+        scheduled = r["epochs_milli"] * r["n_tokens"]
+        target = 1000 * r["weight"] * total_tokens // total_weight
+        # floor division in epochs_milli loses < 1 milli-epoch, i.e.
+        # at most n_tokens scheduled tokens (+1 for the target's own
+        # floor), and never overshoots.
+        assert 0 <= target - scheduled <= r["n_tokens"] + 1, (
+            r,
+            target,
+            scheduled,
+        )
+        assert r["epochs_milli"] > 0
