@@ -1143,3 +1143,107 @@ def s_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_vectors"),
         F.max("n").cast("bigint").alias("max_occupancy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding QA — centroid-distance outliers with integer-exact arithmetic
+# --------------------------------------------------------------------------
+@query(
+    "s_centroid_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, dim,
+             CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)
+               AS qc
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+    ),
+    cent AS (
+      SELECT label, dim, CAST(sum(qc) AS BIGINT) AS s
+      FROM q GROUP BY label, dim
+    ),
+    dots AS (
+      SELECT q.vec_id, q.label,
+             CAST(sum(q.qc * c.s) // 1000000 AS BIGINT) AS milli
+      FROM q JOIN cent c USING (label, dim)
+      GROUP BY q.vec_id, q.label
+    ),
+    stats AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(milli) AS BIGINT) AS sx,
+             CAST(sum(milli * milli) AS BIGINT) AS sxx
+      FROM dots GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.milli AS centroid_dot_milli,
+           round(CAST(m * milli - sx AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)), 3) AS zscore
+    FROM dots d JOIN stats USING (label)
+    WHERE (m * milli - sx) * (m * milli - sx) > 4 * (m * sxx - sx * sx)
+          AND m * sxx > sx * sx
+    """,
+)
+def s_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose alignment with their LABEL CENTROID
+    is more than 2 population standard deviations below/above the
+    group mean — catches mislabeled or off-manifold vectors before
+    they poison a cosine index (the norm variant is vacuous here: the
+    shipped embeddings are unit-normalized, so norm dispersion is
+    exactly zero).
+
+    Determinism layering: coordinates quantize to micro-unit BIGINTs,
+    the centroid is the exact INTEGER coordinate sum (no float mean —
+    a parallel double mean would be partition-order-dependent), each
+    vector's centroid dot product is an exact integer (descaled to
+    milli-units), and the 2-sigma screen cross-multiplies into pure
+    integer arithmetic (same pattern as e_anomaly_days /
+    a_corr_regression).
+
+    Scale shape: the exploded (vec, dim) join keys on (label, dim)
+    against a centroid dim whose cardinality is labels x 64 —
+    broadcast-sized at any corpus scale — then two
+    map-side-combinable groupBys (per-vector dot, per-label moments).
+    Overflow: qc ~ 1e6, s ~ n_label x 1e6, so sum(qc*s) holds to
+    ~1e5 vectors per label in BIGINT before the dot descaling; beyond
+    that quantize at 1e4 (documented headroom)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("dim"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr(
+            "CAST(round(CAST(element_at(embedding, dim) AS DOUBLE)"
+            " * 1000000) AS BIGINT)"
+        ).alias("qc"),
+    )
+    cent = q.groupBy("label", "dim").agg(F.sum("qc").alias("s"))
+    dots = (
+        q.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr("CAST(sum(qc * s) div 1000000 AS BIGINT)").alias("milli")
+        )
+    )
+    stats = dots.groupBy("label").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("milli").alias("sx"),
+        F.sum(F.col("milli") * F.col("milli")).alias("sxx"),
+    )
+    dev = F.col("m") * F.col("milli") - F.col("sx")
+    var_num = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        dots.join(F.broadcast(stats), "label")
+        .filter((dev * dev > 4 * var_num) & (var_num > 0))
+        .select(
+            "vec_id",
+            "label",
+            F.col("milli").alias("centroid_dot_milli"),
+            F.round(
+                dev.cast("double") / F.sqrt(var_num.cast("double")), 3
+            ).alias("zscore"),
+        )
+    )

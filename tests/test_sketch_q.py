@@ -280,3 +280,33 @@ def test_mix_schedule_realizes_target_mixture(spark, sf_dir):
             scheduled,
         )
         assert r["epochs_milli"] > 0
+
+
+# ------------------------------------------------- centroid outliers
+
+
+def test_centroid_outliers_match_bruteforce(spark, sf_dir):
+    rows = _q("s_centroid_outliers")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    emb = load(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        q = [round(float(x) * 1_000_000) for x in r["embedding"]]
+        by_label.setdefault(r["label"], []).append((r["vec_id"], q))
+    expect = set()
+    for label, vecs in by_label.items():
+        cent = [sum(v[d] for _, v in vecs) for d in range(64)]
+        millis = {
+            vid: sum(a * b for a, b in zip(v, cent)) // 1_000_000
+            for vid, v in vecs
+        }
+        m = len(millis)
+        sx = sum(millis.values())
+        sxx = sum(x * x for x in millis.values())
+        for vid, x in millis.items():
+            if (m * x - sx) ** 2 > 4 * (m * sxx - sx * sx) > 0:
+                expect.add((vid, label))
+    got = {(r["vec_id"], r["label"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r["zscore"]) > 2.0
