@@ -36,9 +36,9 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #   3. queries NEW this round (no driver row yet);
 #   4. the r1-stale core: all of textops (11) and tpch (5) — driver-green
 #      in r1 but never re-checked since.
-# Prefix math (driver audits 50): 4 changed + 20 never-audited + 22 new
-# = 46 explicit, then the first 4 of textops fill the prefix to 50 —
-# the last 7 textops, all 5 tpch-core, and all of relational (r1-stale)
+# Prefix math (driver audits 50): 4 changed + 20 never-audited + 23 new
+# = 47 explicit, then the first 3 of textops fill the prefix to 50 —
+# the last 8 textops, all 5 tpch-core, and all of relational (r1-stale)
 # rotate first in round 5 (recorded in COVERAGE.md). Everything demoted
 # stays covered locally by tools/check_parity.py regardless of order.
 _CHANGED_THIS_ROUND = [
@@ -92,6 +92,7 @@ _NEW_THIS_ROUND = [
     "e_ohlc_bars",
     "t_mix_schedule",
     "s_centroid_outliers",
+    "v_histogram_drift",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 

@@ -126,3 +126,91 @@ def v_failure_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.failures(orders, context_cols=["o_orderkey", "o_custkey"]).drop(
         "scope_values"
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift between two data slices — integer total variation
+# --------------------------------------------------------------------------
+@query(
+    "v_histogram_drift",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // 2500 AS bucket,
+             CAST(count(*) FILTER (isodow(ts) <= 5) AS BIGINT) AS n_wd,
+             CAST(count(*) FILTER (isodow(ts) > 5) AS BIGINT) AS n_we
+      FROM events GROUP BY 1, 2
+    ),
+    tots AS (
+      SELECT event_type, CAST(sum(n_wd) AS BIGINT) AS tot_wd,
+             CAST(sum(n_we) AS BIGINT) AS tot_we
+      FROM cells GROUP BY 1
+    ),
+    diffs AS (
+      SELECT c.event_type, c.bucket, t.tot_wd, t.tot_we,
+             abs(c.n_wd * t.tot_we - c.n_we * t.tot_wd) AS d
+      FROM cells c JOIN tots t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(min(tot_wd) AS BIGINT) AS n_weekday,
+           CAST(min(tot_we) AS BIGINT) AS n_weekend,
+           CAST(1000 * sum(d) // (2 * min(tot_wd) * min(tot_we)) AS BIGINT)
+             AS tv_permille,
+           CAST(first(bucket ORDER BY d DESC, bucket ASC) AS BIGINT)
+             AS top_drift_bucket
+    FROM diffs
+    WHERE tot_wd > 0 AND tot_we > 0
+    GROUP BY event_type
+    """,
+)
+def v_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-vs-weekend value-distribution drift per event type: the
+    $25-bucket histograms of the two slices are compared by TOTAL
+    VARIATION distance, computed entirely in integers — per bucket
+    |n_wd*N_we - n_we*N_wd|, summed and scaled to permille only at the
+    end — so the drift score is bit-reproducible (the production use is
+    alerting on ingest-batch drift against a reference window, where a
+    float-flickering metric means flapping alerts). The top drifting
+    bucket is reported with a deterministic tie-break (highest
+    cross-difference, then lowest bucket).
+
+    Scale shape: one map-side-combinable groupBy to the (type, bucket)
+    grid — bounded by value range, not event count — then
+    grid-cardinality aggregates; nothing downstream of the first
+    aggregation grows with the data. Overflow: the cross-difference is
+    bounded by N_wd*N_we, so BIGINT holds to ~1e9 rows per slice
+    before the permille scaling; past that, descale the counts first
+    (documented headroom, same discipline as the moment queries)."""
+    ev = load(spark, sf_dir, "events")
+    is_wd = F.expr("weekday(ts) < 5")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT) div 2500").alias("bucket"),
+    ).agg(
+        F.sum(F.when(is_wd, 1).otherwise(0)).alias("n_wd"),
+        F.sum(F.when(is_wd, 0).otherwise(1)).alias("n_we"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("n_wd").alias("tot_wd"), F.sum("n_we").alias("tot_we")
+    )
+    diffs = cells.join(F.broadcast(tots), "event_type").withColumn(
+        "d",
+        F.abs(
+            F.col("n_wd") * F.col("tot_we") - F.col("n_we") * F.col("tot_wd")
+        ),
+    )
+    return (
+        diffs.filter((F.col("tot_wd") > 0) & (F.col("tot_we") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.min("tot_wd").alias("n_weekday"),
+            F.min("tot_we").alias("n_weekend"),
+            F.expr(
+                "CAST(1000 * sum(d) div (2 * min(tot_wd) * min(tot_we))"
+                " AS BIGINT)"
+            ).alias("tv_permille"),
+            F.max_by(
+                "bucket", F.struct(F.col("d").alias("d"), (-F.col("bucket")).alias("nb"))
+            ).cast("bigint").alias("top_drift_bucket"),
+        )
+    )

@@ -310,3 +310,30 @@ def test_centroid_outliers_match_bruteforce(spark, sf_dir):
     assert got == expect
     for r in rows:
         assert abs(r["zscore"]) > 2.0
+
+
+# ------------------------------------------------- histogram drift
+
+
+def test_histogram_drift_matches_bruteforce_tv(spark, sf_dir):
+    rows = _q("v_histogram_drift")(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    assert sum(r["n_weekday"] + r["n_weekend"] for r in rows) == len(ev)
+    hist: dict[str, dict[int, list[int]]] = {}
+    for r in ev:
+        b = round(float(r["value"]) * 100) // 2500
+        wd = 0 if r["ts"].weekday() < 5 else 1
+        hist.setdefault(r["event_type"], {}).setdefault(b, [0, 0])[wd] += 1
+    for r in rows:
+        cells = hist[r["event_type"]]
+        n1 = sum(v[0] for v in cells.values())
+        n2 = sum(v[1] for v in cells.values())
+        assert (n1, n2) == (r["n_weekday"], r["n_weekend"])
+        tv = 1000 * sum(
+            abs(v[0] * n2 - v[1] * n1) for v in cells.values()
+        ) // (2 * n1 * n2)
+        assert tv == r["tv_permille"]
+        assert 0 <= tv <= 1000
