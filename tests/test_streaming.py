@@ -280,3 +280,36 @@ def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
     ids = sorted(r["event_id"] for r in out)
     assert ids == [1, 2, 3]  # the redelivered id 2 appears exactly once
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_windowed_ohlc_matches_batch(spark, stream_dir, tmp_path):
+    from olympic_athletes_etl_spark.streaming.pipeline import windowed_ohlc
+
+    stream = read_event_stream(spark, stream_dir)
+    run_available_now(
+        windowed_ohlc(stream, "1 hour", "30 minutes"),
+        "t_ohlc_all",
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ck_ohlc"),
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in spark.table("t_ohlc_all").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in windowed_ohlc(
+            spark.read.schema(EVENT_SCHEMA).parquet(stream_dir),
+            "1 hour",
+            "30 minutes",
+        ).collect()
+    }
+    assert got == want
+    # the 10:00 view bar saw values 1 (ts+0), 2 (ts+10m), 100 (ts+5m):
+    # open = first by time = 1, close = last = 2, high = 100, low = 1
+    t0_view = got[(T0, "view")]
+    assert t0_view == (3, 1.0, 100.0, 1.0, 2.0)
