@@ -226,7 +226,13 @@ def triangle_stats(
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    wtot = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+    # coalesce: sum() over an empty degree table is NULL, and NULL == 0
+    # would skip the zero-wedge guard, propagating NULL clustering.
+    wtot = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)
+        ).alias("n_wedges")
+    )
     return (
         tri.crossJoin(F.broadcast(n_nodes))
         .crossJoin(F.broadcast(n_edges))

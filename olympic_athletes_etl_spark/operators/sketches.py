@@ -52,6 +52,32 @@ def approx_percentiles(
 _P = 1_000_000_007
 
 
+def kmv_params(k: int) -> list[tuple[int, int]]:
+    """(a, b) of the i-th KMV permutation h_i(s) = (a*s + b) mod P —
+    THE single definition; plans/sketch_q.py interpolates these same
+    pairs into the DuckDB oracle so the two sides cannot desync."""
+    return [
+        ((2_654_435_761 * (i + 1)) % _P, (999_983 * (i + 7)) % _P)
+        for i in range(k)
+    ]
+
+
+def kmv_scramble_sql(key: str) -> str:
+    """Quadratic-congruential scramble of an integer column — valid as
+    both Spark SQL and DuckDB SQL (see kmv_cardinality on why affine-
+    only hashing of consecutive ids biases the minima)."""
+    g = f"(({key} % {_P} + 1000003) * 2654435761 % {_P})"
+    return f"{g} * {g} % {_P}"
+
+
+def cms_params(depth: int) -> tuple[list[int], list[int]]:
+    """(a, b) per CMS hash row — shared with the oracle like kmv_params."""
+    return (
+        [131 + 6 * i for i in range(depth)],
+        [7 + 4 * i for i in range(depth)],
+    )
+
+
 def kmv_cardinality(
     df: DataFrame,
     key: str,
@@ -72,12 +98,8 @@ def kmv_cardinality(
     ``exact=True`` adds the true count(DISTINCT) for error reporting.
     ~25%% relative error at k=16 (1/sqrt(k) scaling); raise k for
     tighter bounds at k*8 bytes per group."""
-    params = [
-        ((2_654_435_761 * (i + 1)) % _P, (999_983 * (i + 7)) % _P)
-        for i in range(k)
-    ]
-    g = f"(({key} % {_P} + 1000003) * 2654435761 % {_P})"
-    sk = F.expr(f"{g} * {g} % {_P}")
+    params = kmv_params(k)
+    sk = F.expr(kmv_scramble_sql(key))
     mins = [
         F.min((sk * a + b) % _P).alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
@@ -110,8 +132,9 @@ def cms_frequencies(
     Callers screen heavy hitters with ``cms_est >= threshold`` — never
     lossy for true heavy hitters (see plans/sketch_q.py:t_heavy_hitters
     for the oracle-gated phi-screen form)."""
-    a = ", ".join(str(131 + 6 * i) for i in range(depth))
-    b = ", ".join(str(7 + 4 * i) for i in range(depth))
+    a_list, b_list = cms_params(depth)
+    a = ", ".join(map(str, a_list))
+    b = ", ".join(map(str, b_list))
     tc = df.groupBy(F.col(col).alias("w")).agg(F.count(F.lit(1)).alias("cnt"))
     th = tc.withColumn(
         "t",

@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from olympic_athletes_etl_spark.operators.sketches import (
+    cms_params,
+    kmv_params,
+    kmv_scramble_sql,
+)
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 
@@ -36,21 +41,13 @@ _P = 1_000_000_007
 # count).
 # --------------------------------------------------------------------------
 _KMV_K = 16
-# (a, b) of h_k(s) = (a_k * s + b_k) mod P over the SCRAMBLED key s —
-# fixed, so both engines draw the same "random" permutations.
-_KMV_PARAMS = [
-    ((2_654_435_761 * (k + 1)) % _P, (999_983 * (k + 7)) % _P)
-    for k in range(_KMV_K)
-]
-# Nonlinear scramble before the affine family: consecutive integer keys
-# under a purely affine h form a lattice whose minima are biased (a
-# 15-user group estimated 86-132 in the first two cuts); squaring a
-# mixed value mod P (quadratic congruential) breaks the lattice, after
-# which the estimator behaves like the uniform-hash theory says.
-_KMV_SCRAMBLE_SQL = (
-    "((user_id % {p} + 1000003) * 2654435761 % {p})"
-    " * ((user_id % {p} + 1000003) * 2654435761 % {p}) % {p}"
-).format(p=_P)
+# Hash parameters and the lattice-breaking scramble come from ONE
+# definition in operators/sketches.py (kmv_params / kmv_scramble_sql):
+# the Spark plan uses them through kmv_cardinality and the DuckDB
+# oracle interpolates the same values below, so the two sides cannot
+# silently desync.
+_KMV_PARAMS = kmv_params(_KMV_K)
+_KMV_SCRAMBLE_SQL = kmv_scramble_sql("user_id")
 
 
 @query(
@@ -107,8 +104,7 @@ def a_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CMS_D = 4  # hash rows
 _CMS_W = 512  # buckets per row
-_CMS_A = [131 + 6 * i for i in range(_CMS_D)]  # == operators.sketches.cms_frequencies
-_CMS_B = [7 + 4 * i for i in range(_CMS_D)]
+_CMS_A, _CMS_B = cms_params(_CMS_D)  # shared with cms_frequencies
 # a token is a heavy-hitter candidate when its CMS estimate is at least
 # total_tokens / _HH_INV_FRAC (the classic phi-heavy-hitter screen).
 _HH_INV_FRAC = 200
@@ -250,7 +246,6 @@ def a_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cust.select(
         "c_nationkey",
         F.expr(_HIST_BUCKET).alias("bucket"),
-        "c_acctbal",
     )
     agg = b.groupBy("c_nationkey", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")

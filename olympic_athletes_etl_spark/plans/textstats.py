@@ -1161,8 +1161,8 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pert AS (
       SELECT source,
-             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1
-               AS weight,
+             COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
+                                AS BIGINT), 0) + 1 AS weight,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
                AS n_tokens
@@ -1200,8 +1200,18 @@ def t_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens"),
     ).withColumn(
+        # try_cast + coalesce: a source with no trailing digits gets
+        # weight 1 on BOTH engines (plain CAST('') raises in DuckDB and
+        # NULLs in Spark — divergent); only digit-suffixed names carry
+        # the synthetic index+1 weight.
         "weight",
-        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("bigint") + 1,
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).try_cast(
+                "bigint"
+            ),
+            F.lit(0),
+        )
+        + 1,
     )
     tot = pert.agg(
         F.sum("n_tokens").alias("total_tokens"),

@@ -128,3 +128,13 @@ def test_triangle_stats_two_sharing_an_edge(spark):
 def test_triangle_stats_normalized_fast_path_same_answer(spark):
     edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     assert _tri(spark, edges) == _tri(spark, edges, normalized=True)
+
+
+def test_triangle_stats_empty_graph_is_all_zero(spark):
+    row = _tri(spark, [])
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_triangles"],
+        row["global_clustering"],
+    ) == (0, 0, 0, 0.0)  # coalesced — an empty sum must not NULL the gcc

@@ -171,8 +171,13 @@ def test_ohlc_bars_internally_consistent(spark, sf_dir):
 
 
 def test_anomaly_days_all_beyond_two_sigma(spark):
-    # sf0.001's short span yields few/no anomalies; pin at sf0.01.
-    sf = "/root/testdata/sf0.01"
+    # sf0.001's short span yields few/no anomalies; pin at sf0.01
+    # (overridable alongside the fixture's env var).
+    import os
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_TEST_SF01_DIR", "/root/testdata/sf0.01"
+    )
     rows = _q("e_anomaly_days")(spark, sf).collect()
     assert len(rows) > 0
     daily = (
@@ -191,6 +196,11 @@ def test_anomaly_days_all_beyond_two_sigma(spark):
         vals = by_type[r["event_type"]]
         mu = statistics.fmean(vals)
         sigma = statistics.pstdev(vals)
+        if sigma == 0:
+            # zero-variance groups are excluded by the query's
+            # var_num > 0 guard — they must never be flagged
+            assert (r["event_type"], r["day"]) not in flagged
+            continue
         z = (r["n"] - mu) / sigma
         assert ((r["event_type"], r["day"]) in flagged) == (abs(z) > 2), (
             r,
@@ -296,8 +306,12 @@ def test_centroid_outliers_match_bruteforce(spark, sf_dir):
     expect = set()
     for label, vecs in by_label.items():
         cent = [sum(v[d] for _, v in vecs) for d in range(64)]
+        def trunc_div(x, d):
+            # Spark div / DuckDB // TRUNCATE toward zero; Python // floors
+            return x // d if x >= 0 else -((-x) // d)
+
         millis = {
-            vid: sum(a * b for a, b in zip(v, cent)) // 1_000_000
+            vid: trunc_div(sum(a * b for a, b in zip(v, cent)), 1_000_000)
             for vid, v in vecs
         }
         m = len(millis)
