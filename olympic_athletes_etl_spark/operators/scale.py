@@ -13,6 +13,8 @@ skew-join splitting and broadcast selection aren't enough:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,6 +92,36 @@ def range_sorted_write(
         df.repartitionByRange(num_partitions, key)
         .sortWithinPartitions(key)
         .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
+def hive_partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory-partitioned layout (``col=value/`` dirs) —
+    the default lake layout for low-cardinality slice keys (ingest
+    date, source, event type): a reader filtering on a partition column
+    never OPENS non-matching files (directory-level PartitionFilters,
+    checked in test_scale_ops), one level stronger than the row-group
+    footer pruning range_sorted_write buys.
+
+    Scale discipline: partition columns must be LOW-cardinality
+    (dirs = product of distinct values; a high-cardinality key
+    explodes the namespace and produces tiny files — that is what
+    bucketed_write / range_sorted_write are for), and the upstream df
+    should be repartitioned on the partition cols first if many input
+    partitions each hold many distinct values (otherwise every task
+    writes a file into every directory — the small-files problem)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode(mode)
         .format(fmt)
         .save(path)
     )

@@ -97,3 +97,32 @@ def test_range_sorted_write_layout(spark, sf_dir, tmp_path):
         assert hi_a <= lo_b
     # round-trips the full table
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_hive_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    from olympic_athletes_etl_spark.operators.scale import (
+        hive_partitioned_write,
+    )
+
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    hive_partitioned_write(ev, out, ["event_type"])
+    # on-disk layout: one col=value directory per type
+    dirs = {p.name for p in (tmp_path / "events_by_type").iterdir()
+            if p.is_dir()}
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert dirs == {f"event_type={t}" for t in types}
+    back = spark.read.parquet(out)
+    # roundtrip conservation
+    assert back.count() == ev.count()
+    # the filter must reach the scan as a PartitionFilter (directory
+    # pruning — non-matching files are never opened), not a post-scan
+    # Filter over all rows
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert pruned.count() == ev.filter(F.col("event_type") == "click").count()
