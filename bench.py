@@ -77,7 +77,7 @@ def main() -> None:
     # distinguishable from a real regression in the artifact itself.
     try:
         load1 = round(os.getloadavg()[0], 2)
-    except OSError:  # platform without getloadavg
+    except (OSError, AttributeError):  # platform without getloadavg
         load1 = None
     print(
         json.dumps(

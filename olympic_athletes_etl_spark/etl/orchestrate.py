@@ -114,23 +114,10 @@ class Dag:
         return self
 
     def _topo_order(self) -> list[Task]:
-        order, seen, visiting = [], set(), set()
-
-        def visit(t: Task) -> None:
-            if t.task_id in seen:
-                return
-            if t.task_id in visiting:
-                raise ValueError(f"dependency cycle through {t.task_id!r}")
-            visiting.add(t.task_id)
-            for u in t.upstream:
-                visit(self._tasks[u])
-            visiting.discard(t.task_id)
-            seen.add(t.task_id)
-            order.append(t)
-
-        for t in self._tasks.values():
-            visit(t)
-        return order
+        # Insertion order is already topological: add() rejects any
+        # upstream not yet registered, so every edge points backwards —
+        # cycles are unconstructible and a DFS would be dead code.
+        return list(self._tasks.values())
 
     def run(self) -> DagRun:
         run = DagRun(self.dag_id)

@@ -10,6 +10,7 @@ from olympic_athletes_etl_spark.multimodal.columns import (
     attach_text_payload,
     decode_audio,
     decode_image,
+    decode_audio_stats,
     decode_image_stats,
     encode_ppm,
     encode_wav,
@@ -24,6 +25,7 @@ __all__ = [
     "attach_text_payload",
     "decode_audio",
     "decode_image",
+    "decode_audio_stats",
     "decode_image_stats",
     "encode_ppm",
     "encode_wav",

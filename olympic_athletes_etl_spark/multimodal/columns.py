@@ -366,7 +366,9 @@ def decode_audio(payload: bytes):
         with wave.open(io.BytesIO(payload)) as wf:
             rate, nch, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
             raw = wf.readframes(wf.getnframes())
-    except wave.Error as exc:
+    except (wave.Error, EOFError) as exc:
+        # EOFError: stdlib chunk parsing on empty/truncated headers —
+        # same malformed-payload class, same ValueError quarantine
         raise ValueError(f"not a PCM WAV payload: {exc}") from exc
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.int16)

@@ -77,8 +77,21 @@ def partitioned_running_sum(
     )
     if broadcast_offsets:
         offsets = F.broadcast(offsets)
+    # NULL-SAFE join keys: a plain equi-join would silently DROP any row
+    # whose bucket (or group) value is NULL (null keys never match in
+    # SQL), where the single-window form this operator replaces keeps
+    # them (nulls-first in the order). eqNullSafe preserves exact
+    # equivalence; the pass-2 window's default asc_nulls_first likewise
+    # matches the single-window null placement.
+    l, o = local.alias("__psum_l"), offsets.alias("__psum_o")
+    cond = F.col("__psum_l.__psum_bucket").eqNullSafe(
+        F.col("__psum_o.__psum_bucket")
+    )
+    for g in groups:
+        cond = cond & F.col(f"__psum_l.{g}").eqNullSafe(F.col(f"__psum_o.{g}"))
     return (
-        local.join(offsets, on=[*groups, "__psum_bucket"])
+        l.join(o, cond)
+        .select("__psum_l.*", F.col("__psum_o.__psum_off").alias("__psum_off"))
         .withColumn(out_col, F.col("__psum_local") + F.col("__psum_off"))
         .drop("__psum_bucket", "__psum_local", "__psum_off")
     )

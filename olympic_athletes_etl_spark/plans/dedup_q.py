@@ -1334,7 +1334,7 @@ _FUZZY_MAX_DIST = 4
            a.n AS n_a, c.n AS n_b
     FROM b a JOIN b c
       ON a.blk = c.blk AND a.p_name < c.p_name
-     AND abs(strlen(a.p_name) - strlen(c.p_name)) <= {_FUZZY_MAX_DIST}
+     AND abs(length(a.p_name) - length(c.p_name)) <= {_FUZZY_MAX_DIST}
     WHERE levenshtein(a.p_name, c.p_name) <= {_FUZZY_MAX_DIST}
     """,
 )
@@ -1377,7 +1377,7 @@ def d_fuzzy_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_name AS name, min(c.p_name) AS canonical, a.n_parts AS n_parts
     FROM b a JOIN b c
       ON a.blk = c.blk
-     AND abs(strlen(a.p_name) - strlen(c.p_name)) <= {_FUZZY_MAX_DIST}
+     AND abs(length(a.p_name) - length(c.p_name)) <= {_FUZZY_MAX_DIST}
      AND levenshtein(a.p_name, c.p_name) <= {_FUZZY_MAX_DIST}
     GROUP BY a.p_name, a.n_parts
     """,

@@ -145,6 +145,39 @@ def m_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_synth_payload(docs, payload_fn):
+    """(doc_id, n_chars) -> (doc_id, payload BINARY) through mapInPandas —
+    the shared Arrow scaffolding for the codec round-trip queries.
+    ``payload_fn(doc_id, n_chars) -> bytes`` supplies the per-doc codec
+    (registered by value at import, so it cloudpickles to workers)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    payload_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [
+                payload_fn(int(d), int(n))
+                for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return docs.mapInPandas(synth, payload_schema)
+
+
 @query(
     "m_image_decode",
     oracle="""
@@ -185,36 +218,14 @@ def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_ppm,
     )
 
+    def ppm_payload(doc_id: int, n_chars: int) -> bytes:
+        w = 4 + doc_id % 13
+        h = 3 + n_chars % 11
+        flat = (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 251
+        return encode_ppm(flat.astype(np.uint8).reshape(h, w, 3))
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    payload_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-    )
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                w = 4 + int(doc_id) % 13
-                h = 3 + int(n_chars) % 11
-                flat = (int(doc_id) * 31 + np.arange(w * h * 3, dtype=np.int64)) % 251
-                ids.append(int(doc_id))
-                payloads.append(encode_ppm(flat.astype(np.uint8).reshape(h, w, 3)))
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "payload": payloads})
-
-    with_payload = docs.mapInPandas(synth, payload_schema)
-    return decode_image_stats(with_payload)
+    return decode_image_stats(_with_synth_payload(docs, ppm_payload))
 
 
 @query(
@@ -253,35 +264,11 @@ def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav,
     )
 
+    def wav_payload(doc_id: int, n_chars: int) -> bytes:
+        m = 64 + n_chars % 128
+        i = np.arange(m, dtype=np.int64)
+        samples = ((doc_id * 131 + i * 7) % 20001 - 10000).astype(np.int16)
+        return encode_wav(samples, 8000)
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    from typing import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    payload_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
-    )
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, payloads = [], []
-            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-                m = 64 + int(n_chars) % 128
-                i = np.arange(m, dtype=np.int64)
-                samples = ((int(doc_id) * 131 + i * 7) % 20001 - 10000).astype(
-                    np.int16
-                )
-                ids.append(int(doc_id))
-                payloads.append(encode_wav(samples, 8000))
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
-            )
-
-    return decode_audio_stats(docs.mapInPandas(synth, payload_schema))
+    return decode_audio_stats(_with_synth_payload(docs, wav_payload))

@@ -62,3 +62,25 @@ def test_single_bucket_degenerates_to_plain_cumsum(spark):
         ).collect()
     }
     assert got == {k: k + 1 for k in range(50)}
+
+
+def test_null_bucket_rows_are_kept_and_sum_first(spark):
+    # a NULL bucket (e.g. date_trunc of a null timestamp) must behave
+    # exactly like the single-window form: nulls-first in the order,
+    # rows RETAINED (a plain equi-join on the bucket key would drop
+    # them — null keys never match).
+    rows = [(None, 5), (0, 1), (1, 2), (2, 3), (10, 4)]
+    df = spark.createDataFrame(rows, "k: long, v: long")
+    got = partitioned_running_sum(
+        df,
+        bucket=F.expr("k DIV 10"),
+        order_cols=[F.col("k").asc_nulls_first()],
+        value_col="v",
+        out_col="cum",
+    )
+    assert got.count() == 5  # the null-bucket row survives
+    by_k = {r["k"]: r["cum"] for r in got.collect()}
+    # nulls-first: the null row opens the sequence
+    assert by_k[None] == 5
+    assert by_k[0] == 6 and by_k[1] == 8 and by_k[2] == 11
+    assert by_k[10] == 15
