@@ -23,10 +23,10 @@ from olympic_athletes_etl_spark.functions.text import (
     extract_group,
     parse_date_flexible,
     split_range,
-    strip_unit,
 )
 from olympic_athletes_etl_spark.operators.relational import (
     drop_if_present,
+    explode_delimited,
     normalize_dim_bridge,
     surrogate_key,
 )
@@ -100,14 +100,11 @@ def normalize_affiliations(bios: DataFrame) -> tuple[DataFrame, DataFrame]:
     Divergence: the reference applies the fixup AFTER id assignment, so
     ``X, (USA)`` and a would-be-identical fixed row keep separate ids; we
     fix up BEFORE normalization so identical affiliations share one id."""
-    exploded = (
-        bios.filter(F.col("Affiliations").isNotNull())
-        .select(
-            "Athlete_Id",
-            F.explode(F.split(F.col("Affiliations"), r"\s*/\s*")).alias("aff"),
-        )
-        .withColumn("aff", F.trim("aff"))
-        .filter(F.col("aff") != "")
+    exploded = explode_delimited(
+        bios.select("Athlete_Id", "Affiliations"),
+        "Affiliations",
+        r"\s*/\s*",
+        alias="aff",
     )
     club = extract_group("aff", AFFILIATION_PATTERN, 1)
     city = extract_group("aff", AFFILIATION_PATTERN, 2)

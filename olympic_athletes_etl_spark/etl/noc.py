@@ -129,8 +129,15 @@ def canonicalize_noc_df(
     normalized = F.regexp_replace(normalized, r"\band\b", " ")
     normalized = F.trim(F.regexp_replace(normalized, r"\s+", " "))
 
-    work = df.withColumn("__noc_norm", normalized).withColumn(
-        "__row_id", F.monotonically_increasing_id()
+    # localCheckpoint PINS the generated row ids: the id expression is
+    # otherwise re-evaluated independently on each side of the
+    # matches/survivors self-join below, and a retry or changed scan
+    # split could assign different ids per side (the same hazard that
+    # bans monotonically_increasing_id for surrogate keys — SURVEY §7).
+    work = (
+        df.withColumn("__noc_norm", normalized)
+        .withColumn("__row_id", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
     # the country dim is tiny (~250 rows): collect once, pre-escape the
     # word-boundary patterns driver-side, broadcast back (SURVEY §4 —

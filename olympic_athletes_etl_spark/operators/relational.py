@@ -56,8 +56,15 @@ def mode_per_group(df: DataFrame, group: str, value: str) -> DataFrame:
     (A2/W1; pandas ``mode().iloc[0]`` semantics — SURVEY §7; the Glue
     variant data_clean_II_glue.py:57-66 is nondeterministic on ties).
     Aggregates counts BEFORE the window, so the rank runs over
-    (group × value) cardinality, not raw rows."""
-    counts = df.groupBy(group, value).agg(F.count(F.lit(1)).alias("n"))
+    (group × value) cardinality, not raw rows. NULL values are dropped
+    before counting — pandas ``mode()`` ignores NaN, and the asc
+    tie-break would otherwise sort a NULL candidate FIRST and return
+    NULL as the mode of any group where missing is most common."""
+    counts = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(group, value)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = Window.partitionBy(group).orderBy(F.desc("n"), F.asc(value))
     return (
         counts.withColumn("rn", F.row_number().over(w))
@@ -78,12 +85,31 @@ def grouped_median_impute(
     (Sex, Discipline) → (Sex) imputation, data_clean_II_glue.py:77-93 —
     which uses percentile_approx; we use exact ``median`` per SURVEY §7).
     Adds ``flag_col`` marking imputed rows when requested. Window frames
-    are whole-partition aggregates — one shuffle per distinct grouping."""
+    are whole-partition aggregates — one shuffle per distinct grouping.
+
+    Rows with a NULL group key take the FALLBACK median, not the
+    NULL-key cohort's own: pandas ``groupby`` (dropna=True, the
+    reference's form) excludes NULL-key rows from transform, so e.g. an
+    athlete with no Discipline is imputed from the per-Sex median — not
+    from the median of everyone-without-a-discipline."""
+
+    def _keys_ok(cols: Sequence[str]):
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        return cond
+
     out = df
-    med1 = F.median(value).over(Window.partitionBy(*group_cols))
+    med1 = F.when(
+        _keys_ok(group_cols),
+        F.median(value).over(Window.partitionBy(*group_cols)),
+    )
     filled = F.coalesce(F.col(value), med1)
     if fallback_cols is not None:
-        med2 = F.median(value).over(Window.partitionBy(*fallback_cols))
+        med2 = F.when(
+            _keys_ok(fallback_cols),
+            F.median(value).over(Window.partitionBy(*fallback_cols)),
+        )
         filled = F.coalesce(filled, med2)
     if flag_col:
         out = out.withColumn(flag_col, F.col(value).isNull() & filled.isNotNull())
@@ -206,11 +232,15 @@ def explode_delimited(
 ) -> DataFrame:
     """Split a delimited string column and explode to one row per element
     (R1; '/'-separated Affiliations, data_clean_glue.py:105-111). NULL
-    inputs produce no rows (reference dropna-first semantics)."""
+    inputs produce no rows (reference dropna-first semantics), and
+    EMPTY elements from leading/trailing/doubled delimiters are dropped
+    — 'A / B /' yields ['A', 'B'], matching the reference's post-split
+    dropna, not ['A', 'B', '']."""
     alias = alias or col
-    return df.filter(F.col(col).isNotNull()).withColumn(
+    out = df.filter(F.col(col).isNotNull()).withColumn(
         alias, F.explode(F.split(F.trim(F.col(col)), pattern))
     )
+    return out.filter(F.col(alias) != "")
 
 
 def normalize_dim_bridge(
@@ -235,11 +265,18 @@ def normalize_dim_bridge(
             + (id_start - 1),
         )
     )
-    bridge = (
-        df.select(entity_key, *attrs)
-        .dropDuplicates()
-        .join(F.broadcast(dim), on=attrs, how="left")
-        .select(entity_key, id_name)
+    # NULL-SAFE bridge join: dropDuplicates treats NULL attr values as
+    # equal, so the dim HAS a row for (..., NULL, ...) tuples — but a
+    # plain equi-join would never match it (null != null) and every
+    # partially-NULL attribute tuple (the most common affiliation shape:
+    # club with no city/country) would get a NULL bridge id.
+    facts = df.select(entity_key, *attrs).dropDuplicates()
+    d = F.broadcast(dim)
+    cond = F.lit(True)
+    for c in attrs:
+        cond = cond & facts[c].eqNullSafe(d[c])
+    bridge = facts.join(d, on=cond, how="left").select(
+        facts[entity_key], d[id_name]
     )
     return dim, bridge
 

@@ -177,11 +177,18 @@ def resume_remaining(
     """Checkpoint-resume diff: ids not yet present in any checkpoint file
     (S6/F8; reference: athlete_scrape_glue.py:217-235,278-283 collects the
     done-set to the driver — the left_anti join form stays distributed).
-    Missing/empty checkpoint dir ⇒ everything remains."""
+    Missing/empty checkpoint dir ⇒ everything remains; any OTHER read
+    failure (corrupt footer, permissions, transient store error)
+    propagates — swallowing it would silently re-process the full id
+    set and append duplicate checkpoint rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         done = read_parquet_glob(spark, checkpoint_glob).select(key)
-    except Exception:  # noqa: BLE001 — no checkpoints yet (fresh run)
-        return all_ids
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in (exc.getErrorClass() or "") or                 "Path does not exist" in str(exc):
+            return all_ids  # no checkpoints yet (fresh run)
+        raise
     return all_ids.join(done.dropDuplicates(), on=key, how="left_anti")
 
 

@@ -222,3 +222,64 @@ def test_register_views_sql_surface(spark, sf_dir):
         spark.sql("SELECT max(CAST(ts AS DATE)) AS d FROM events").collect()[0]["d"]
         is not None
     )
+
+
+def test_mode_per_group_ignores_null_values(spark):
+    # pandas mode() drops NaN: a group where NULL is most frequent must
+    # still return the most frequent NON-NULL value (the asc tie-break
+    # would otherwise crown NULL, which sorts first).
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", "A"), ("g", "A"), ("g", "B")],
+        "grp: string, v: string",
+    )
+    [row] = mode_per_group(df, "grp", "v").collect()
+    assert row["v"] == "A" and row["mode_count"] == 2
+
+
+def test_grouped_median_impute_null_group_takes_fallback(spark):
+    # pandas groupby(dropna=True): a row with a NULL group key is NOT
+    # imputed from the NULL-key cohort — it falls through to the
+    # coarser fallback grouping.
+    df = spark.createDataFrame(
+        [
+            ("M", "Judo", 180.0),
+            ("M", None, 150.0),
+            ("M", None, None),
+            ("M", "Ski", 170.0),
+        ],
+        "sex: string, disc: string, h: double",
+    )
+    got = grouped_median_impute(
+        df, "h", group_cols=["sex", "disc"], fallback_cols=["sex"]
+    )
+    [imputed] = got.filter(F.col("disc").isNull() & (F.col("h") != 150.0)).collect()
+    assert imputed["h"] == 170.0  # per-sex median of (180, 150, 170)
+
+
+def test_normalize_dim_bridge_links_null_attr_tuples(spark):
+    # the most common affiliation shape is (club, NULL city, NULL
+    # country) — dropDuplicates puts the tuple in the dim, and the
+    # bridge join must be null-safe to link it (null != null otherwise).
+    df = spark.createDataFrame(
+        [(1, "Club A", None, None), (2, "Club A", None, None),
+         (3, "Club B", "Oslo", "NOR")],
+        "eid: long, club: string, city: string, country: string",
+    )
+    dim, bridge = normalize_dim_bridge(
+        df, entity_key="eid", attr_cols=("club", "city", "country"),
+        id_name="aid",
+    )
+    rows = {r["eid"]: r["aid"] for r in bridge.collect()}
+    assert None not in rows.values()  # every entity links
+    assert rows[1] == rows[2] != rows[3]
+
+
+def test_explode_delimited_drops_empty_elements(spark):
+    df = spark.createDataFrame(
+        [(1, "A / B /"), (2, "/C"), (3, None)], "k: long, s: string"
+    )
+    got = sorted(
+        (r["k"], r["e"])
+        for r in explode_delimited(df, "s", r"\s*/\s*", alias="e").collect()
+    )
+    assert got == [(1, "A"), (1, "B"), (2, "C")]

@@ -195,3 +195,25 @@ def test_write_jsonl_roundtrip(spark, tmp_path):
     assert {(r["doc_id"], r["text"]) for r in back.collect()} == {
         (1, "a"), (2, "b"), (3, "c")
     }
+
+
+def test_resume_remaining_propagates_real_read_errors(spark, tmp_path):
+    # a checkpoint dir that EXISTS but fails to read (corrupt/non-parquet
+    # content) must raise, not silently restart from scratch — swallowing
+    # it would duplicate every already-done row on the next append.
+    import pytest
+
+    bad = tmp_path / "ckpt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    all_ids = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(Exception):
+        resume_remaining(spark, all_ids, str(bad / "*.parquet"), "k").count()
+
+
+def test_resume_remaining_missing_dir_returns_everything(spark, tmp_path):
+    all_ids = spark.range(5).withColumnRenamed("id", "k")
+    got = resume_remaining(
+        spark, all_ids, str(tmp_path / "nope" / "*.parquet"), "k"
+    )
+    assert got.count() == 5
