@@ -249,3 +249,76 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank) — PageRank in FIXED-POINT integer arithmetic, so the
+    result is bit-exact across engines and oracle-hashable (the float
+    ``pagerank`` above is tolerance-tested only; float sums depend on
+    partition reduction order).
+
+    Ranks are integers scaled by ``scale``; each iteration is
+        share(u)  = rank(u) div out_deg(u)
+        inflow(v) = sum of share(u) over in-edges (u, v)
+        rank'(v)  = (1-d)*scale + (d_num * inflow) div d_den
+    with all divisions integer floor divisions of non-negative operands —
+    DuckDB's ``//`` and Spark's ``div`` agree exactly there, which is
+    what makes the unrolled-CTE oracle in plans/graph_q.py hash-match.
+    Truncation loses < 1 unit of 1e-9 rank per edge per round —
+    immaterial for ranking, essential for determinism.
+
+    The edge list is treated as DIRECTED; symmetrize upstream for an
+    undirected graph (then every node has out-degree >= 1 and no
+    dangling-mass term is needed; dangling nodes in a directed input
+    simply leak their mass, as the float twin does).
+
+    Scale shape per iteration: one N-row projection (share), one
+    edge-keyed equi-join shuffling |E| share rows, one map-side-
+    combinable sum keyed on the destination node, one N-row left join.
+    Hub skew on the aggregate side is AQE-splittable because the sum is
+    associative. The iteration count is a constant (default 3), so
+    lineage stays shallow and no checkpoint is needed.
+
+    Overflow bound: sum(rank) stays <= N*scale + N (teleport + damped
+    inflow is a contraction), so d_num * inflow <= d_num * N * scale
+    must stay under 2^63 — at scale=1e9 that holds to N ~ 1e8 nodes;
+    shrink ``scale`` for larger vertex sets.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (damping_den - damping_num) * scale // damping_den
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .dropDuplicates()
+    )
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(n_iter):
+        shares = (
+            ranks.join(out_deg, ranks["node"] == out_deg["s"])
+            .select(F.col("s"), F.expr("rank div deg").alias("share"))
+        )
+        inflow = (
+            e.join(shares, "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({damping_num} * coalesce(inflow, CAST(0 AS BIGINT)))"
+                    f" div {damping_den}"
+                )
+            ).alias("rank"),
+        )
+    return ranks

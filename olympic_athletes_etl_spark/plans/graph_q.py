@@ -161,3 +161,79 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(
         _edges(spark, sf_dir), src="pa", dst="pb", normalized=True
     )
+
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+_PR_TELEPORT = 15 * _PR_SCALE // 100
+_PR_TOPN = 20
+
+_PR_ITER_DUCK = """
+    i{i} AS (
+      SELECT sym.t AS node, sum(r.rank // r.deg) AS inflow
+      FROM sym JOIN r{p} r ON r.node = sym.s
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT d.node, d.deg,
+             {teleport} + (85 * coalesce(i.inflow, 0)) // 100 AS rank
+      FROM deg d LEFT JOIN i{i} i ON i.node = d.node
+    )"""
+
+
+@query(
+    "g_pagerank",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    sym AS (
+      SELECT pa AS s, pb AS t FROM edges
+      UNION ALL
+      SELECT pb AS s, pa AS t FROM edges
+    ),
+    r0 AS (
+      SELECT node, deg, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg
+    ),
+    {",".join(
+        _PR_ITER_DUCK.format(i=i, p=i - 1, teleport=_PR_TELEPORT)
+        for i in range(1, _PR_ITERS + 1)
+    )}
+    SELECT node AS part, CAST(rank AS BIGINT) AS rank_x1e9
+    FROM r{_PR_ITERS}
+    ORDER BY rank DESC, node
+    LIMIT {_PR_TOPN}
+    """,
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-central parts of the co-purchase graph by PageRank —
+    FIXED-POINT integer PageRank (operators.graph.pagerank_fixed_point),
+    3 iterations, damping 0.85, ranks scaled by 1e9, over the
+    symmetrized supported edge list (undirected, so every node has
+    out-degree >= 1 and no dangling-mass correction is needed).
+
+    Why fixed-point: float PageRank sums depend on partition reduction
+    order, so it can never be hash-checked across engines; integer floor
+    division makes every iteration bit-exact in both Spark (``div``) and
+    DuckDB (``//``), turning an iterative algorithm into an
+    oracle-gated query (same trick as the integer k-means in
+    s_ann_ivf_kmeans). The oracle unrolls the 3 iterations as chained
+    CTEs — identical dataflow, no recursion needed because the
+    iteration count is a constant.
+
+    Scale: per iteration one |E|-row equi-join + one destination-keyed
+    map-side-combinable sum; the top-20 is TakeOrderedAndProject (per-
+    partition heaps, no global sort). Ties broken by node id so the
+    boundary of the top-N is deterministic."""
+    from olympic_athletes_etl_spark.operators.graph import pagerank_fixed_point
+
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(edges.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
+    ranks = pagerank_fixed_point(
+        sym, src="s", dst="t", scale=_PR_SCALE, n_iter=_PR_ITERS
+    )
+    return (
+        ranks.select(F.col("node").alias("part"), F.col("rank").alias("rank_x1e9"))
+        .orderBy(F.desc("rank_x1e9"), "part")
+        .limit(_PR_TOPN)
+    )

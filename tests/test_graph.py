@@ -138,3 +138,57 @@ def test_triangle_stats_empty_graph_is_all_zero(spark):
         row["n_triangles"],
         row["global_clustering"],
     ) == (0, 0, 0, 0.0)  # coalesced — an empty sum must not NULL the gcc
+
+
+# pagerank_fixed_point (integer; backs the oracle-gated g_pagerank)
+
+def test_pagerank_fixed_point_uniform_on_cycle(spark):
+    from olympic_athletes_etl_spark.operators.graph import pagerank_fixed_point
+
+    # symmetric 4-cycle: every node identical by symmetry, and the value
+    # is exactly the fixpoint scale (teleport + 0.85*scale == scale when
+    # shares flow losslessly: deg=2, rank divisible by 2 each round).
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]]
+        + [(b, a) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]],
+        "src long, dst long",
+    )
+    rows = pagerank_fixed_point(edges).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert len(ranks) == 4
+    assert len(set(ranks.values())) == 1
+    assert ranks[0] == 1_000_000_000
+
+
+def test_pagerank_fixed_point_star_hub_dominates(spark):
+    from olympic_athletes_etl_spark.operators.graph import pagerank_fixed_point
+
+    # undirected star: hub 0 with 5 leaves — hub must strictly outrank
+    # every leaf, and all leaves are identical by symmetry.
+    und = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixed_point(edges).collect()}
+    leaf_ranks = {ranks[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1
+    assert ranks[0] > max(leaf_ranks)
+
+
+def test_pagerank_fixed_point_mass_bounded_and_deterministic(spark):
+    from olympic_athletes_etl_spark.operators.graph import pagerank_fixed_point
+
+    und = [(0, 1), (1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    r1 = sorted((r["node"], r["rank"]) for r in pagerank_fixed_point(edges).collect())
+    r2 = sorted((r["node"], r["rank"]) for r in pagerank_fixed_point(edges).collect())
+    assert r1 == r2
+    total = sum(rank for _, rank in r1)
+    n = len(r1)
+    # contraction + floor truncation: total in (N*scale - iters*|E|, N*scale]
+    assert total <= n * 1_000_000_000
+    assert total > n * 1_000_000_000 - 3 * 4 * len(und)
+    # every rank at least the teleport floor
+    assert all(rank >= 150_000_000 for _, rank in r1)
