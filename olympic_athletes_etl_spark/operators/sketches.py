@@ -161,3 +161,89 @@ def cms_frequencies(
         .groupBy("w", "cnt")
         .agg(F.min("cell").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — register-based cardinality, deterministic cross-engine form
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # 2^6 registers
+_HLL_W_BITS = 24  # scramble < P ~ 2^30; w = sk div 64 < 2^24
+_HLL_RHO_MAX = _HLL_W_BITS + 1
+# alpha_64 = 0.7213 / (1 + 1.079/64) ~= 0.709, as an exact rational
+_HLL_ALPHA_NUM = 709
+_HLL_ALPHA_DEN = 1000
+
+
+def hll_bucket_sql(key: str) -> str:
+    """Register index in [0, 64) — valid Spark SQL and DuckDB SQL."""
+    return f"({kmv_scramble_sql(key)}) % {_HLL_M}"
+
+
+def hll_rho_sql(key: str) -> str:
+    """HLL rank rho = leading-zero count of the remaining hash bits + 1,
+    via ``length(bin(w))`` — both engines render minimal-length binary
+    strings, so ``rho = W_BITS + 1 - length(bin(w))`` matches exactly;
+    the all-zero word takes the conventional max rank W_BITS + 1.
+    ``floor(x / m)`` stands in for integer division because ``div`` vs
+    ``//`` differ by dialect and the operand is < 2^30 (double-exact)."""
+    sk = kmv_scramble_sql(key)
+    w = f"CAST(floor(({sk}) / {_HLL_M}) AS BIGINT)"
+    return (
+        f"CASE WHEN {w} = 0 THEN {_HLL_RHO_MAX}"
+        f" ELSE {_HLL_RHO_MAX} - length(bin({w})) END"
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key: str,
+    group: Sequence[str] = (),
+    exact: bool = False,
+) -> DataFrame:
+    """Distinct-count estimate from a 64-register HyperLogLog, all in
+    exact BIGINT arithmetic so the estimate itself is oracle-hashable
+    (complement to ``kmv_cardinality``: HLL state is max-of-rank
+    registers — 64 bytes/group here — where KMV keeps k minima; HLL's
+    1.04/sqrt(m) error is ~13%% at m=64 vs KMV's 25%% at k=16).
+
+    Two map-side-combinable aggregations: per (group, register) max rank
+    (shuffle carries at most 64 rows per group regardless of input
+    size), then per group the raw-HLL harmonic mean, computed as the
+    exact integer
+        S = sum over registers of 2^(RHO_MAX - rho)  (+ 2^RHO_MAX per
+            never-hit register, rho = 0)
+        est = alpha_num * m^2 * 2^RHO_MAX div (alpha_den * S)
+    — scaling by the CONSTANT 2^RHO_MAX instead of the per-group max
+    keeps the whole formula one aggregate (no second pass to find R)
+    and every term fits BIGINT (64 * 2^25 < 2^32).
+
+    Raw HLL only (no small/large-range corrections): deterministic and
+    monotone, which is what a cross-engine-checkable sketch needs; the
+    exact count rides along under ``exact=True`` to expose the error.
+    ``key`` must be an integer column, scrambled as in kmv_cardinality."""
+    bucket = F.expr(hll_bucket_sql(key))
+    rho = F.expr(hll_rho_sql(key))
+    regs = (
+        df.select(*group, bucket.alias("_b"), rho.alias("_rho"), F.col(key))
+        .groupBy(*group, "_b")
+        .agg(
+            F.max("_rho").alias("_reg"),
+            *([F.countDistinct(key).alias("_nd")] if exact else []),
+        )
+    )
+    pow2 = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - _reg)"
+    )
+    shift_max = 1 << _HLL_RHO_MAX
+    s_expr = (
+        F.sum(pow2)
+        + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(shift_max)
+    ).alias("_S")
+    aggs = [s_expr] + ([F.sum("_nd").alias("n_exact")] if exact else [])
+    out = regs.groupBy(*group).agg(*aggs) if group else regs.agg(*aggs)
+    est = F.expr(
+        f"CAST({_HLL_ALPHA_NUM * _HLL_M * _HLL_M} AS BIGINT)"
+        f" * {shift_max} div ({_HLL_ALPHA_DEN} * _S)"
+    ).alias("est_distinct")
+    keep = [*group, *(["n_exact"] if exact else [])]
+    return out.select(*keep, est)
