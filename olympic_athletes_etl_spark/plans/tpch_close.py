@@ -675,3 +675,203 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+_SKY_BUCKET = 10_000  # $100-wide price buckets over integer cents
+
+
+@query(
+    "q_skyline_parts",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p_partkey, {_RETAIL_CENTS} AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p.p_partkey, p.price_c, p.p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size
+        AND (q.price_c < p.price_c OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front (skyline) of parts under minimize-price /
+    maximize-size — no other part is both cheaper-or-equal and
+    bigger-or-equal with one strict. The multi-objective shortlist query
+    (cheapest-big-part tradeoff curve) that a NOT EXISTS dominance
+    subquery answers quadratically.
+
+    Scale shape — BLOCK-PRUNED skyline, not the naive all-pairs:
+
+    1. bucket parts by $100 price bands (integer cents div 1e4) and take
+       each band's max size — a bounded aggregate (bands track the PRICE
+       RANGE, not row count);
+    2. a part is provably dominated if any STRICTLY CHEAPER band holds a
+       size >= its own (every point there has strictly lower price), so
+       one running-max over the ~tens of band rows gives a per-band
+       dominance threshold — broadcast back, this kills ~all of the
+       input map-side. Every true skyline point survives the prune: a
+       pruning witness would itself be a strict dominator;
+    3. exact dominance anti-join runs only among the surviving
+       candidates (the cheapest band's frontier, typically tens of
+       rows), where a broadcast nested-loop is the right plan.
+
+    The two windows in the plan range over BAND aggregates (bounded by
+    price span), never data rows — the same bounded-window discipline as
+    e_burst_minutes' minutes. Dominance is transitive, so
+    skyline(candidates) == skyline(all): any dominated candidate is
+    dominated by a maximal dominator, which is on the skyline and
+    therefore survives the prune."""
+    from pyspark.sql import Window
+
+    pts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(_RETAIL_CENTS).alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    pts_b = pts.withColumn("b", F.expr(f"price_c div {_SKY_BUCKET}"))
+    bmax = pts_b.groupBy("b").agg(F.max("p_size").alias("bmax"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    thr = bmax.select("b", F.max("bmax").over(w).alias("prior_max"))
+    cand = (
+        pts_b.join(F.broadcast(thr), "b")
+        .filter(F.col("prior_max").isNull() | (F.col("p_size") > F.col("prior_max")))
+        .select("p_partkey", "price_c", "p_size")
+    )
+    dom = F.broadcast(
+        cand.select(
+            F.col("price_c").alias("q_price"), F.col("p_size").alias("q_size")
+        )
+    )
+    return cand.join(
+        dom,
+        (F.col("q_price") <= F.col("price_c"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("price_c"))
+            | (F.col("q_size") > F.col("p_size"))
+        ),
+        "left_anti",
+    )
+
+
+_AR_MIN_SUPPORT = 2
+_AR_TOPN = 50
+
+
+@query(
+    "q_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    part_n AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_AR_MIN_SUPPORT}
+    ),
+    directed AS (
+      SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+      UNION ALL
+      SELECT pb, pa, n_ab FROM pairs
+    ),
+    rules AS (
+      SELECT d.antecedent, d.consequent, d.n_ab,
+             (1000 * d.n_ab) // na.n_p AS conf_x1000,
+             (1000 * o.n * d.n_ab) // (na.n_p * nc.n_p) AS lift_x1000
+      FROM directed d
+      JOIN part_n na ON na.l_partkey = d.antecedent
+      JOIN part_n nc ON nc.l_partkey = d.consequent
+      CROSS JOIN n_orders o
+    )
+    SELECT antecedent, consequent, n_ab, conf_x1000, lift_x1000
+    FROM rules
+    ORDER BY lift_x1000 DESC, conf_x1000 DESC, antecedent, consequent
+    LIMIT {_AR_TOPN}
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over market baskets: for each directed
+    part pair a=>b bought together in >= 2 orders, confidence
+    P(b|a) and lift P(a,b)/(P(a)P(b)) — the screen that separates
+    genuinely associated items from merely popular ones. Top-50 by lift
+    with a total-order tie-break.
+
+    Both metrics are EXACT x1000 integers (floor division of positive
+    counts — Spark ``div`` == DuckDB ``//``), so the query is
+    hash-gated like the rest of the integer-ratio family. Plan shape:
+    pair generation is within-order quadratic (bounded by basket width,
+    the q_copurchase_pairs argument), per-part counts are one
+    map-side-combinable aggregate over the distinct item list, the
+    rule join keys on part ids (well-distributed), and the order total
+    is a 1-row broadcast. Top-50 is TakeOrderedAndProject — no global
+    sort materializes."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    part_n = items.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _AR_MIN_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_ab",
+        )
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_p").alias("n_a")
+    )
+    nc = part_n.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_p").alias("n_c")
+    )
+    return (
+        directed.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.expr("(1000 * n_ab) div n_a").alias("conf_x1000"),
+            F.expr("(1000 * n * n_ab) div (n_a * n_c)").alias("lift_x1000"),
+        )
+        .orderBy(
+            F.desc("lift_x1000"),
+            F.desc("conf_x1000"),
+            "antecedent",
+            "consequent",
+        )
+        .limit(_AR_TOPN)
+    )

@@ -219,3 +219,67 @@ def test_q21_reported_suppliers_were_sole_late_in_multisupplier_orders(spark, sf
     }
     for r in rows:
         assert manual_by_name.get(r["s_name"]) == r["numwait"]
+
+
+def test_skyline_members_are_mutually_non_dominated(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tpch_close import q_skyline_parts
+
+    rows = [
+        (r["p_partkey"], r["price_c"], r["p_size"])
+        for r in q_skyline_parts(spark, sf_dir).collect()
+    ]
+    assert rows  # the frontier is never empty on non-empty input
+    # no member may dominate another member (pairwise, frontier is tiny)
+    for _, p_price, p_size in rows:
+        for _, q_price, q_size in rows:
+            dominated = (
+                q_price <= p_price
+                and q_size >= p_size
+                and (q_price < p_price or q_size > p_size)
+            )
+            assert not dominated
+
+
+def test_skyline_contains_the_corner_points(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.tpch_close import q_skyline_parts
+
+    from pyspark.sql import functions as F
+
+    part = load(spark, sf_dir, "part").select(
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    pts = [(r["price_c"], r["p_size"]) for r in part.collect()]
+    # corner points of the frontier: biggest size among cheapest parts,
+    # and cheapest price among biggest parts — both must be skyline rows
+    min_price = min(p for p, _ in pts)
+    corner_a = (min_price, max(s for p, s in pts if p == min_price))
+    max_size = max(s for _, s in pts)
+    corner_b = (min(p for p, s in pts if s == max_size), max_size)
+    sky = {
+        (r["price_c"], r["p_size"])
+        for r in q_skyline_parts(spark, sf_dir).collect()
+    }
+    assert corner_a in sky
+    assert corner_b in sky
+
+
+def test_association_rules_metrics_are_bounded_and_consistent(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tpch_close import (
+        _AR_MIN_SUPPORT,
+        _AR_TOPN,
+        q_association_rules,
+    )
+
+    rows = q_association_rules(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _AR_TOPN
+    for r in rows:
+        assert r["antecedent"] != r["consequent"]
+        assert r["n_ab"] >= _AR_MIN_SUPPORT
+        # confidence is a probability x1000; floor division keeps it <= 1000
+        assert 0 < r["conf_x1000"] <= 1000
+        assert r["lift_x1000"] > 0
+    # the top-50 screen surfaces positively associated pairs: at the
+    # head of the lift ordering, lift must exceed independence (1000)
+    assert rows[0]["lift_x1000"] >= 1000
