@@ -1227,3 +1227,103 @@ def t_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (total_weight * n_tokens)"
         ).alias("epochs_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance ranking — integer-exact full-text retrieval scoring
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_TOPN = 15
+# k1 = 1.5, b = 0.75 folded into one integer-rational term score:
+#   tf_sat = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/L))
+#          = 20000*tf*L / (8*L*tf + 3*L + 9*dl*N)   (x1000, multiply by 8L)
+# idf     = floor(log2(N/df)) + 1 == length(bin(N div df)), clamped >= 1
+_BM25_SCORE = (
+    "((20000 * tf * L) div (8 * L * tf + 3 * L + 9 * dl * N))"
+    " * length(bin(greatest(N div df, 1)))"
+)
+
+
+@query(
+    "t_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u AS token
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+            FROM documents), unnest(t) AS x(u)
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ),
+    corpus AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS L, CAST(count(*) AS BIGINT) AS N
+      FROM dlen
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    docfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(sum({_BM25_SCORE.replace(" div ", " // ")}) AS BIGINT)
+             AS score_x1000
+    FROM tf
+    JOIN docfreq df USING (token)
+    JOIN dlen d USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY 1
+    ORDER BY score_x1000 DESC, doc_id
+    LIMIT {_BM25_TOPN}
+    """,
+)
+def t_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: top-15 documents for a fixed
+    multi-term query under BM25 (k1=1.5, b=0.75) — the retrieval scorer
+    behind every search engine and RAG corpus index, expressed
+    relationally.
+
+    Integer-exact BM25: the term-frequency saturation is one rational
+    with the length normalization folded in (multiply through by 8L:
+    20000*tf*L / (8L*tf + 3L + 9*dl*N), exact x1000 floor division),
+    and the IDF is the floor-log2 trick from the HLL sketch —
+    length(bin(N div df)) — so the whole score is BIGINT arithmetic
+    both engines compute bit-identically; no float sums, no round()
+    boundary flips. Overflow needs 20000*tf*L < 2^63: holds to corpora
+    of ~10^13 tokens at tf <= 10^4 — shrink the x1000 scale first at
+    web scale.
+
+    Plan shape: the query-term IN filter lands directly on the exploded
+    token stream (the posting-list sliver — rows past the filter are
+    matches only, the inverted-index access pattern), doc lengths and
+    the corpus totals are map-side-combinable aggregates, per-term doc
+    frequencies broadcast (bounded by the query's term count), and the
+    top-15 is TakeOrderedAndProject. The one full-corpus pass (dl) is
+    shared state every BM25 index precomputes once."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dlen.agg(
+        F.sum("dl").alias("L"), F.count(F.lit(1)).alias("N")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.expr(_BM25_SCORE).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score_x1000"))
+        .orderBy(F.desc("score_x1000"), "doc_id")
+        .limit(_BM25_TOPN)
+    )

@@ -127,3 +127,38 @@ def test_gap_days_span_arithmetic(spark, sf_dir):
     for uid, (d0, d1, nd) in span.items():
         span_days = (d1 - d0).days + 1
         assert gaps.get(uid, 0) == span_days - nd, uid
+
+
+def test_bm25_scores_only_matching_docs_within_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        _BM25_TERMS,
+        _BM25_TOPN,
+        t_bm25_rank,
+    )
+
+    rows = t_bm25_rank(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _BM25_TOPN
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # every scored doc actually contains a query term, and the score
+    # respects the analytic ceiling: tf saturation < (k1+1)*1000 = 2500
+    # per term, idf <= bits(N), at most len(terms) terms contribute
+    matching = {
+        r["doc_id"]
+        for r in docs.filter(
+            " OR ".join(
+                f"array_contains(split(text, '\\\\s+'), '{t}')"
+                for t in _BM25_TERMS
+            )
+        ).collect()
+    }
+    ceiling = 2500 * len(_BM25_TERMS) * n_docs.bit_length()
+    for r in rows:
+        assert r["doc_id"] in matching
+        assert 0 < r["score_x1000"] <= ceiling
+    # descending by construction; ties broken by doc_id
+    scores = [r["score_x1000"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
