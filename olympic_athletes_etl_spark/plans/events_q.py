@@ -1680,3 +1680,69 @@ def e_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("value", okey), 4).alias("close"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average — step-function integral per user
+# --------------------------------------------------------------------------
+@query(
+    "e_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(sum(v_c * (t_next - t_us)) AS BIGINT)
+                // CAST(sum(t_next - t_us) AS BIGINT) AS BIGINT)
+             AS twa_x100,
+           CAST(count(t_next) AS BIGINT) AS n_segments
+    FROM seg
+    GROUP BY user_id
+    HAVING sum(t_next - t_us) > 0
+    """,
+)
+def e_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of ``value`` per user — the step-function
+    integral (each reading holds until the next one) divided by the
+    observed span. THE aggregation for irregularly-sampled telemetry:
+    a plain avg() overweights chatty periods; weighting each reading by
+    its holding time is what monitoring stores (RRD, Prometheus,
+    kdb's wavg) compute.
+
+    Exactness: readings are x100 integer cents, holding times are exact
+    microsecond deltas, so the integral is one BIGINT sum and the final
+    ratio one floor division — hash-identical across engines (value <=
+    ~5e2 x100 and year-scale spans stay far under 2^63). Same-timestamp
+    readings get zero weight under the (ts, event_id) total order —
+    deterministic, and the event_id tie-break means no
+    partition-order dependence.
+
+    Scale shape: ONE user-partitioned lead() window (the e_sessionize
+    discipline — never a global window) feeding a map-side-combinable
+    sum; users with a single event (no closed segment) drop via the
+    den > 0 filter, matching the oracle's HAVING."""
+    events = load(spark, sf_dir, "events")
+    seg = events.select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_c"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp")))
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("t_next"),
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.expr("v_c * (t_next - t_us)")).alias("num"),
+        F.sum(F.expr("t_next - t_us")).alias("den"),
+        F.count("t_next").alias("n_segments"),
+    )
+    return agg.filter(F.col("den") > 0).select(
+        "user_id",
+        F.expr("num div den").alias("twa_x100"),
+        "n_segments",
+    )

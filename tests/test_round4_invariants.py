@@ -322,3 +322,31 @@ def test_audio_decode_header_recovery_and_bounds(spark, sf_dir):
         assert 64 <= r["n_frames"] <= 191  # 64 + n_chars % 128
         # int16 samples: |sum| can never exceed n * 10000
         assert abs(r["sum_samples"]) <= r["n_frames"] * 10000
+
+
+def test_time_weighted_avg_bounded_and_segment_counts(spark, sf_dir):
+    rows = {r["user_id"]: r for r in _q("e_time_weighted_avg")(spark, sf_dir).collect()}
+    assert rows
+    events = load(spark, sf_dir, "events")
+    per_user = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.count_distinct("ts").alias("n_ts"),
+        )
+        .collect()
+    }
+    for uid, r in rows.items():
+        p = per_user[uid]
+        # a weighted mean can never leave the value envelope (x100 ints;
+        # floor division can dip at most one unit below the min)
+        assert int(p["vmin"] * 100) - 1 <= r["twa_x100"] <= int(round(p["vmax"] * 100))
+        # every consecutive pair closes exactly one segment
+        assert r["n_segments"] == p["n"] - 1
+    # users absent from the result have no positive-length span
+    for uid, p in per_user.items():
+        if uid not in rows:
+            assert p["n_ts"] <= 1
