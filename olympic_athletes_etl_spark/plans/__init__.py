@@ -37,10 +37,13 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #   4. the r1-stale core: all of textops (11) and tpch (5) — driver-green
 #      in r1 but never re-checked since.
 # Prefix math (driver audits 50): 4 changed + 20 never-audited + 23 new
-# = 47 explicit, then the first 3 of textops fill the prefix to 50 —
-# the last 8 textops, all 5 tpch-core, and all of relational (r1-stale)
-# rotate first in round 5 (recorded in COVERAGE.md). Everything demoted
-# stays covered locally by tools/check_parity.py regardless of order.
+# + 3 late-round-4 additions (g_pagerank / a_hll_estimate / t_bm25_rank
+# — brand-new families: iterative graph, HLL sketch, retrieval scoring)
+# = exactly 50. The remaining late additions (q_skyline_parts,
+# q_association_rules, e_time_weighted_avg), all 11 textops, all 5
+# tpch-core, and all of relational (r1-stale) rotate first in round 5
+# (recorded in COVERAGE.md). Everything demoted stays covered locally
+# by tools/check_parity.py regardless of order.
 _CHANGED_THIS_ROUND = [
     "e_peak_concurrency",
     "e_user_pareto",
@@ -93,6 +96,10 @@ _NEW_THIS_ROUND = [
     "t_mix_schedule",
     "s_centroid_outliers",
     "v_histogram_drift",
+    # late round-4 additions (one driver slot per new family)
+    "g_pagerank",
+    "a_hll_estimate",
+    "t_bm25_rank",
 ]
 _STALE_CORE_MODULES = (textops, tpch, relational)
 
