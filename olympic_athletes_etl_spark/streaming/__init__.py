@@ -16,6 +16,7 @@ from olympic_athletes_etl_spark.streaming.pipeline import (
     run_available_now,
     running_user_stats,
     session_counts,
+    sessionize_with_state,
     sliding_counts,
     tumbling_counts,
     view_click_attribution,
@@ -32,6 +33,7 @@ __all__ = [
     "run_available_now",
     "running_user_stats",
     "session_counts",
+    "sessionize_with_state",
     "sliding_counts",
     "to_kafka_wire",
     "tumbling_counts",

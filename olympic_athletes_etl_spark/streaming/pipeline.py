@@ -17,6 +17,8 @@ Design rules for the 100 TB / always-on path:
 
 from __future__ import annotations
 
+import sys
+
 from typing import Iterable, Sequence
 
 import pandas as pd
@@ -31,6 +33,18 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+# applyInPandasWithState closures below run in Spark Python workers; a
+# worker that cannot import this package (driver launched from an
+# arbitrary cwd) would die on by-reference unpickling. By-value
+# registration makes the shipped closures self-contained (same idiom as
+# multimodal/columns.py).
+try:  # pragma: no cover - exercised implicitly by every streaming test
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # noqa: BLE001 - older cloudpickle: fall back to by-ref
+    pass
 
 EVENT_SCHEMA = StructType(
     [
@@ -328,4 +342,102 @@ def dedup_within_watermark(
     — pair with a downstream batch d_exact_dup sweep for exactness."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# open-session state: (start_us, last_us, n)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000)
+
+
+def _update_sessions(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Custom sessionizer: emits a row per CLOSED session; the open
+    session lives in 3 longs of state with an EVENT-TIME timeout at
+    last_event + gap, so the state store evicts idle users as the
+    watermark passes them (the piece ``session_window`` hides and
+    ``NoTimeout`` running aggregates never do)."""
+    (user_id,) = key
+    closed: list[tuple[int, int, int]] = []
+    if state.hasTimedOut:
+        # watermark passed last_event + gap with no new data: finalize
+        start_us, last_us, n = state.get
+        closed.append((start_us, last_us, n))
+        state.remove()
+    else:
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        rows: list[int] = []
+        for pdf in batches:
+            rows.extend(_us(t) for t in pdf["ts"])
+        rows.sort()
+        for t in rows:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > _SESSION_GAP_US:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if start_us is not None:
+            state.update((start_us, last_us, n))
+            # EventTimeTimeout fires when the WATERMARK crosses this
+            state.setTimeoutTimestamp((last_us + _SESSION_GAP_US) // 1_000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [int(n) for _, _, n in closed],
+            }
+        )
+
+
+def sessionize_with_state(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Finalized (closed) sessions per user via applyInPandasWithState
+    with an EVENT-TIME TIMEOUT — the custom-stateful-operator form of
+    e_sessionize: a session closes either when a later event arrives
+    past the 30-min gap (emitted immediately) or when the watermark
+    passes its deadline with no successor (emitted by the timeout
+    callback, state evicted). Compare ``session_counts``: the built-in
+    session_window gives the same windows but only this form lets the
+    session carry arbitrary custom state (e.g. a distinct-page sketch)
+    and emit exactly-on-close.
+
+    State per user is 3 longs + one timer — bounded by ACTIVE user
+    count, not event count; shuffle keys on user_id. Closed sessions
+    match the batch e_sessionize query row-for-row (pinned in
+    test_streaming); a stream's still-open tail sessions are the only
+    rows batch has that the stream hasn't emitted yet."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -313,3 +313,60 @@ def test_windowed_ohlc_matches_batch(spark, stream_dir, tmp_path):
     # open = first by time = 1, close = last = 2, high = 100, low = 1
     t0_view = got[(T0, "view")]
     assert t0_view == (3, 1.0, 100.0, 1.0, 2.0)
+
+
+def test_sessionize_with_state_emits_on_close_and_timeout(spark, tmp_path):
+    from olympic_athletes_etl_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        sessionize_with_state,
+    )
+
+    d = str(tmp_path / "sess_stream")
+    os.makedirs(d)
+    batches = [
+        # u1 opens a session (0,10); u2 a singleton at 70
+        _mk_events([(0, 1, "view", 1), (10, 1, "view", 2), (70, 2, "click", 3)]),
+        # 75 is >30min after 10 -> closes u1's (0,10) immediately
+        _mk_events([(75, 1, "view", 4)]),
+        # 200 closes u1's (75); watermark reaches 170 -> u2's timeout
+        # (70+30=100) fires and emits the singleton
+        _mk_events([(200, 1, "view", 5)]),
+        # u3 at 300 pushes the watermark to 270 -> u1's (200)+30=230
+        # deadline passes, the timeout emits it; u3's own session
+        # stays open (nothing ever advances the watermark past 330)
+        _mk_events([(300, 3, "view", 6)]),
+    ]
+    for b in batches:
+        spark.createDataFrame(b, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.1)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    run_available_now(
+        sessionize_with_state(stream),
+        "closed_sessions",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ck_sess"),
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("closed_sessions").collect()
+    }
+    mins = lambda m: T0 + datetime.timedelta(minutes=m)  # noqa: E731
+    # closed-by-successor sessions MUST be present (emitted in-line,
+    # no watermark dependence)
+    assert (1, mins(0), mins(10), 2) in got
+    assert (1, mins(75), mins(75), 1) in got
+    # closed-by-timeout: u2's singleton (deadline 100 << final watermark)
+    assert (2, mins(70), mins(70), 1) in got
+    # u3's session never closes — the watermark stops 30min behind 300
+    assert not any(u == 3 for (u, *_ ) in got)
+    # nothing invented: every emitted row is one of the four true sessions
+    true_sessions = {
+        (1, mins(0), mins(10), 2),
+        (1, mins(75), mins(75), 1),
+        (1, mins(200), mins(200), 1),
+        (2, mins(70), mins(70), 1),
+    }
+    assert got <= true_sessions
