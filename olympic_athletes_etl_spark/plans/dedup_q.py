@@ -1487,3 +1487,122 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("canon", "vec_id") != F.col("vec_id")).alias("is_dup"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered Jaccard join (PPJoin-style) — same answer as
+# d_ngram_jaccard, candidate generation from ordered prefixes only
+# --------------------------------------------------------------------------
+_PF_ORACLE = f"""
+    WITH shingles0 AS ({_SHINGLE_HASHES_DUCK}),
+    hot AS (
+      SELECT h FROM shingles0 GROUP BY h
+      HAVING count(*) >= {_HOT_DF_FRAC} * (SELECT count(*) FROM documents)
+    ),
+    shingles AS (
+      SELECT * FROM shingles0 WHERE h NOT IN (SELECT h FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shingles a JOIN shingles b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@query("d_jaccard_prefix_filter", oracle=_PF_ORACLE)
+def d_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 pairs — identical output to d_ngram_jaccard
+    (the oracle IS the exact form) — but candidates come from PREFIX
+    FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. all-pairs /
+    PPJoin): order every doc's shingles by a global canonical order
+    (ascending document frequency, shingle hash as tie-break) and
+    self-join only the first |x| - ceil(t*|x|) + 1 shingles of each
+    doc. Theorem: two sets with J >= t must share at least one
+    canonical-prefix token — the suffix is too short to hold the
+    required overlap — so the candidate set provably loses no true
+    pair. Rare-first ordering makes those prefixes the LEAST-joinable
+    tokens in the corpus.
+
+    Why this is the scale path beyond the plain inverted index: the
+    self-join's fan-out per token drops from df^2 to (prefix
+    occurrences)^2, and at t=0.5 each doc indexes only ~half its
+    shingles — on skewed real text the candidate volume falls orders of
+    magnitude. A size-ratio prune (min(n) >= t*max(n), necessary for
+    J >= t) drops length-mismatched candidates before verification;
+    the verify step then counts true intersections ONLY for surviving
+    candidate pairs (two candidate-keyed equi-joins), where the exact
+    form counts them for every colliding pair.
+
+    Plan: dfreq one aggregate; per-doc ordering one doc-partitioned
+    row_number window (the e_sessionize discipline); candidate join
+    keyed on shingle hash; verify joins keyed on doc ids. All shuffles
+    keyed on well-distributed columns; the hot-cap broadcast is shared
+    with the exact form."""
+    shingles_all = _doc_shingle_hashes(spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    dfreq = shingles_all.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
+    hot = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfh") >= _HOT_DF_FRAC * F.col("n_total"))
+        .select("h")
+    )
+    shingles = shingles_all.join(F.broadcast(hot), "h", "left_anti")
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("dfh", "h")
+    )
+    pref = (
+        shingles.join(dfreq, "h")
+        .withColumn("rn", rn)
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1)
+        .select("doc_id", "h", "n")
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                F.least(F.col("pa.n"), F.col("pb.n"))
+                >= 0.5 * F.greatest(F.col("pa.n"), F.col("pb.n"))
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    s1, s2 = shingles.alias("s1"), shingles.alias("s2")
+    shared = (
+        cand.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc_b") == F.col("s2.doc_id"))
+            & (F.col("s1.h") == F.col("s2.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

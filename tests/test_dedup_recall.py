@@ -65,3 +65,24 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     single = {r["vec_id"] for r in s_ann_lsh(spark, sf_dir).collect()}
     multi = {r["vec_id"] for r in s_ann_lsh_multiprobe(spark, sf_dir).collect()}
     assert len(multi & truth) >= len(single & truth)
+
+
+def test_prefix_filter_join_equals_exact_inverted_index(spark, sf_dir):
+    """PPJoin-style candidate pruning must be LOSSLESS: the
+    prefix-filtered plan and the plain inverted-index plan are two
+    physical strategies for the same logical query."""
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        d_jaccard_prefix_filter,
+        d_ngram_jaccard,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in d_ngram_jaccard(spark, sf_dir).collect()
+    }
+    pruned = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in d_jaccard_prefix_filter(spark, sf_dir).collect()
+    }
+    assert pruned == exact
+    assert exact  # non-vacuous at the test SF
