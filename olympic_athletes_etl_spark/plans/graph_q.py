@@ -237,3 +237,86 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_x1e9"), "part")
         .limit(_PR_TOPN)
     )
+
+
+_LP_MAX_MID_DEG = 50
+_LP_TOPN = 20
+
+
+@query(
+    "g_link_prediction",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    sym AS (
+      SELECT pa AS s, pb AS t FROM edges
+      UNION ALL
+      SELECT pb AS s, pa AS t FROM edges
+    ),
+    mids AS (
+      SELECT sym.s, sym.t FROM sym
+      JOIN deg ON deg.node = sym.s
+      WHERE deg.deg <= {_LP_MAX_MID_DEG}
+    ),
+    wedges AS (
+      SELECT a.t AS u, b.t AS w, CAST(count(*) AS BIGINT) AS common_n
+      FROM mids a JOIN mids b
+        ON a.s = b.s AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT u AS part_a, w AS part_b, common_n
+    FROM wedges
+    WHERE NOT EXISTS (
+      SELECT 1 FROM edges e WHERE e.pa = wedges.u AND e.pb = wedges.w
+    )
+    ORDER BY common_n DESC, part_a, part_b
+    LIMIT {_LP_TOPN}
+    """,
+)
+def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by COMMON-NEIGHBOR count: the top-20 part pairs
+    NOT directly co-purchased that share the most co-purchase neighbors
+    — the 'customers who bought these also bought...' candidate
+    generator, and the simplest of the classic link-prediction scores
+    (common neighbors ⊂ Adamic-Adar ⊂ Katz).
+
+    Scale discipline: wedge enumeration through a hub vertex is
+    deg^2 — one 10^6-degree hub emits 10^12 wedges — so mid vertices
+    with degree > {_LP_MAX_MID_DEG} are EXCLUDED as wedge centers (the
+    hot-shingle-cap move; for ranking-by-association it is also the
+    right semantics — a hub everyone buys with predicts nothing,
+    exactly why Adamic-Adar down-weights high-degree commons to
+    ~nothing). The cap lives in both engines' plans, so the oracle
+    hashes the same capped semantics. Remaining wedge work is bounded
+    by capped-deg^2 per vertex; the non-edge screen is a broadcast-able
+    anti-join on the supported edge list; top-20 is
+    TakeOrderedAndProject on a total order."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+    sym = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(edges.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
+    mids = (
+        sym.join(
+            deg.filter(F.col("deg") <= _LP_MAX_MID_DEG).select(
+                F.col("node").alias("s")
+            ),
+            "s",
+        )
+    )
+    a, b = mids.alias("a"), mids.alias("b")
+    wedges = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
+        )
+        .groupBy(F.col("a.t").alias("part_a"), F.col("b.t").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    return (
+        wedges.join(
+            edges,
+            (F.col("part_a") == F.col("pa")) & (F.col("part_b") == F.col("pb")),
+            "left_anti",
+        )
+        .orderBy(F.desc("common_n"), "part_a", "part_b")
+        .limit(_LP_TOPN)
+    )

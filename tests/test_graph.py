@@ -192,3 +192,21 @@ def test_pagerank_fixed_point_mass_bounded_and_deterministic(spark):
     assert total > n * 1_000_000_000 - 3 * 4 * len(und)
     # every rank at least the teleport floor
     assert all(rank >= 150_000_000 for _, rank in r1)
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.graph_q import (
+        _edges,
+        g_link_prediction,
+    )
+
+    rows = g_link_prediction(spark, sf_dir).collect()
+    assert rows
+    existing = {
+        (r["pa"], r["pb"]) for r in _edges(spark, sf_dir).collect()
+    }
+    for r in rows:
+        # predicted pairs are genuinely NEW links on the supported graph
+        assert (r["part_a"], r["part_b"]) not in existing
+        assert r["part_a"] < r["part_b"]
+        assert r["common_n"] >= 1
