@@ -633,3 +633,134 @@ def a_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         group=["event_type"],
         exact=True,
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch ALGEBRA — union/intersection cardinality without recount
+# --------------------------------------------------------------------------
+_SK_A, _SK_B = "view", "click"
+
+
+def _kmv_est(msum: str, k: int = _KMV_K) -> str:
+    """Shared estimator text (valid in both dialects given dialect
+    integer division is substituted by the caller)."""
+    return f"CAST({k * _P} AS BIGINT) DIVOP ({msum} + {k}) - 1"
+
+
+def _sketch_algebra_sqls() -> tuple[str, str, str]:
+    """(per-type mins, union mins, estimate projection) pieces shared
+    verbatim between the Spark plan and the DuckDB oracle."""
+    mins_a = [f"ma{i}" for i in range(_KMV_K)]
+    mins_b = [f"mb{i}" for i in range(_KMV_K)]
+    est_a = _kmv_est(" + ".join(mins_a))
+    est_b = _kmv_est(" + ".join(mins_b))
+    est_u = _kmv_est(" + ".join(f"least(ma{i}, mb{i})" for i in range(_KMV_K)))
+    return est_a, est_b, est_u
+
+
+_EST_A, _EST_B, _EST_U = _sketch_algebra_sqls()
+
+
+@query(
+    "a_sketch_algebra",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, user_id, {_KMV_SCRAMBLE_SQL} AS sk FROM events
+      WHERE event_type IN ('{_SK_A}', '{_SK_B}')
+    ),
+    mins AS (
+      SELECT
+        {", ".join(
+            f"min((sk * {a} + {b}) % {_P})"
+            f"  FILTER (WHERE event_type = '{_SK_A}') AS ma{i},"
+            f" min((sk * {a} + {b}) % {_P})"
+            f"  FILTER (WHERE event_type = '{_SK_B}') AS mb{i}"
+            for i, (a, b) in enumerate(_KMV_PARAMS)
+        )}
+      FROM s
+    ),
+    flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = '{_SK_A}' THEN 1 ELSE 0 END) AS ha,
+             max(CASE WHEN event_type = '{_SK_B}' THEN 1 ELSE 0 END) AS hb
+      FROM s GROUP BY 1
+    ),
+    exacts AS (
+      SELECT CAST(sum(ha) AS BIGINT) AS n_a,
+             CAST(sum(hb) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_union,
+             CAST(sum(ha * hb) AS BIGINT) AS n_inter
+      FROM flags
+    )
+    SELECT
+      {_EST_A.replace("DIVOP", "//")} AS est_a,
+      {_EST_B.replace("DIVOP", "//")} AS est_b,
+      {_EST_U.replace("DIVOP", "//")} AS est_union,
+      greatest(CAST(0 AS BIGINT),
+               ({_EST_A.replace("DIVOP", "//")})
+               + ({_EST_B.replace("DIVOP", "//")})
+               - ({_EST_U.replace("DIVOP", "//")})) AS est_inter,
+      n_a, n_b, n_union, n_inter
+    FROM mins CROSS JOIN exacts
+    """,
+)
+def a_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA — the property that makes sketches the 100 TB
+    answer to COUNT(DISTINCT): two KMV sketches built independently
+    (here: distinct users who 'view' vs who 'click') MERGE by
+    elementwise min into the sketch OF THE UNION without touching the
+    data again, and inclusion-exclusion on the three estimates prices
+    the intersection. On a cluster this is how per-partition /
+    per-day / per-source distinct sketches roll up: 16 BIGINTs per
+    slice, merge = min, no re-scan of history.
+
+    One pass over the (type-filtered, pushed-down) events: 32
+    conditional min aggregates (both sketches) in a single map-side-
+    combinable agg; the exact n_a/n_b/n_union/n_inter ride along from a
+    user-keyed flag aggregate for error exposure — at 100 TB you drop
+    the exact branch and keep the one-pass sketches. All arithmetic is
+    exact BIGINT (est may floor 1 below by inclusion-exclusion;
+    intersection clamps at 0), so the row hash-matches."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_SK_A, _SK_B)
+    )
+    sk = F.expr(kmv_scramble_sql("user_id"))
+    min_aggs = []
+    for i, (a, b) in enumerate(_KMV_PARAMS):
+        perm = (sk * a + b) % _P
+        min_aggs.append(
+            F.min(F.when(F.col("event_type") == _SK_A, perm)).alias(f"ma{i}")
+        )
+        min_aggs.append(
+            F.min(F.when(F.col("event_type") == _SK_B, perm)).alias(f"mb{i}")
+        )
+    mins = ev.agg(*min_aggs)
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == _SK_A, 1).otherwise(0)
+        ).alias("ha"),
+        F.max(
+            F.when(F.col("event_type") == _SK_B, 1).otherwise(0)
+        ).alias("hb"),
+    )
+    exacts = flags.agg(
+        F.sum("ha").cast("long").alias("n_a"),
+        F.sum("hb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.expr("ha * hb")).cast("long").alias("n_inter"),
+    )
+    ea = _EST_A.replace("DIVOP", "div")
+    eb = _EST_B.replace("DIVOP", "div")
+    eu = _EST_U.replace("DIVOP", "div")
+    return mins.crossJoin(F.broadcast(exacts)).select(
+        F.expr(ea).alias("est_a"),
+        F.expr(eb).alias("est_b"),
+        F.expr(eu).alias("est_union"),
+        F.expr(
+            f"greatest(CAST(0 AS BIGINT), ({ea}) + ({eb}) - ({eu}))"
+        ).alias("est_inter"),
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+    )

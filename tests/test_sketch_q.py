@@ -351,3 +351,23 @@ def test_histogram_drift_matches_bruteforce_tv(spark, sf_dir):
         ) // (2 * n1 * n2)
         assert tv == r["tv_permille"]
         assert 0 <= tv <= 1000
+
+
+def test_sketch_algebra_union_bounds_and_merge_property(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.sketch_q import a_sketch_algebra
+
+    r = a_sketch_algebra(spark, sf_dir).collect()[0]
+    # exact identities the ride-along columns must satisfy
+    assert r["n_union"] == r["n_a"] + r["n_b"] - r["n_inter"]
+    assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+    # union-sketch estimate can never fall below either side's estimate:
+    # elementwise min over mins only shrinks the sum of minima
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
+    # 3-sigma-ish sanity band at k=16 (~25% stderr)
+    for est, exact in (
+        (r["est_a"], r["n_a"]),
+        (r["est_b"], r["n_b"]),
+        (r["est_union"], r["n_union"]),
+    ):
+        assert exact * 0.25 < est < exact * 2.5
+    assert r["est_inter"] >= 0
