@@ -292,7 +292,13 @@ def pagerank_fixed_point(
     must stay under 2^63 — at scale=1e9 that holds to N ~ 1e8 nodes;
     shrink ``scale`` for larger vertex sets.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    # materialize once: the edge list feeds out_deg, nodes, AND every
+    # iteration's join — an expensively-derived edge list (e.g. the
+    # co-purchase self-join) would otherwise be re-derived ~2+n_iter
+    # times (measured 12.2s -> ~5s at sf0.1 for g_pagerank).
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     teleport = (damping_den - damping_num) * scale // damping_den
     nodes = (
