@@ -764,3 +764,120 @@ def a_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_union",
         "n_inter",
     )
+
+
+# --------------------------------------------------------------------------
+# Join-size estimation via count-min INNER PRODUCT — sketch-based planning
+# --------------------------------------------------------------------------
+_JS_D = 4
+_JS_W = 512
+_JS_A, _JS_B = cms_params(_JS_D)
+
+
+def _js_pos_sql(j_a: int, j_b: int) -> str:
+    """Cell position of user_id under CMS row j — shared dialect text."""
+    sk = kmv_scramble_sql("user_id")
+    return f"((({sk}) * {j_a} + {j_b}) % {_P}) % {_JS_W}"
+
+
+@query(
+    "v_join_size_estimate",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    cells AS (
+      SELECT j, pos,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, {_js_pos_sql(a, b)} AS pos, event_type FROM ev"
+            for j, (a, b) in enumerate(zip(_JS_A, _JS_B))
+        )}
+      )
+      GROUP BY 1, 2
+    ),
+    rows_est AS (
+      SELECT j, CAST(sum(ca * cb) AS BIGINT) AS ip FROM cells GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(coalesce(sum(nv * nc), 0) AS BIGINT) AS exact_rows
+      FROM (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        FROM ev GROUP BY 1
+      )
+    )
+    SELECT CAST(min(ip) AS BIGINT) AS est_rows, exact_rows
+    FROM rows_est CROSS JOIN exact
+    GROUP BY exact_rows
+    """,
+)
+def v_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from two count-min sketches — the classic
+    sketch inner-product result (Cormode & Muthukrishnan): the true
+    join cardinality sum_k fA(k)*fB(k) is over-approximated by the
+    inner product of any CMS row pair built with the same hashes, and
+    min over the d rows tightens it. Sized here for the view⋈click
+    self-join on user_id (exactly what the streaming attribution join
+    buffers), with the exact answer riding along to expose the error.
+
+    This is the planning primitive behind join reordering and
+    skew-aware sizing at 100 TB: each side's sketch is d*w = 2048
+    BIGINT cells REGARDLESS of input size, built in one
+    map-side-combinable pass (the union-explode costs d rows per
+    event), mergeable across partitions/days by cell-wise sum — so you
+    can price a petabyte join before launching it, from sketches
+    collected at ingest. All arithmetic exact BIGINT; the CMS
+    overestimate guarantee (est >= exact, every row, any data) is
+    pinned in tests."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    rows = []
+    for j, (a, b) in enumerate(zip(_JS_A, _JS_B)):
+        rows.append(
+            ev.select(
+                F.lit(j).alias("j"),
+                F.expr(_js_pos_sql(a, b)).alias("pos"),
+                "event_type",
+            )
+        )
+    posed = rows[0]
+    for r in rows[1:]:
+        posed = posed.unionByName(r)
+    cells = posed.groupBy("j", "pos").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("long").alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("cb"),
+    )
+    est = (
+        cells.groupBy("j")
+        .agg(F.sum(F.expr("ca * cb")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_rows"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("nv"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("nc"),
+        )
+        .agg(
+            F.coalesce(F.sum(F.expr("nv * nc")), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))

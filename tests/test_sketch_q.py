@@ -371,3 +371,24 @@ def test_sketch_algebra_union_bounds_and_merge_property(spark, sf_dir):
     ):
         assert exact * 0.25 < est < exact * 2.5
     assert r["est_inter"] >= 0
+
+
+def test_join_size_estimate_overestimates_and_is_tight_enough(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.sketch_q import (
+        _JS_D,
+        _JS_W,
+        v_join_size_estimate,
+    )
+
+    r = v_join_size_estimate(spark, sf_dir).collect()[0]
+    # CMS inner product NEVER underestimates (hash collisions only add)
+    assert r["est_rows"] >= r["exact_rows"]
+    # additive error bound: <= (total_a * total_b) / w per row, min of d
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ta = ev.filter(F.col("event_type") == "view").count()
+    tb = ev.filter(F.col("event_type") == "click").count()
+    assert r["est_rows"] <= r["exact_rows"] + (ta * tb) // _JS_W + 1
