@@ -484,3 +484,68 @@ def decode_audio_stats(
             )
 
     return df.select(id_col, payload_col).mapInPandas(compute, _AUDIO_STATS_SCHEMA)
+
+
+_AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("n_bits", LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual AVERAGE-HASH per image — the near-dup detector for
+    image corpora (identical-bytes dedup misses re-encodes; the
+    average-hash survives them): decode, collapse to a 7x8 grid of
+    brightness blocks, set bit k when block k is strictly brighter than
+    the image mean, pack into one BIGINT. Hamming-near hashes =
+    near-duplicate images, so the downstream join is the SimHash banded
+    trick on this column.
+
+    Integer discipline for cross-engine checkability: brightness is the
+    plain channel SUM (no /3, no float), the block/mean compare is
+    cross-multiplied (block_sum * total_subpx > total_sum * block_subpx)
+    so no division ever happens, and the grid is 7x8 = 56 bits so the
+    packed hash stays far inside signed-64. Block membership is
+    row r -> r*7 div h, col c -> c*8 div w — integer floor maths the
+    oracle reproduces in SQL. Blocks that receive no pixels (images
+    narrower/shorter than the grid) compare 0 > 0 and contribute 0."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, nbits = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, arr = decode_image(bytes(payload))
+                gray = arr.astype(np.int64).sum(axis=2)  # (h, w) in [0, 765]
+                bi = (np.arange(h, dtype=np.int64) * 7) // h
+                bj = (np.arange(w, dtype=np.int64) * 8) // w
+                idx = (bi[:, None] * 8 + bj[None, :]).ravel()
+                # bincount weights are float64; block sums max out at
+                # 765 * w * h ~ 1.6e5 here and < 2^53 generally — exact
+                bsum = np.bincount(
+                    idx, weights=gray.ravel().astype(np.float64), minlength=56
+                ).astype(np.int64)
+                bn = np.bincount(idx, minlength=56).astype(np.int64) * 3
+                tsum = int(gray.sum())
+                tn = 3 * h * w
+                bits = (bsum * tn) > (tsum * bn)
+                hv = 0
+                for k in np.nonzero(bits)[0]:
+                    hv |= 1 << int(k)
+                ids.append(int(doc_id))
+                hashes.append(hv)
+                nbits.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                    "n_bits": pd.Series(nbits, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, _AHASH_SCHEMA)

@@ -272,3 +272,70 @@ def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return decode_audio_stats(_with_synth_payload(docs, wav_payload))
+
+
+@query(
+    "m_image_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + (doc_id % 13) AS w,
+             3 + (n_chars % 11) AS h
+      FROM documents
+    ),
+    sub AS (
+      SELECT doc_id, w, h, i,
+             (doc_id * 31 + i) % 251 AS v,
+             (i // 3) // w AS r,
+             (i // 3) % w AS c
+      FROM (SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS i
+            FROM dims)
+    ),
+    blocks AS (
+      SELECT doc_id, (r * 7 // h) * 8 + (c * 8 // w) AS k,
+             sum(v) AS bsum, count(*) AS bn
+      FROM sub GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(v) AS tsum, count(*) AS tn FROM sub GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(sum(CASE WHEN b.bsum * t.tn > t.tsum * b.bn
+                    THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT)
+             AS ahash,
+           CAST(sum(CASE WHEN b.bsum * t.tn > t.tsum * b.bn
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
+    FROM blocks b JOIN tot t USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def m_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image over the REAL decode path —
+    the multimodal near-dup primitive (byte-exact dedup misses
+    re-encodes; a brightness-grid hash survives them). Pipeline:
+    synthesize the deterministic PPM payload per document (the
+    m_image_decode generator), decode it with the pure-numpy PPM
+    parser, collapse to a 7x8 brightness grid, pack the
+    brighter-than-mean bits into one BIGINT
+    (multimodal/columns.py:image_ahash — all comparisons
+    cross-multiplied integers, so the hash is bit-identical on any
+    engine). Downstream, hamming-banding this column (the d_simhash
+    trick) turns it into an image near-dup JOIN key; here the hash
+    itself is the oracle-gated output. The oracle reproduces the same
+    56 bits in SQL from the closed-form pixel generator."""
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    def ppm_payload(doc_id: int, n_chars: int) -> bytes:
+        w = 4 + doc_id % 13
+        h = 3 + n_chars % 11
+        flat = (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 251
+        return encode_ppm(flat.astype(np.uint8).reshape(h, w, 3))
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return image_ahash(_with_synth_payload(docs, ppm_payload))

@@ -181,3 +181,73 @@ def test_resize_image_nearest_neighbor_exact():
     _, _, up = decode_image(resize_image(encode_ppm(src), 8, 8))
     ys = (np.arange(8) * 4) // 8
     assert np.array_equal(up, src[ys][:, ys])
+
+
+def test_image_ahash_uniform_image_has_no_bits(spark):
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    flat = np.full((6, 10, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(flat)))], "doc_id long, payload binary"
+    )
+    r = image_ahash(df).collect()[0]
+    # no block is STRICTLY brighter than the mean on a flat image
+    assert r["ahash"] == 0 and r["n_bits"] == 0
+
+
+def test_image_ahash_bright_half_sets_exactly_those_blocks(spark):
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    # 14 rows: top 7 white, bottom 7 black. Grid row mapping r*7//14
+    # puts image rows (0,1)->0, (2,3)->1, (4,5)->2, (6,7)->3 — so grid
+    # rows 0-2 are pure white (strictly above the 50% mean -> set) and
+    # grid row 3 mixes one white + one black row, landing EXACTLY at
+    # the mean: the strict compare leaves it unset, pinning the
+    # tie-goes-to-zero semantics the oracle shares.
+    px = np.zeros((14, 8, 3), dtype=np.uint8)
+    px[:7, :, :] = 255
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px)))], "doc_id long, payload binary"
+    )
+    r = image_ahash(df).collect()[0]
+    expected = 0
+    for gr in range(3):  # grid rows 0..2 hold only white pixels
+        for gc in range(8):
+            expected |= 1 << (gr * 8 + gc)
+    assert r["ahash"] == expected
+    assert r["n_bits"] == 24
+    # popcount consistency always holds
+    assert bin(r["ahash"]).count("1") == r["n_bits"]
+
+
+def test_image_ahash_is_reencode_stable(spark):
+    """The property that makes ahash a NEAR-dup key: a brightness-
+    preserving re-encode (identical pixels, fresh container bytes)
+    hashes identically, where md5-of-payload would differ."""
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    rng_px = (np.arange(9 * 12 * 3, dtype=np.int64) * 37 % 251).astype(
+        np.uint8
+    ).reshape(9, 12, 3)
+    p1 = encode_ppm(rng_px)
+    p2 = b"P6\n" + b"12 9\n" + b"255\n" + rng_px.tobytes()  # same raster
+    df = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert rows[1] == rows[2]
