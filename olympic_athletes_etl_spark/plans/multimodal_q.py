@@ -339,3 +339,129 @@ def m_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return image_ahash(_with_synth_payload(docs, ppm_payload))
+
+
+@query(
+    "m_image_neardup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             4 + (doc_id % 13) AS w,
+             3 + (n_chars % 11) AS h
+      FROM documents
+    ),
+    sub AS (
+      SELECT doc_id, w, h, i,
+             (doc_id * 31 + i) % 251 AS v,
+             (i // 3) // w AS r,
+             (i // 3) % w AS c
+      FROM (SELECT doc_id, w, h,
+                   unnest(generate_series(0, w * h * 3 - 1)) AS i
+            FROM dims)
+    ),
+    blocks AS (
+      SELECT doc_id, (r * 7 // h) * 8 + (c * 8 // w) AS k,
+             sum(v) AS bsum, count(*) AS bn
+      FROM sub GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(v) AS tsum, count(*) AS tn FROM sub GROUP BY 1
+    ),
+    hashes AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN b.bsum * t.tn > t.tsum * b.bn
+                      THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT)
+               AS ahash
+      FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1
+    ),
+    bands AS (
+      SELECT doc_id, ahash, j, (ahash >> (j * 14)) & 16383 AS band
+      FROM hashes, (SELECT unnest(range(0, 4)) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 8
+    """,
+)
+def m_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP pairs: perceptual average-hashes within hamming
+    distance 8, candidates from BANDED hamming (split the 56-bit hash
+    into 4 x 14-bit bands; pairs sharing any band value are candidates
+    — the d_simhash_banded construction applied to the image hash, so
+    a pair whose differing bits all fall in <= 3 bands is guaranteed
+    to surface). Composes the multimodal decode
+    path with the text-side near-dup machinery: decode -> ahash ->
+    band join -> exact hamming verify, never an all-pairs product.
+
+    Banding honesty on THIS corpus: the synthetic images are tiny
+    (4-16 x 3-13), so many hashes share low-entropy bands and the band
+    join prunes mildly; on real photo corpora the 14-bit bands split
+    2^14 ways and candidates collapse to near-identical images only.
+    At production scale add the standard hot-band cap (drop band values
+    shared by > K images — the d_minhash_lsh bucket-cap move) before
+    the self-join; with 4498-41832 candidates at test SFs the uncapped
+    plan is the right simplicity trade-off, and the cap would need
+    mirroring in the oracle.
+
+    NOTE the band guarantee: hamming <= 8 with 4 bands only PROMISES a
+    shared band when the 8 differing bits hit <= 3 bands; 8 bits spread
+    4-4-0-0 or 2-2-2-2 across all 4 bands would be missed by
+    construction. The oracle applies the identical banded candidate
+    rule, so the gate checks the construction, not all-pairs recall —
+    the recall yardstick for banding lives in test_dedup_recall
+    (simhash) and applies unchanged."""
+    import numpy as np
+
+    from olympic_athletes_etl_spark.multimodal.columns import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    # local (not module-level) so it cloudpickles BY VALUE into workers
+    # — same reasoning as m_image_decode's generator
+    def ppm_payload(doc_id: int, n_chars: int) -> bytes:
+        w = 4 + doc_id % 13
+        h = 3 + n_chars % 11
+        flat = (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 251
+        return encode_ppm(flat.astype(np.uint8).reshape(h, w, 3))
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hashes = image_ahash(_with_synth_payload(docs, ppm_payload)).select(
+        "doc_id", "ahash"
+    )
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).withColumn(
+        "band",
+        F.expr("shiftright(ahash, cast(j * 14 as int)) & 16383"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )

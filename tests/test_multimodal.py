@@ -251,3 +251,23 @@ def test_image_ahash_is_reencode_stable(spark):
     )
     rows = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
     assert rows[1] == rows[2]
+
+
+def test_image_neardup_pairs_are_hamming_verified(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.multimodal_q import (
+        m_image_ahash,
+        m_image_neardup,
+    )
+
+    hashes = {
+        r["doc_id"]: r["ahash"] for r in m_image_ahash(spark, sf_dir).collect()
+    }
+    rows = m_image_neardup(spark, sf_dir).collect()
+    assert rows  # non-vacuous at the test SF (832 identical rasters)
+    for r in rows:
+        true_h = bin(hashes[r["doc_a"]] ^ hashes[r["doc_b"]]).count("1")
+        assert r["hamming"] == true_h  # verify step reports TRUE distance
+        assert true_h <= 8
+        assert r["doc_a"] < r["doc_b"]
+    # identical synthetic rasters (same pixel phase + dims) must surface
+    assert any(r["hamming"] == 0 for r in rows)
