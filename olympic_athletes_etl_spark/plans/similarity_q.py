@@ -1247,3 +1247,120 @@ def s_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval — BM25 lexical candidates re-ranked with embeddings,
+# fused by Reciprocal Rank Fusion (integer-exact)
+# --------------------------------------------------------------------------
+_HS_CAND = 50
+_HS_TOPN = 10
+_HS_RRF_K = 60
+
+
+def _hybrid_oracle() -> str:
+    from olympic_athletes_etl_spark.plans.textstats import _BM25_CTES_DUCK
+
+    return f"""
+    WITH {_BM25_CTES_DUCK},
+    bm AS (
+      SELECT doc_id, score_x1000 FROM bm_scored
+      ORDER BY score_x1000 DESC, doc_id
+      LIMIT {_HS_CAND}
+    ),
+    br AS (
+      SELECT doc_id, score_x1000,
+             row_number() OVER (ORDER BY score_x1000 DESC, doc_id)
+               AS bm_rank
+      FROM bm
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    q AS (SELECT v, nrm FROM n WHERE vec_id = {_QUERY_VEC_ID}),
+    ce AS (
+      SELECT br.doc_id, br.bm_rank,
+             list_dot_product(n.v, q.v) / (n.nrm * q.nrm) AS cos_raw
+      FROM br JOIN n ON n.vec_id = br.doc_id CROSS JOIN q
+    ),
+    cr AS (
+      SELECT doc_id, bm_rank,
+             row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS cos_rank
+      FROM ce
+    )
+    SELECT doc_id,
+           CAST(bm_rank AS BIGINT) AS bm25_rank,
+           CAST(cos_rank AS BIGINT) AS cos_rank,
+           CAST(1000000 // ({_HS_RRF_K} + bm_rank)
+                + 1000000 // ({_HS_RRF_K} + cos_rank) AS BIGINT)
+             AS rrf_x1e6
+    FROM cr
+    ORDER BY rrf_x1e6 DESC, doc_id
+    LIMIT {_HS_TOPN}
+    """
+
+
+@query("s_hybrid_search", oracle=_hybrid_oracle())
+def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the RAG-stack workhorse: lexical BM25
+    generates 50 candidates (integer-exact scorer shared with
+    t_bm25_rank), each candidate's embedding (vec_id == doc_id in the
+    testdata contract) is re-scored by cosine against the fixed query
+    vector, and the two rankings fuse by RECIPROCAL RANK FUSION —
+    floor(1e6/(60+r_bm25)) + floor(1e6/(60+r_cos)), the
+    Cormack-Clarke-Buettcher formula in exact integer form, so the
+    fused score hash-matches across engines even though the cosine leg
+    is float (only its RANK enters the fusion — rank computed on the
+    raw double, bit-identical in both engines, ties broken by doc_id).
+
+    Scale shape: the candidate set caps every downstream stage — the
+    embedding join touches {50} rows (semi-join pushdown against the
+    vector table), both row_number windows range over the bounded
+    candidate frame (never corpus rows), and the final top-10 is
+    TakeOrderedAndProject. This is the textbook two-tower serving
+    plan: cheap lexical recall wide, expensive vector precision narrow."""
+    from olympic_athletes_etl_spark.plans.textstats import bm25_scores
+
+    bm = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score_x1000"), "doc_id")
+        .limit(_HS_CAND)
+    )
+    br = bm.withColumn(
+        "bm_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_x1000"), "doc_id")
+        ),
+    )
+    n = _emb_double(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    q = n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.expr(_DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qnrm"))
+    ce = (
+        br.join(n, br["doc_id"] == n["vec_id"])
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", "bm_rank", cos.alias("cos_raw"))
+    )
+    cr = ce.withColumn(
+        "cos_rank",
+        F.row_number().over(Window.orderBy(F.desc("cos_raw"), "doc_id")),
+    )
+    return (
+        cr.select(
+            "doc_id",
+            F.col("bm_rank").cast("long").alias("bm25_rank"),
+            F.col("cos_rank").cast("long").alias("cos_rank"),
+            F.expr(
+                f"CAST(1000000 div ({_HS_RRF_K} + bm_rank)"
+                f" + 1000000 div ({_HS_RRF_K} + cos_rank) AS BIGINT)"
+            ).alias("rrf_x1e6"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), "doc_id")
+        .limit(_HS_TOPN)
+    )

@@ -1244,10 +1244,10 @@ _BM25_SCORE = (
 )
 
 
-@query(
-    "t_bm25_rank",
-    oracle=f"""
-    WITH toks AS (
+# The WITH-body and the scored aggregate are shared with the hybrid
+# retrieval query (plans/similarity_q.py:s_hybrid_search) — ONE
+# definition so the two oracles cannot desync.
+_BM25_CTES_DUCK = f"""toks AS (
       SELECT doc_id, u AS token
       FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
             FROM documents), unnest(t) AS x(u)
@@ -1267,15 +1267,51 @@ _BM25_SCORE = (
     ),
     docfreq AS (
       SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    bm_scored AS (
+      SELECT tf.doc_id,
+             CAST(sum({_BM25_SCORE.replace(" div ", " // ")}) AS BIGINT)
+               AS score_x1000
+      FROM tf
+      JOIN docfreq df USING (token)
+      JOIN dlen d USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY 1
+    )"""
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_x1000) for every query-term-matching document —
+    the Spark twin of the ``bm_scored`` CTE above; see t_bm25_rank's
+    docstring for the integer-BM25 derivation and plan shape."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
     )
-    SELECT tf.doc_id,
-           CAST(sum({_BM25_SCORE.replace(" div ", " // ")}) AS BIGINT)
-             AS score_x1000
-    FROM tf
-    JOIN docfreq df USING (token)
-    JOIN dlen d USING (doc_id)
-    CROSS JOIN corpus c
-    GROUP BY 1
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dlen.agg(F.sum("dl").alias("L"), F.count(F.lit(1)).alias("N"))
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.expr(_BM25_SCORE).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score_x1000"))
+    )
+
+
+@query(
+    "t_bm25_rank",
+    oracle=f"""
+    WITH {_BM25_CTES_DUCK}
+    SELECT doc_id, score_x1000
+    FROM bm_scored
     ORDER BY score_x1000 DESC, doc_id
     LIMIT {_BM25_TOPN}
     """,
@@ -1303,27 +1339,8 @@ def t_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies broadcast (bounded by the query's term count), and the
     top-15 is TakeOrderedAndProject. The one full-corpus pass (dl) is
     shared state every BM25 index precomputes once."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
-    )
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dlen.agg(
-        F.sum("dl").alias("L"), F.count(F.lit(1)).alias("N")
-    )
-    tf = (
-        toks.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.join(F.broadcast(docfreq), "token")
-        .join(dlen, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select("doc_id", F.expr(_BM25_SCORE).alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum("s").alias("score_x1000"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score_x1000"), "doc_id")
         .limit(_BM25_TOPN)
     )

@@ -350,3 +350,30 @@ def test_time_weighted_avg_bounded_and_segment_counts(spark, sf_dir):
     for uid, p in per_user.items():
         if uid not in rows:
             assert p["n_ts"] <= 1
+
+
+def test_hybrid_search_fuses_both_rankings_consistently(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _HS_RRF_K,
+        _HS_TOPN,
+        s_hybrid_search,
+    )
+    from olympic_athletes_etl_spark.plans.textstats import bm25_scores
+
+    rows = s_hybrid_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _HS_TOPN
+    n_cand = min(50, bm25_scores(spark, sf_dir).count())
+    seen = set()
+    for r in rows:
+        # ranks are 1-based positions inside the bounded candidate set
+        assert 1 <= r["bm25_rank"] <= n_cand
+        assert 1 <= r["cos_rank"] <= n_cand
+        # RRF recomputes from the ranks exactly
+        assert r["rrf_x1e6"] == 1_000_000 // (_HS_RRF_K + r["bm25_rank"]) + (
+            1_000_000 // (_HS_RRF_K + r["cos_rank"])
+        )
+        seen.add(r["doc_id"])
+    assert len(seen) == len(rows)  # no duplicate docs in the fused list
+    # descending fused order with doc_id tie-break
+    fused = [(r["rrf_x1e6"], -r["doc_id"]) for r in rows]
+    assert fused == sorted(fused, reverse=True)
