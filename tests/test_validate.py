@@ -116,3 +116,22 @@ def test_editions_rules(spark):
     assert s["unique_game_edition"] == 2  # both 1896 rows flagged
     assert s["opened_before_closed"] == 1  # NULL-tolerant
     assert s["competition_start_before_end"] == 1
+
+
+def test_benford_digits_partition_and_share_identities(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.validate_q import v_benford_digits
+
+    rows = {r["digit"]: r for r in v_benford_digits(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    total = (
+        load(spark, sf_dir, "orders")
+        .filter("o_totalprice >= 1")
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows.values()) == total
+    for r in rows.values():
+        assert r["share_x10000"] == (10000 * r["n_orders"]) // total
+    # shares sum to ~100% (floor division loses < 9 units)
+    s = sum(r["share_x10000"] for r in rows.values())
+    assert 10000 - 9 <= s <= 10000
