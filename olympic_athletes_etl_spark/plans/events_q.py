@@ -1746,3 +1746,97 @@ def e_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("num div den").alias("twa_x100"),
         "n_segments",
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection — sustained mean-shift alarms per type
+# --------------------------------------------------------------------------
+@query(
+    "e_cusum_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n,
+             d.n * s.n_days - s.total - s.total // 4 AS y,
+             s.total AS total
+      FROM daily d JOIN stats s USING (event_type)
+    ),
+    cum1 AS (
+      SELECT event_type, day, n, total,
+             sum(y) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM dev
+    ),
+    cum AS (
+      SELECT event_type, day, n, total, c,
+             min(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cmin
+      FROM cum1
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           CAST(c - least(CAST(0 AS BIGINT), cmin) AS BIGINT)
+             AS cusum_scaled,
+           (c - least(CAST(0 AS BIGINT), cmin)) > total AS alarm
+    FROM cum
+    """,
+)
+def e_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over daily event volumes per type — sequential
+    detection of SUSTAINED mean shifts, the complement of
+    e_anomaly_days' point outliers (a 20% volume creep never trips a
+    2-sigma z-score; CUSUM accumulates it until it alarms). Statistic:
+    S_t = max(0, S_{t-1} + (n_t - mean - slack)), slack = mean/4,
+    alarm when S_t exceeds one mean-day of accumulated excess.
+
+    Two exactness tricks: (1) everything is scaled by n_days so the
+    mean never divides — y_t = n_t*D - total - total div 4 is exact
+    BIGINT; (2) the max(0, .)-fold (not window-expressible) becomes
+    prefix arithmetic via the reflection identity
+    S_t = cum_t - min(0, min_{j<=t} cum_j), two windows over the same
+    frame. Both windows are PARTITIONED by event type and range over
+    DAY rows — cardinality is the time span, the e_burst_minutes
+    bounded-window discipline, never event rows. day is emitted as a
+    string (DATE-vs-TIMESTAMP render gotcha)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("n").alias("total")
+    )
+    dev = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        F.expr("n * n_days - total - total div 4").alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dev.withColumn("c", F.sum("y").over(w)).withColumn(
+        "cmin", F.min("c").over(w)
+    )
+    cusum = F.col("c") - F.least(F.lit(0).cast("long"), F.col("cmin"))
+    return cum.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        cusum.alias("cusum_scaled"),
+        (cusum > F.col("total")).alias("alarm"),
+    )

@@ -377,3 +377,24 @@ def test_hybrid_search_fuses_both_rankings_consistently(spark, sf_dir):
     # descending fused order with doc_id tie-break
     fused = [(r["rrf_x1e6"], -r["doc_id"]) for r in rows]
     assert fused == sorted(fused, reverse=True)
+
+
+def test_cusum_matches_direct_fold(spark, sf_dir):
+    """The reflection identity must equal the literal
+    S_t = max(0, S_{t-1} + y_t) fold, recomputed in Python per type."""
+    rows = _q("e_cusum_shift")(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, seq in by_type.items():
+        total = sum(r["n"] for r in seq)
+        d = len(seq)
+        s = 0
+        for r in seq:
+            y = r["n"] * d - total - total // 4
+            s = max(0, s + y)
+            assert r["cusum_scaled"] == s
+            assert r["alarm"] == (s > total)
+        # cusum is never negative by construction
+        assert all(r["cusum_scaled"] >= 0 for r in seq)
