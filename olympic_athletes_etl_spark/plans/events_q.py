@@ -1840,3 +1840,77 @@ def e_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum_scaled"),
         (cusum > F.col("total")).alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / MAU stickiness — rolling 30-day distinct actives per day
+# --------------------------------------------------------------------------
+@query(
+    "e_dau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ),
+    mau AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+      GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, dau.dau, mau.mau,
+           CAST((1000 * dau.dau) // mau.mau AS BIGINT)
+             AS stickiness_x1000
+    FROM days d JOIN dau USING (day) JOIN mau USING (day)
+    """,
+)
+def e_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-30-day MAU per day — the product-analytics
+    stickiness ratio (what fraction of the month's actives show up on
+    a given day). Exact x1000 integer ratio.
+
+    Plan: the (user, day) incidence distincts FIRST (rows crossing any
+    shuffle = active-user-days, not raw events); the trailing window is
+    a bounded-fanout range join — each incidence row lands in at most
+    30 day-buckets, so the join output is <= 30x the incidence table,
+    independent of per-day volume — followed by one count-distinct
+    keyed on (day, user). At 100 TB the count-distinct is the heavy
+    stage; the documented swap is per-(day,user) pre-aggregation into
+    daily HLL/KMV register sets merged across the 30-day window
+    (operators/sketches.py — merge = elementwise min/max, exactly what
+    a_sketch_algebra demonstrates), trading exactness for a
+    shuffle-free rollup. The day dimension is calendar-bounded; day is
+    emitted as a string (DATE render gotcha)."""
+    ud = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    mau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 29), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("mau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "mau",
+            F.expr("CAST((1000 * dau) div mau AS BIGINT)").alias(
+                "stickiness_x1000"
+            ),
+        )
+    )

@@ -398,3 +398,28 @@ def test_cusum_matches_direct_fold(spark, sf_dir):
             assert r["alarm"] == (s > total)
         # cusum is never negative by construction
         assert all(r["cusum_scaled"] >= 0 for r in seq)
+
+
+def test_dau_mau_bounds_and_recount(spark, sf_dir):
+    rows = {r["day"]: r for r in _q("e_dau_mau")(spark, sf_dir).collect()}
+    assert rows
+    events = load(spark, sf_dir, "events")
+    # recount one day end-to-end
+    some_day = sorted(rows)[len(rows) // 2]
+    dau_direct = (
+        events.filter(F.col("ts").cast("date").cast("string") == some_day)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[some_day]["dau"] == dau_direct
+    for r in rows.values():
+        # a day's actives are a subset of its trailing month's actives
+        assert r["dau"] <= r["mau"]
+        assert 0 < r["stickiness_x1000"] <= 1000
+        assert r["stickiness_x1000"] == (1000 * r["dau"]) // r["mau"]
+    # MAU is monotone over the first 30 days of history (window only grows)
+    days_sorted = sorted(rows)
+    first_month = days_sorted[: min(30, len(days_sorted))]
+    maus = [rows[d]["mau"] for d in first_month]
+    assert maus == sorted(maus)
