@@ -875,3 +875,76 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_AR_TOPN)
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY 1
+    ),
+    aged AS (
+      SELECT f.m0,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.m0
+               AS age_months,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+    ),
+    cohort_age AS (
+      SELECT m0, age_months,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT CAST(m0 // 12 AS BIGINT) AS cohort_year,
+           CAST(m0 % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(sum(rev_cents) OVER (
+             PARTITION BY m0 ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM cohort_age
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: customers
+    are grouped by the calendar month of their FIRST order, and each
+    cohort's revenue accumulates over months-since-acquisition — the
+    LTV curve every subscription/commerce dashboard draws, and the
+    revenue-side twin of e_retention_cohorts' activity curves.
+
+    Exactness: calendar months are linearized as year*12+month (pure
+    integer — no months_between float), money is exact bigint cents.
+    Plan: first-order month is one customer-keyed aggregate; the age
+    join is customer-keyed (fact-scale but well-distributed); the
+    cumulative window is PARTITIONED by cohort and ranges over
+    months-since-acquisition rows — cardinality bounded by the
+    calendar span squared (~84x84 here), never order rows."""
+    orders = load(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_order = orders.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    aged = (
+        orders.join(first_order, "o_custkey")
+        .select(
+            "m0",
+            (m - F.col("m0")).alias("age_months"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    cohort_age = aged.groupBy("m0", "age_months").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cohort_age.select(
+        F.expr("CAST(m0 div 12 AS BIGINT)").alias("cohort_year"),
+        F.expr("CAST(m0 % 12 + 1 AS BIGINT)").alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        F.sum("rev_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )

@@ -283,3 +283,31 @@ def test_association_rules_metrics_are_bounded_and_consistent(spark, sf_dir):
     # the top-50 screen surfaces positively associated pairs: at the
     # head of the lift ordering, lift must exceed independence (1000)
     assert rows[0]["lift_x1000"] >= 1000
+
+
+def test_cohort_ltv_monotone_and_conserves_total_revenue(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.tpch_close import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    curves: dict = {}
+    for r in rows:
+        curves.setdefault((r["cohort_year"], r["cohort_month"]), []).append(
+            (r["age_months"], r["cum_revenue_cents"])
+        )
+    final_total = 0
+    for seq in curves.values():
+        seq.sort()
+        vals = [v for _, v in seq]
+        assert vals == sorted(vals)  # cumulative: monotone in age
+        assert seq[0][0] == 0  # every cohort spends in its first month
+        final_total += vals[-1]
+    total = (
+        load(spark, sf_dir, "orders")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+        .first()[0]
+    )
+    assert final_total == total  # curves partition ALL revenue exactly
