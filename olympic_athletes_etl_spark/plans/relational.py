@@ -1283,3 +1283,87 @@ def j_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient — inequality of customer spend, rank via the
+# partitioned two-pass cumsum (no global window over customer rows)
+# --------------------------------------------------------------------------
+@query(
+    "a_gini_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+      FROM spend
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(rnk * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           CAST((10000 * (2 * weighted - (n + 1) * total))
+                // (n * total) AS BIGINT) AS gini_x10000
+    FROM agg
+    """,
+)
+def a_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend — the inequality summary
+    (0 = everyone spends alike, 1 = one customer is the business),
+    via the sorted-rank identity
+    G = (2*sum(rank_i * x_i) - (n+1)*sum(x)) / (n*sum(x)), all in
+    exact integer cents so the x10000 result hash-matches.
+
+    The rank is the scale-interesting part: a naive row_number() over
+    ALL customers is the single-partition global window the round-3
+    verdict flagged on e_user_pareto. Here the rank comes from the
+    partitioned TWO-PASS pattern (operators/windows.py): bucket by
+    cents div 1e6 (monotone in the (cents, custkey) order — the
+    operator's invariant), per-bucket row_number, plus each bucket's
+    carried-in offset — every WindowExec input is one bucket. The
+    oracle uses the plain global window (DuckDB is single-node; the
+    identity, not the plan, is what's being checked). Overflow bound:
+    sum(rank*x) <= n * total must stay under 2^63 — holds to ~1e9
+    customers at ~$10k lifetime spend; beyond that, compute G on the
+    decile grid (the e_user_pareto move)."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    ranked = partitioned_running_sum(
+        spend.withColumn("one", F.lit(1).cast("long")),
+        bucket=F.expr("cents div 1000000"),
+        order_cols=["cents", "o_custkey"],
+        value_col="one",
+        out_col="rnk",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.expr("rnk * cents")).alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.expr(
+            "CAST((10000 * (2 * weighted - (n + 1) * total))"
+            " div (n * total) AS BIGINT)"
+        ).alias("gini_x10000"),
+    )

@@ -423,3 +423,29 @@ def test_dau_mau_bounds_and_recount(spark, sf_dir):
     first_month = days_sorted[: min(30, len(days_sorted))]
     maus = [rows[d]["mau"] for d in first_month]
     assert maus == sorted(maus)
+
+
+def test_gini_matches_pairwise_definition_and_bounds(spark, sf_dir):
+    rows = _q("a_gini_spend")(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r["gini_x10000"] < 10000
+    # recompute from the O(n^2) pairwise definition on collected spends
+    spends = sorted(
+        x["cents"]
+        for x in load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+        .collect()
+    )
+    n, total = len(spends), sum(spends)
+    assert (r["n_customers"], r["total_cents"]) == (n, total)
+    mad = sum(abs(a - b) for a in spends for b in spends)  # includes both orders
+    gini_direct = (10000 * mad) // (2 * n * total)
+    # sorted-rank identity == pairwise definition (exact up to the
+    # shared floor granule)
+    assert abs(r["gini_x10000"] - gini_direct) <= 1
