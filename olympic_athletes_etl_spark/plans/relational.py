@@ -1367,3 +1367,65 @@ def a_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * total) AS BIGINT)"
         ).alias("gini_x10000"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time features — trailing-window aggregates as-of each row
+# --------------------------------------------------------------------------
+@query(
+    "j_pit_features",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(coalesce(count(cents) OVER w, 0) AS BIGINT)
+             AS trailing_n,
+           CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT)
+             AS trailing_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def j_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature computation — the feature-store join that
+    must never leak the future: for every order, the customer's order
+    count and spend over the STRICTLY PRECEDING 90 days (the current
+    day excluded entirely, so even same-day siblings don't leak into
+    each other — training-serving skew rule #1). Exact bigint cents.
+
+    Expressed as one customer-partitioned RANGE window over integer
+    epoch-days — no self-join fan-out at all: Spark's WindowExec scans
+    each customer's orders once with a sliding frame, where the
+    equivalent range self-join would emit (orders-in-90d) rows per
+    order. The frame bound is event-time (RANGE, not ROWS), so
+    several orders on one day each see the identical as-of state.
+    Partitioned by customer = fact-scale parallel; same-customer
+    volume is calendar-bounded."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-90, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.count("cents").over(w), F.lit(0))
+        .cast("long")
+        .alias("trailing_n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("long")
+        .alias("trailing_cents"),
+    )

@@ -449,3 +449,33 @@ def test_gini_matches_pairwise_definition_and_bounds(spark, sf_dir):
     # sorted-rank identity == pairwise definition (exact up to the
     # shared floor granule)
     assert abs(r["gini_x10000"] - gini_direct) <= 1
+
+
+def test_pit_features_never_leak_same_day_or_future(spark, sf_dir):
+    rows = {
+        r["o_orderkey"]: r for r in _q("j_pit_features")(spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    ).collect()
+    assert len(rows) == len(orders)
+    by_cust: dict = {}
+    for o in orders:
+        by_cust.setdefault(o["o_custkey"], []).append(o)
+    import datetime
+
+    checked_nonzero = 0
+    for cust, os_ in by_cust.items():
+        for o in os_:
+            lo = o["d"] - datetime.timedelta(days=90)
+            exp = [
+                p for p in os_
+                if lo <= p["d"] <= o["d"] - datetime.timedelta(days=1)
+            ]
+            r = rows[o["o_orderkey"]]
+            assert r["trailing_n"] == len(exp)
+            assert r["trailing_cents"] == sum(p["cents"] for p in exp)
+            checked_nonzero += bool(exp)
+    assert checked_nonzero > 0  # the window is non-vacuous at this SF
