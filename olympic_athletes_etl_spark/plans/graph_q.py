@@ -320,3 +320,77 @@ def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_n"), "part_a", "part_b")
         .limit(_LP_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# k-core — bounded-round peel of the co-purchase graph
+# --------------------------------------------------------------------------
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+_KCORE_ROUND_DUCK = """
+    d{i} AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT pa AS node FROM e{p}
+            UNION ALL SELECT pb AS node FROM e{p})
+      GROUP BY 1
+    ),
+    k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i} AS (
+      SELECT pa, pb FROM e{p}
+      WHERE pa IN (SELECT node FROM k{i})
+        AND pb IN (SELECT node FROM k{i})
+    )
+"""
+
+
+@query(
+    "g_kcore",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    e0 AS (SELECT pa, pb FROM edges),
+    {",".join(
+        _KCORE_ROUND_DUCK.format(i=i, p=i - 1, k=_KCORE_K)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )}
+    SELECT node AS part, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT pa AS node FROM e{_KCORE_ROUNDS}
+          UNION ALL SELECT pb AS node FROM e{_KCORE_ROUNDS})
+    GROUP BY 1
+    """,
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-CORE of the co-purchase graph by iterative peeling: each
+    round drops every node whose degree fell below {k} and the edges
+    touching it, because removing a weak node can strip a neighbor
+    below the bar too. The surviving subgraph is where every part has
+    at least {k} surviving co-purchase partners — the standard
+    'dense-enough neighborhood' screen before community detection or
+    embedding training.
+
+    The round count is a CONSTANT ({r}), not a convergence test, so the
+    oracle unrolls the identical dataflow as chained CTEs (the
+    g_pagerank move); tests pin that {r} rounds reach the fixpoint at
+    test scale. At 100 TB you iterate to fixpoint instead — each round
+    is one degree-count aggregate plus two leftsemi joins on the edge
+    key (all shuffle-partitioned by node/edge keys, no global
+    structure), with the shrinking edge list checkpointed every few
+    rounds to cut the unrolled lineage (the documented iterative-
+    algorithm discipline; peel rounds needed in practice is the graph's
+    degeneracy ordering depth, typically tens)."""
+    e = _edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = _degrees(e)
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "pa"), "pa", "leftsemi"
+        ).join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
+    return (
+        e.select(F.col("pa").alias("part"))
+        .unionByName(e.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+g_kcore.__doc__ = g_kcore.__doc__.format(k=_KCORE_K, r=_KCORE_ROUNDS)

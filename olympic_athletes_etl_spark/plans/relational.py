@@ -1429,3 +1429,164 @@ def j_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("trailing_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized statistics — robust mean via exact count-rank cutoffs
+# --------------------------------------------------------------------------
+@query(
+    "a_winsorized_stats",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+    cum AS (
+      SELECT cents, cnt, sum(cnt) OVER (ORDER BY cents) AS cum FROM vc
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+    cuts AS (
+      SELECT n,
+             (SELECT min(cents) FROM cum, nn
+              WHERE cum >= (n + 99) // 100) AS lo_cut,
+             (SELECT min(cents) FROM cum, nn
+              WHERE cum >= (99 * n + 99) // 100) AS hi_cut
+      FROM nn
+    )
+    SELECT n AS n_orders, lo_cut AS lo_cut_cents, hi_cut AS hi_cut_cents,
+           CAST(sum(cnt * CASE WHEN cents < lo_cut THEN lo_cut
+                               WHEN cents > hi_cut THEN hi_cut
+                               ELSE cents END) AS BIGINT) AS win_sum_cents,
+           CAST(sum(cnt * CASE WHEN cents < lo_cut THEN lo_cut
+                               WHEN cents > hi_cut THEN hi_cut
+                               ELSE cents END) // n AS BIGINT)
+             AS win_mean_cents
+    FROM vc, cuts
+    GROUP BY 1, 2, 3
+    """,
+)
+def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (1%/99%-clipped) spend statistics — the robust mean
+    that survives fat-finger prices and test orders, in exact integer
+    cents. The cutoffs are EXACT order statistics, defined as the
+    smallest value whose cumulative count reaches ceil(p*n) — not an
+    approximate percentile — so both engines agree bit-for-bit.
+
+    Scale shape: the fact table collapses FIRST to distinct-value
+    counts (bounded by price-domain cardinality, far below row count),
+    the cumulative count over those runs through the partitioned
+    two-pass cumsum (operators/windows.py — no unpartitioned WindowExec
+    over value rows), the two cutoffs reduce to a 1-row aggregate that
+    broadcast-crossJoins back (the house 1-row-scalar pattern), and the
+    winsorized sum is computed from the value-count table itself
+    (sum(cnt * clip(v))) — the raw facts are never re-scanned."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    vc = o.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = partitioned_running_sum(
+        vc,
+        bucket=F.expr("cents div 1000000"),
+        order_cols=["cents"],
+        value_col="cnt",
+        out_col="cum",
+    )
+    nn = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            F.first("n").alias("n"),
+            F.min(F.when(F.col("cum") >= F.expr("(n + 99) div 100"),
+                         F.col("cents"))).alias("lo_cut"),
+            F.min(F.when(F.col("cum") >= F.expr("(99 * n + 99) div 100"),
+                         F.col("cents"))).alias("hi_cut"),
+        )
+    )
+    clipped = F.expr(
+        "cnt * CASE WHEN cents < lo_cut THEN lo_cut"
+        " WHEN cents > hi_cut THEN hi_cut ELSE cents END"
+    )
+    return (
+        vc.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            F.col("n").alias("n_orders"),
+            F.col("lo_cut").alias("lo_cut_cents"),
+            F.col("hi_cut").alias("hi_cut_cents"),
+        )
+        .agg(
+            F.sum(clipped).cast("long").alias("win_sum_cents"),
+            F.expr("CAST(sum({c}) div first(n) AS BIGINT)".format(
+                c="cnt * CASE WHEN cents < lo_cut THEN lo_cut"
+                  " WHEN cents > hi_cut THEN hi_cut ELSE cents END"
+            )).alias("win_mean_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance — mergeable partials, no history rescan
+# --------------------------------------------------------------------------
+_INCR_SPLIT = "2000-01-01"
+
+
+@query(
+    "r_incremental_agg",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                // count(*) AS BIGINT) AS avg_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def r_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE: the monthly revenue rollup is
+    kept as mergeable partials (count, sum) so each new day's batch
+    folds in WITHOUT rescanning history — at 100 TB the nightly job
+    reads only the new partition, not six years of facts. This query
+    proves the merge algebra end-to-end: the 'stored' partials (orders
+    before {split}) and the 'incoming batch' partials (orders on/after
+    {split}) are aggregated INDEPENDENTLY, merged by summing state, and
+    the result must hash-match the oracle's full recompute.
+
+    The non-mergeable aggregate (avg) is DERIVED from merged state
+    (sum div count) — the pattern's core rule: store the algebra's
+    semigroup (count, sum, min, max, HLL...), never the final ratio.
+    Scale: both branches are map-side-combinable hash aggregates on the
+    month key; the merge is a groupBy over |months| rows — free."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    orders = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        cents.alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    stored = partial(orders.filter(F.col("d") < F.lit(_INCR_SPLIT)))
+    batch = partial(orders.filter(F.col("d") >= F.lit(_INCR_SPLIT)))
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+    return merged.withColumn(
+        "avg_cents", F.expr("CAST(total_cents div n_orders AS BIGINT)")
+    )
+
+
+r_incremental_agg.__doc__ = r_incremental_agg.__doc__.format(split=_INCR_SPLIT)

@@ -479,3 +479,58 @@ def test_pit_features_never_leak_same_day_or_future(spark, sf_dir):
             assert r["trailing_cents"] == sum(p["cents"] for p in exp)
             checked_nonzero += bool(exp)
     assert checked_nonzero > 0  # the window is non-vacuous at this SF
+
+
+# ------------------------------------------------- round-4b additions
+
+
+def test_winsorized_stats_bounds(spark):
+    r = _q("a_winsorized_stats")(spark, _SF001).collect()[0]
+    raw = load(spark, _SF001, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    n = raw.count()
+    assert r.n_orders == n
+    assert r.lo_cut_cents <= r.hi_cut_cents
+    # cutoffs must be actual observed prices, not interpolations
+    vals = {x.cents for x in raw.distinct().collect()}
+    assert r.lo_cut_cents in vals and r.hi_cut_cents in vals
+    # clipped sum bounded by the cutoffs; derived mean consistent
+    assert n * r.lo_cut_cents <= r.win_sum_cents <= n * r.hi_cut_cents
+    assert r.win_mean_cents == r.win_sum_cents // n
+    # clipping must move the sum only by the tails: within 2% of raw
+    raw_sum = raw.agg(F.sum("cents")).collect()[0][0]
+    assert abs(r.win_sum_cents - raw_sum) < 0.02 * raw_sum
+
+
+def test_incremental_agg_conserves_and_derives(spark):
+    rows = _q("r_incremental_agg")(spark, _SF001).collect()
+    orders = load(spark, _SF001, "orders")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    raw_sum = orders.agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    ).collect()[0][0]
+    assert sum(r.total_cents for r in rows) == raw_sum
+    for r in rows:
+        assert r.avg_cents == r.total_cents // r.n_orders
+    # the merge must actually span the split: months on both sides
+    months = {r.month for r in rows}
+    assert any(m < "2000-01" for m in months)
+    assert any(m >= "2000-01" for m in months)
+
+
+def test_kcore_is_fixpoint_at_test_sf(spark):
+    from olympic_athletes_etl_spark.plans.graph_q import (
+        _KCORE_K,
+        _degrees,
+        _edges,
+    )
+
+    out = {(r.part, r.core_deg) for r in _q("g_kcore")(spark, _SF001).collect()}
+    assert out, "2-core empty at sf0.01 — test is vacuous"
+    # every surviving node keeps >= k surviving neighbors (the defining
+    # property — one more peel round changes nothing)
+    assert all(d >= _KCORE_K for _, d in out)
+    # subset of the original supported-edge node set
+    orig = {r.node for r in _degrees(_edges(spark, _SF001)).collect()}
+    assert {p for p, _ in out} <= orig
