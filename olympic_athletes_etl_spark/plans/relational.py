@@ -1590,3 +1590,156 @@ def r_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 r_incremental_agg.__doc__ = r_incremental_agg.__doc__.format(split=_INCR_SPLIT)
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding — leakage-safe categorical feature
+# --------------------------------------------------------------------------
+@query(
+    "j_target_encode",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, c_mktsegment AS segment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    seg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS seg_n,
+             CAST(sum(cents) AS BIGINT) AS seg_sum
+      FROM o GROUP BY 1
+    )
+    SELECT o_orderkey, o.segment,
+           CASE WHEN seg_n > 1
+                THEN CAST((seg_sum - cents) // (seg_n - 1) AS BIGINT)
+           END AS loo_cents
+    FROM o JOIN seg ON o.segment = seg.segment
+    """,
+)
+def j_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the categorical-feature encoder
+    for ML training where each row's own target must NOT leak into its
+    feature: row i in segment s gets (sum(s) - y_i) / (n(s) - 1), the
+    segment mean computed as if row i didn't exist. Plain mean-encoding
+    (including the row itself) lets the model memorize y through the
+    feature; LOO is the standard fix, and it falls out of the SAME
+    mergeable (count, sum) state as r_incremental_agg — no per-row
+    recomputation, just per-row arithmetic against the group state.
+
+    Exact integer cents with floor division; singleton groups encode to
+    NULL (no other row to borrow a mean from — both engines CASE-guard
+    the zero divisor). Scale: one fact shuffle for the customer join
+    (both sides fact-scale at 100 TB — the necessary shuffle), a
+    5-row segment aggregate, and a broadcast join back; the encoder
+    never materializes per-row state."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", cents.alias("cents"))
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+    )
+    seg = o.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("seg_n"),
+        F.sum("cents").cast("long").alias("seg_sum"),
+    )
+    return o.join(F.broadcast(seg), "segment").select(
+        "o_orderkey",
+        "segment",
+        F.when(
+            F.col("seg_n") > 1,
+            F.expr("CAST((seg_sum - cents) div (seg_n - 1) AS BIGINT)"),
+        ).alias("loo_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling — recommender training pairs
+# --------------------------------------------------------------------------
+_NEG_K = 4
+_NEG_MULT = 2654435761  # Knuth multiplicative constant
+_NEG_STEP = 40503
+
+
+@query(
+    "j_negative_sample",
+    oracle=f"""
+    WITH pk AS (SELECT CAST(max(p_partkey) AS BIGINT) AS max_pk FROM part),
+    custs AS (SELECT DISTINCT o_custkey FROM orders),
+    cand AS (
+      SELECT o_custkey, k,
+             1 + (o_custkey * {_NEG_MULT} + k * {_NEG_STEP}) % max_pk
+               AS neg_partkey
+      FROM custs, pk, (SELECT unnest(range(1, {_NEG_K} + 1)) AS k)
+    ),
+    bought AS (
+      SELECT DISTINCT o_custkey, l_partkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT c.o_custkey, CAST(c.k AS BIGINT) AS k,
+           CAST(c.neg_partkey AS BIGINT) AS neg_partkey
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bought b
+      WHERE b.o_custkey = c.o_custkey AND b.l_partkey = c.neg_partkey
+    )
+    """,
+)
+def j_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC negative sampling for recommender / contrastive
+    training: every active customer draws {k} pseudo-random candidate
+    parts via a multiplicative integer hash of (custkey, draw), and
+    candidates the customer actually bought are anti-joined away —
+    yielding reproducible (user, negative-item) pairs without any RNG
+    state (the t_train_test_split reproducibility convention: hash,
+    don't rand(), so retries/replays/backfills emit identical samples).
+
+    Scale: the candidate set is |customers|×{k} rows built by an
+    explode (no join), the bought set reduces to DISTINCT (customer,
+    part) pairs, and the screen is one equi anti-join shuffled on the
+    composite key — fact-scale parallel, no broadcast of anything
+    unbounded. Collisions (a draw landing on a bought part) are simply
+    dropped, the standard trade: at real catalog sizes the hit rate is
+    items-per-user / catalog ~ 1e-4, so the yield loss is noise."""
+    pk = load(spark, sf_dir, "part").agg(
+        F.max("p_partkey").cast("long").alias("max_pk")
+    )
+    custs = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cand = (
+        custs.crossJoin(F.broadcast(pk))
+        .select(
+            "o_custkey",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("k"),
+            "max_pk",
+        )
+        .select(
+            "o_custkey",
+            F.col("k").cast("long").alias("k"),
+            F.expr(
+                f"CAST(1 + (o_custkey * {_NEG_MULT} + k * {_NEG_STEP})"
+                " % max_pk AS BIGINT)"
+            ).alias("neg_partkey"),
+        )
+    )
+    bought = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .join(
+            load(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+            ),
+            "o_orderkey",
+        )
+        .select("o_custkey", F.col("l_partkey").alias("neg_partkey"))
+        .distinct()
+    )
+    return cand.join(bought, ["o_custkey", "neg_partkey"], "left_anti").select(
+        "o_custkey", "k", "neg_partkey"
+    )
+
+
+j_negative_sample.__doc__ = j_negative_sample.__doc__.format(k=_NEG_K)

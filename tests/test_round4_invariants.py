@@ -534,3 +534,69 @@ def test_kcore_is_fixpoint_at_test_sf(spark):
     # subset of the original supported-edge node set
     orig = {r.node for r in _degrees(_edges(spark, _SF001)).collect()}
     assert {p for p, _ in out} <= orig
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    df = _q("j_target_encode")(spark, _SF001)
+    rows = df.collect()
+    orders = load(spark, _SF001, "orders")
+    assert len(rows) == orders.count()
+    # reconstruct one segment's state and check a row's LOO by hand
+    import collections
+
+    seg_state = collections.defaultdict(lambda: [0, 0])
+    joined = (
+        orders.join(
+            load(spark, _SF001, "customer"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    )
+    cents_by_key = {}
+    for r in joined:
+        seg_state[r.segment][0] += 1
+        seg_state[r.segment][1] += r.cents
+        cents_by_key[r.o_orderkey] = (r.segment, r.cents)
+    for r in rows[:50]:
+        seg, cents = cents_by_key[r.o_orderkey]
+        n, s = seg_state[seg]
+        assert seg == r.segment
+        if n > 1:
+            assert r.loo_cents == (s - cents) // (n - 1)
+        else:
+            assert r.loo_cents is None
+
+
+def test_negative_sample_is_negative_and_deterministic(spark):
+    from olympic_athletes_etl_spark.plans.relational import _NEG_K
+
+    df = _q("j_negative_sample")(spark, _SF001)
+    rows = {(r.o_custkey, r.k, r.neg_partkey) for r in df.collect()}
+    assert rows == {
+        (r.o_custkey, r.k, r.neg_partkey) for r in df.collect()
+    }, "sampling must be replay-stable"
+    bought = {
+        (r.o_custkey, r.l_partkey)
+        for r in load(spark, _SF001, "orders")
+        .join(
+            load(spark, _SF001, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    max_pk = (
+        load(spark, _SF001, "part").agg(F.max("p_partkey")).collect()[0][0]
+    )
+    for ck, k, pk in rows:
+        assert (ck, pk) not in bought, "sampled a bought pair"
+        assert 1 <= k <= _NEG_K and 1 <= pk <= max_pk
+    # yield: each customer keeps at most K draws, most keep all K
+    n_cust = load(spark, _SF001, "orders").select("o_custkey").distinct().count()
+    assert len(rows) > 0.7 * n_cust * _NEG_K
