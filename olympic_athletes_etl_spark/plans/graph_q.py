@@ -374,17 +374,25 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scale. At 100 TB you iterate to fixpoint instead — each round
     is one degree-count aggregate plus two leftsemi joins on the edge
     key (all shuffle-partitioned by node/edge keys, no global
-    structure), with the shrinking edge list checkpointed every few
-    rounds to cut the unrolled lineage (the documented iterative-
-    algorithm discipline; peel rounds needed in practice is the graph's
+    structure), with the shrinking edge list checkpointed each round to
+    cut the unrolled lineage (the documented iterative-algorithm
+    discipline; peel rounds needed in practice is the graph's
     degeneracy ordering depth, typically tens)."""
-    e = _edges(spark, sf_dir)
+    # localCheckpoint per round (the connected_components discipline):
+    # each round references the edge list three times (degree count +
+    # two semi joins), so an unmaterialized unroll re-derives the
+    # lineitem self-join 3^rounds times — the plan audit showed 1000
+    # scans for 3 rounds. Checkpointing makes each round one pass over
+    # the current (shrinking) edge list.
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     for _ in range(_KCORE_ROUNDS):
         deg = _degrees(e)
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
-        e = e.join(
-            keep.withColumnRenamed("node", "pa"), "pa", "leftsemi"
-        ).join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
+        e = (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa", "leftsemi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
     return (
         e.select(F.col("pa").alias("part"))
         .unionByName(e.select(F.col("pb").alias("part")))

@@ -1487,7 +1487,15 @@ def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
     )
-    vc = o.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # materialize the value-count table: it is referenced five times
+    # downstream (cumsum passes, total, final clip) and each reference
+    # would otherwise re-scan the fact table; vc is bounded by price-
+    # domain cardinality, so the checkpoint is tiny at any fact scale
+    vc = (
+        o.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     cum = partitioned_running_sum(
         vc,
         bucket=F.expr("cents div 1000000"),
@@ -1495,7 +1503,7 @@ def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="cnt",
         out_col="cum",
     )
-    nn = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nn = vc.agg(F.sum("cnt").cast("long").alias("n"))
     cuts = (
         cum.crossJoin(F.broadcast(nn))
         .agg(
