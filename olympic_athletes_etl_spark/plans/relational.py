@@ -1751,3 +1751,157 @@ def j_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 j_negative_sample.__doc__ = j_negative_sample.__doc__.format(k=_NEG_K)
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — global quantile scoring via broadcast thresholds
+# --------------------------------------------------------------------------
+def _quintile_cuts_duck(metric: str) -> str:
+    """CTE pair computing the four quintile thresholds of ``metric``."""
+    cuts = ", ".join(
+        f"(SELECT min(v) FROM {metric}_cum, n WHERE cum >= ({q} * n + 4) // 5)"
+        f" AS t{q}"
+        for q in (1, 2, 3, 4)
+    )
+    return f"""
+    {metric}_cum AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+      FROM (SELECT {metric} AS v, count(*) AS cnt FROM rfm GROUP BY 1)
+    ),
+    {metric}_cuts AS (SELECT {cuts})
+    """
+
+
+def _score_duck(metric: str, c: str) -> str:
+    return (
+        f"1 + CAST({metric} > {c}.t1 AS INT) + CAST({metric} > {c}.t2 AS INT)"
+        f" + CAST({metric} > {c}.t3 AS INT) + CAST({metric} > {c}.t4 AS INT)"
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH maxd AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+    ),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                           (SELECT dmax FROM maxd)) AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+    {_quintile_cuts_duck("recency")},
+    {_quintile_cuts_duck("frequency")},
+    {_quintile_cuts_duck("monetary")}
+    SELECT CAST({_score_duck("recency", "recency_cuts")} AS BIGINT)
+             AS r_score,
+           CAST({_score_duck("frequency", "frequency_cuts")} AS BIGINT)
+             AS f_score,
+           CAST({_score_duck("monetary", "monetary_cuts")} AS BIGINT)
+             AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS total_cents
+    FROM rfm, recency_cuts, frequency_cuts, monetary_cuts
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — every customer scored 1-5 on Recency (days
+    since last order), Frequency (order count), and Monetary (lifetime
+    cents) against GLOBAL quintile thresholds, then rolled up per
+    (r,f,m) cell: the classic CRM / churn-targeting segmentation.
+
+    This is the documented answer to w_ntile_deciles' caveat ("an
+    unpartitioned ntile over a fact table is a single-reducer sort"):
+    instead of ranking every customer through one window, each metric's
+    EXACT quintile thresholds (order statistics at ceil(q*n/5), the
+    a_winsorized_stats convention) come from a distinct-value count
+    cumsum — partitioned two-pass, value-domain-bounded — and scoring
+    is a per-row CASE against four BROADCAST scalars. No global sort
+    touches per-customer rows at any point; ties share a score, so the
+    result is engine-deterministic with no tie-break key needed.
+
+    The per-customer rollup is localCheckpointed: three threshold
+    passes and the final scoring all read it, and it is |customers|
+    rows — at 100 TB persist it to disk-backed storage instead (same
+    discipline, bigger state)."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    maxd = orders.agg(F.max("d").alias("dmax"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("dmax", "last_d").cast("long").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def cuts(metric: str) -> DataFrame:
+        vc = rfm.groupBy(F.col(metric).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = partitioned_running_sum(
+            vc,
+            bucket=F.expr("v div 1000000"),
+            order_cols=["v"],
+            value_col="cnt",
+            out_col="cum",
+        )
+        nn = vc.agg(F.sum("cnt").cast("long").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(nn))
+            .agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum") >= F.expr(f"({q} * n + 4) div 5"),
+                            F.col("v"),
+                        )
+                    ).alias(f"{metric}_t{q}")
+                    for q in (1, 2, 3, 4)
+                ]
+            )
+        )
+
+    def score(metric: str) -> F.Column:
+        c = F.lit(1)
+        for q in (1, 2, 3, 4):
+            c = c + (F.col(metric) > F.col(f"{metric}_t{q}")).cast("int")
+        return c.cast("long")
+
+    scored = (
+        rfm.crossJoin(F.broadcast(cuts("recency")))
+        .crossJoin(F.broadcast(cuts("frequency")))
+        .crossJoin(F.broadcast(cuts("monetary")))
+        .select(
+            score("recency").alias("r_score"),
+            score("frequency").alias("f_score"),
+            score("monetary").alias("m_score"),
+            "monetary",
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary").cast("long").alias("total_cents"),
+    )

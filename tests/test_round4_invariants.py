@@ -600,3 +600,32 @@ def test_negative_sample_is_negative_and_deterministic(spark):
     # yield: each customer keeps at most K draws, most keep all K
     n_cust = load(spark, _SF001, "orders").select("o_custkey").distinct().count()
     assert len(rows) > 0.7 * n_cust * _NEG_K
+
+
+def test_rfm_segments_partition_customers_into_quintiles(spark):
+    rows = _q("q_rfm_segments")(spark, _SF001).collect()
+    n_cust = (
+        load(spark, _SF001, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # monetary is strictly positive, so total conserves exactly
+    raw = (
+        load(spark, _SF001, "orders")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+        .collect()[0][0]
+    )
+    assert sum(r.total_cents for r in rows) == raw
+    # each monetary quintile holds between 1/10 and 2/5 of customers
+    # (ties can unbalance, but not collapse, the bins)
+    from collections import Counter
+
+    m_counts = Counter()
+    for r in rows:
+        m_counts[r.m_score] += r.n_customers
+    assert len(m_counts) == 5
+    for s, c in m_counts.items():
+        assert 0.1 * n_cust <= c <= 0.4 * n_cust, (s, c)
