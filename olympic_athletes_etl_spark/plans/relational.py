@@ -1905,3 +1905,123 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary").cast("long").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Supervised training-set assembly — features strictly past, label strictly
+# future, one leakage-free table
+# --------------------------------------------------------------------------
+_CHURN_HORIZON_DAYS = 180
+
+
+@query(
+    "q_churn_training_set",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    seg_o AS (
+      SELECT o.*, c_mktsegment AS segment
+      FROM o JOIN customer ON o_custkey = c_custkey
+    ),
+    seg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS seg_n,
+             CAST(sum(cents) AS BIGINT) AS seg_sum
+      FROM seg_o GROUP BY 1
+    )
+    SELECT o_orderkey,
+           CAST(coalesce(count(cents) OVER past, 0) AS BIGINT)
+             AS trailing_n,
+           CAST(coalesce(sum(cents) OVER past, 0) AS BIGINT)
+             AS trailing_cents,
+           CASE WHEN seg_n > 1
+                THEN CAST((seg_sum - cents) // (seg_n - 1) AS BIGINT)
+           END AS loo_cents,
+           CAST(CASE WHEN lead(day) OVER nxt - day
+                          <= {_CHURN_HORIZON_DAYS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS label
+    FROM seg_o JOIN seg USING (segment)
+    WINDOW past AS (PARTITION BY o_custkey ORDER BY day
+                    RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING),
+           nxt AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+    """,
+)
+def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPERVISED TRAINING-SET ASSEMBLY — one table, three
+    leakage-sensitive constructions composed, each pointing the right
+    way in time: features look strictly BACKWARD (the j_pit_features
+    90-day trailing window, current day excluded; the j_target_encode
+    leave-one-out segment mean, own row excluded), the label looks
+    strictly FORWARD (did the customer order again within {h} days —
+    lead() over the per-customer order sequence, last order labeled 0).
+    This is the repo's reference shape for 'build me a churn model
+    table': every feature is computable at serving time, the label
+    never contaminates a feature, and the whole thing is deterministic
+    (lead ordered by (day, o_orderkey) total order).
+
+    Scale: one fact shuffle on o_custkey serves BOTH customer-keyed
+    windows (trailing + lead — Spark plans them in one WindowExec
+    chain on the same partitioning), the customer-dim join shuffles
+    once before it, and the LOO encode is broadcast 5-row group state.
+    No self-joins, no global windows."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+    )
+    seg = o.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("seg_n"),
+        F.sum("cents").cast("long").alias("seg_sum"),
+    )
+    past = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-90, -1)
+    )
+    nxt = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    return (
+        o.join(F.broadcast(seg), "segment")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.count("cents").over(past), F.lit(0))
+            .cast("long")
+            .alias("trailing_n"),
+            F.coalesce(F.sum("cents").over(past), F.lit(0))
+            .cast("long")
+            .alias("trailing_cents"),
+            F.when(
+                F.col("seg_n") > 1,
+                F.expr("CAST((seg_sum - cents) div (seg_n - 1) AS BIGINT)"),
+            ).alias("loo_cents"),
+            F.when(
+                F.lead("day").over(nxt) - F.col("day")
+                <= F.lit(_CHURN_HORIZON_DAYS),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("label"),
+        )
+    )
+
+
+q_churn_training_set.__doc__ = q_churn_training_set.__doc__.format(
+    h=_CHURN_HORIZON_DAYS
+)

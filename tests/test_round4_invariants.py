@@ -629,3 +629,37 @@ def test_rfm_segments_partition_customers_into_quintiles(spark):
     assert len(m_counts) == 5
     for s, c in m_counts.items():
         assert 0.1 * n_cust <= c <= 0.4 * n_cust, (s, c)
+
+
+def test_churn_training_set_time_directions(spark):
+    rows = {
+        r.o_orderkey: r
+        for r in _q("q_churn_training_set")(spark, _SF001).collect()
+    }
+    orders = load(spark, _SF001, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).collect()
+    assert len(rows) == len(orders)
+    # the label must be forward-only: each customer's LAST order is 0
+    import collections
+
+    by_cust = collections.defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append(o)
+    n_pos = 0
+    for cust, os_ in by_cust.items():
+        os_.sort(key=lambda o: (o.day, o.o_orderkey))
+        last = os_[-1]
+        assert rows[last.o_orderkey].label == 0
+        # features must be backward-only: a customer's FIRST order has
+        # zero trailing state
+        first = os_[0]
+        if first.day < os_[1].day if len(os_) > 1 else True:
+            assert rows[first.o_orderkey].trailing_n == 0
+            assert rows[first.o_orderkey].trailing_cents == 0
+        n_pos += sum(rows[o.o_orderkey].label for o in os_)
+    assert 0 < n_pos < len(orders), "label must not be constant"
