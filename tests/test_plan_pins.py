@@ -1,0 +1,101 @@
+"""Physical-plan regression pins for headline queries.
+
+The scale contract is plan SHAPE, not timing: flagship must stay
+broadcast-joined with exactly its two necessary exchanges, the minhash
+pipeline must never degrade to a nested-loop join, the windowed queries
+must keep exactly one fact shuffle, and nothing on the bench path may
+grow a Python boundary. Pins are UPPER bounds (plus a few lower bounds
+on broadcast-join counts) so AQE/version-noise that *improves* a plan
+doesn't fail the suite, while a silent degradation — a dropped
+broadcast hint turning into a sort-merge cascade, a rewrite adding a
+shuffle, a UDF sneaking onto the hot path — does.
+
+Counts mirror tools/explain_audit.py (same regexes, imported from the
+tool so the two can't drift).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+
+import pytest
+
+from olympic_athletes_etl_spark.plans import queries
+
+_SF = "/root/testdata/sf0.001"
+
+_spec = importlib.util.spec_from_file_location(
+    "explain_audit",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "explain_audit.py"),
+)
+_audit = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_audit)
+
+
+def _vitals(spark, name):
+    txt = _audit.plan_text(queries()[name](spark, _SF))
+    return {k: len(re.findall(p, txt)) for k, p in _audit.MARKERS.items()}
+
+
+# name -> constraints; each is (metric, op, bound) with op in {"<=", ">=", "=="}
+_PINS = {
+    # 4 dims broadcast, fact unshuffled until the agg + top-3 window
+    "flagship_region_top_customers": [
+        ("shuffles", "<=", 2),
+        ("bhj", ">=", 4),
+        ("smj", "==", 0),
+        ("python", "==", 0),
+    ],
+    # single map-side-combinable aggregate over the pruned scan
+    "q1_pricing_summary": [
+        ("shuffles", "<=", 1),
+        ("smj", "==", 0),
+        ("python", "==", 0),
+        ("pushed", ">=", 1),
+    ],
+    # supplier + both nation aliases broadcast; one fact shuffle
+    "q7_nation_volume": [
+        ("shuffles", "<=", 2),
+        ("bhj", ">=", 4),
+        ("smj", "==", 0),
+        ("python", "==", 0),
+    ],
+    # banded bucket self-join must stay an equi-join, never all-pairs
+    "d_minhash_lsh": [
+        ("bnlj", "==", 0),
+        ("python", "==", 0),
+        ("shuffles", "<=", 3),
+    ],
+    # one user-keyed shuffle shared by the session windows
+    "e_sessionize": [("shuffles", "<=", 1), ("python", "==", 0)],
+    # one orderkey-partitioned window, one aggregate exchange
+    "q_order_share_window": [("shuffles", "<=", 2), ("python", "==", 0)],
+    # one customer-keyed shuffle serves trailing AND lead windows
+    "q_churn_training_set": [
+        ("shuffles", "<=", 2),
+        ("smj", "==", 0),
+        ("python", "==", 0),
+    ],
+    "j_pit_features": [("shuffles", "<=", 1), ("python", "==", 0)],
+    # brute-force top-k: broadcast probe set, zero shuffles before top-k
+    "s_knn_bruteforce": [("shuffles", "<=", 1), ("python", "==", 0)],
+    # pure narrow expression pipeline — no exchange at all
+    "t_quality_score": [("shuffles", "==", 0), ("python", "==", 0)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_plan_shape_pinned(spark, name):
+    v = _vitals(spark, name)
+    for metric, op, bound in _PINS[name]:
+        got = v[metric]
+        ok = (
+            got <= bound
+            if op == "<="
+            else got >= bound
+            if op == ">="
+            else got == bound
+        )
+        assert ok, f"{name}: {metric}={got} violates {op}{bound} (vitals {v})"
