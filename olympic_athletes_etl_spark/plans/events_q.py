@@ -1914,3 +1914,82 @@ def e_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Session path mining — top navigation sequences
+# --------------------------------------------------------------------------
+_PATH_PREFIX_LEN = 5
+_PATH_TOPN = 20
+
+
+@query(
+    "e_session_paths",
+    oracle=f"""
+    WITH {_session_ctes()},
+    typed AS (
+      SELECT s.user_id, s.session_id, e.event_type,
+             row_number() OVER (PARTITION BY s.user_id, s.session_id
+                                ORDER BY s.ts, s.event_id) AS rn
+      FROM sessions s JOIN events e USING (event_id)
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM typed WHERE rn <= {_PATH_PREFIX_LEN} GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOPN}
+    """,
+)
+def e_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH MINING over sessionized clickstreams: the top {n} most
+    common session-opening sequences (first {k} event types joined
+    with '>'), the 'how do users actually start a session' question
+    behind funnel design. Reuses the shared 30-minute gaps-and-islands
+    sessionizer (one user-keyed shuffle covers the session ids, the
+    per-session row_number, and the truncation), then aggregates
+    per-session paths — path cardinality is bounded by
+    |event_types|^{k}, so the final count groupBy is dimension-sized
+    no matter the fact scale, and the top-{n} is TakeOrderedAndProject
+    under a total (count, path) order.
+
+    The path string is assembled ORDER-DETERMINISTICALLY: collect the
+    (rn, type) structs, array_sort (sorts by leading rn), then join —
+    never collect_list alone, whose order is partition-arrival
+    nondeterminism (the A8 sorted-collect rule)."""
+    sess = _sessionized(
+        load(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_PREFIX_LEN)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPN)
+    )
+
+
+e_session_paths.__doc__ = e_session_paths.__doc__.format(
+    n=_PATH_TOPN, k=_PATH_PREFIX_LEN
+)

@@ -663,3 +663,21 @@ def test_churn_training_set_time_directions(spark):
             assert rows[first.o_orderkey].trailing_cents == 0
         n_pos += sum(rows[o.o_orderkey].label for o in os_)
     assert 0 < n_pos < len(orders), "label must not be constant"
+
+
+def test_session_paths_are_valid_prefixes(spark):
+    rows = _q("e_session_paths")(spark, _SF001).collect()
+    assert 0 < len(rows) <= 20
+    types = {
+        r.event_type
+        for r in load(spark, _SF001, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 5
+        assert set(steps) <= types
