@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
@@ -268,5 +269,269 @@ def v_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((10000 * count(1)) div max(total) AS BIGINT)").alias(
                 "share_x10000"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact AUC — Mann-Whitney midranks over distinct-score counts
+# --------------------------------------------------------------------------
+_AUC_HORIZON_DAYS = 180
+
+
+@query(
+    "v_auc_score",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+             o_orderkey
+      FROM orders
+    ),
+    labeled AS (
+      SELECT score,
+             CASE WHEN lead(day) OVER (PARTITION BY o_custkey
+                                       ORDER BY day, o_orderkey) - day
+                       <= {_AUC_HORIZON_DAYS}
+                  THEN 1 ELSE 0 END AS y
+      FROM o
+    ),
+    vc AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS n1
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT score, cnt, n1,
+             CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS cum
+      FROM vc
+    ),
+    agg AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS npos,
+             CAST(sum(cnt - n1) AS BIGINT) AS nneg,
+             -- 2*sum of positive midranks: midrank*2 = 2*(cum-cnt)+cnt+1
+             CAST(sum(n1 * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r1x2
+      FROM cum
+    )
+    SELECT npos AS n_pos, nneg AS n_neg,
+           CAST((10000 * (r1x2 - npos * (npos + 1)))
+                // (2 * npos * nneg) AS BIGINT) AS auc_x10000
+    FROM agg
+    """,
+)
+def v_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC at fact scale — does order value predict a repeat
+    purchase within {h} days? AUC computed by the Mann-Whitney rank
+    identity AUC = (R1 - n1(n1+1)/2) / (n1*n0) with TIE-CORRECTED
+    midranks, all in integers (doubled midranks keep half-ranks exact;
+    result scaled x10000) so both engines agree bit-for-bit.
+
+    The scale move: never rank rows. Scores collapse to DISTINCT-value
+    (count, positive-count) pairs first; the rank structure lives
+    entirely in a cumsum over that value-domain-bounded table (the
+    partitioned two-pass operator), and every group's midrank is
+    derived arithmetically — the classic sort-all-predictions AUC is a
+    single-reducer sort this query never performs. Overflow bound:
+    sum(n1 * 2*midrank) <= 2*n*n1 — holds to ~2e9 rows; past that,
+    compute AUC on a quantile-bucketed score grid (the a_gini_spend
+    escape hatch).
+
+    The label is the q_churn_training_set forward label (lead() per
+    customer, final order = 0); the score deliberately uses only the
+    current row — features backward, labels forward."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+    )
+    nxt = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    labeled = o.select(
+        "score",
+        F.when(
+            F.lead("day").over(nxt) - F.col("day") <= _AUC_HORIZON_DAYS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    vc = labeled.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+    cum = partitioned_running_sum(
+        vc,
+        bucket=F.expr("score div 1000000"),
+        order_cols=["score"],
+        value_col="cnt",
+        out_col="cum",
+    )
+    agg = cum.agg(
+        F.sum("n1").cast("long").alias("npos"),
+        F.sum(F.expr("cnt - n1")).cast("long").alias("nneg"),
+        F.sum(F.expr("n1 * (2 * (cum - cnt) + cnt + 1)"))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    return agg.select(
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        F.expr(
+            "CAST((10000 * (r1x2 - npos * (npos + 1)))"
+            " div (2 * npos * nneg) AS BIGINT)"
+        ).alias("auc_x10000"),
+    )
+
+
+v_auc_score.__doc__ = v_auc_score.__doc__.format(h=_AUC_HORIZON_DAYS)
+
+
+# --------------------------------------------------------------------------
+# Decile lift table — threshold-bucketed targeting quality
+# --------------------------------------------------------------------------
+@query(
+    "v_decile_lift",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+             o_orderkey
+      FROM orders
+    ),
+    labeled AS (
+      SELECT score,
+             CASE WHEN lead(day) OVER (PARTITION BY o_custkey
+                                       ORDER BY day, o_orderkey) - day
+                       <= {_AUC_HORIZON_DAYS}
+                  THEN 1 ELSE 0 END AS y
+      FROM o
+    ),
+    vc AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS n1
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT score, cnt, n1,
+             CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS cum
+      FROM vc
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(n1) AS BIGINT) AS npos FROM vc),
+    cuts AS (
+      SELECT {", ".join(
+        f"(SELECT min(score) FROM cum, n WHERE cum >= ({q} * n + 9) // 10)"
+        f" AS t{q}"
+        for q in range(1, 10)
+      )}
+    )
+    SELECT CAST(1 {" ".join(
+        f"+ CAST(score > t{q} AS INT)" for q in range(1, 10)
+      )} AS BIGINT) AS decile,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(n1) AS BIGINT) AS n_pos,
+           CAST((10000 * sum(n1)) // sum(cnt) AS BIGINT) AS rate_x10000,
+           CAST((10000 * sum(n1) * (SELECT n FROM n))
+                // (sum(cnt) * (SELECT npos FROM n)) AS BIGINT)
+             AS lift_x10000
+    FROM vc, cuts
+    GROUP BY 1
+    """,
+)
+def v_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT TABLE for the v_auc_score signal: rows bucketed into
+    score deciles by GLOBAL exact order-statistic thresholds (the
+    q_rfm_segments convention — broadcast scalars, never a global
+    ntile sort), with per-decile positive rate and lift vs the base
+    rate as exact x10000 integers. The campaign-targeting readout:
+    'mail deciles 9-10, their repeat-rate is N× base'.
+
+    Everything computes on the distinct-score (cnt, n1) table — the
+    decile label, the rates, the lift — so after the initial label
+    window the fact rows are never touched again; ties share a decile
+    (thresholded buckets are deterministic under ties where ntile is
+    not). Lift divides AFTER multiplying by the 1-row totals, keeping
+    the arithmetic integer-exact in both engines."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+    )
+    nxt = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    labeled = o.select(
+        "score",
+        F.when(
+            F.lead("day").over(nxt) - F.col("day") <= _AUC_HORIZON_DAYS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    vc = (
+        labeled.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("y").cast("long").alias("n1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = partitioned_running_sum(
+        vc,
+        bucket=F.expr("score div 1000000"),
+        order_cols=["score"],
+        value_col="cnt",
+        out_col="cum",
+    )
+    nn = vc.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("n1").cast("long").alias("npos"),
+    )
+    cuts = cum.crossJoin(F.broadcast(nn)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({q} * n + 9) div 10"),
+                    F.col("score"),
+                )
+            ).alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for q in range(1, 10):
+        decile = decile + (F.col("score") > F.col(f"t{q}")).cast("int")
+    return (
+        vc.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(nn))
+        .groupBy(decile.cast("long").alias("decile"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum("n1").cast("long").alias("n_pos"),
+            F.expr("CAST((10000 * sum(n1)) div sum(cnt) AS BIGINT)").alias(
+                "rate_x10000"
+            ),
+            F.expr(
+                "CAST((10000 * sum(n1) * first(n))"
+                " div (sum(cnt) * first(npos)) AS BIGINT)"
+            ).alias("lift_x10000"),
         )
     )

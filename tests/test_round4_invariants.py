@@ -681,3 +681,74 @@ def test_session_paths_are_valid_prefixes(spark):
         steps = r.path.split(">")
         assert 1 <= len(steps) <= 5
         assert set(steps) <= types
+
+
+def test_auc_matches_numpy_midrank_bruteforce(spark):
+    import numpy as np
+
+    r = _q("v_auc_score")(spark, "/root/testdata/sf0.001").collect()[0]
+    # independent recomputation: scipy-style average ranks over the raw
+    # (score, label) pairs — a different algorithm than the engine's
+    # distinct-value cumsum
+    orders = (
+        load(spark, "/root/testdata/sf0.001", "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("score"),
+        )
+        .collect()
+    )
+    import collections
+
+    by_cust = collections.defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append(o)
+    scores, labels = [], []
+    for os_ in by_cust.values():
+        os_.sort(key=lambda o: (o.day, o.o_orderkey))
+        for i, o in enumerate(os_):
+            y = 1 if i + 1 < len(os_) and os_[i + 1].day - o.day <= 180 else 0
+            scores.append(o.score)
+            labels.append(y)
+    s = np.array(scores, dtype=np.float64)
+    y = np.array(labels)
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s), dtype=np.float64)
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+    assert r.n_pos == n1 and r.n_neg == n0
+    assert r.auc_x10000 == int(auc * 10000) or abs(
+        r.auc_x10000 - auc * 10000
+    ) < 1, (r.auc_x10000, auc * 10000)
+    # sanity: spend should be a weak-but-real signal, not degenerate
+    assert 3000 < r.auc_x10000 < 9900
+
+
+def test_decile_lift_partitions_and_base_rate(spark):
+    rows = _q("v_decile_lift")(spark, _SF001).collect()
+    orders = load(spark, _SF001, "orders")
+    n = orders.count()
+    assert sum(r.n_rows for r in rows) == n
+    assert len(rows) <= 10
+    for r in rows:
+        assert 1 <= r.decile <= 10
+        assert 0 <= r.rate_x10000 <= 10000
+        assert r.rate_x10000 == (10000 * r.n_pos) // r.n_rows
+    # lift is rate relative to base: row-weighted mean lift ~ 10000
+    npos = sum(r.n_pos for r in rows)
+    weighted = sum(r.lift_x10000 * r.n_rows for r in rows) / n
+    assert abs(weighted - 10000) < 100
+    # no direction assertion: order price is deliberately a WEAK signal
+    # (AUC ~0.5 at small SF); the table reports whatever the data says
