@@ -535,3 +535,119 @@ def v_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_x10000"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment analysis — 2x2 chi-square on a deterministic hash split
+# --------------------------------------------------------------------------
+@query(
+    "v_chi2_experiment",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             o_orderkey
+      FROM orders
+    ),
+    labeled AS (
+      SELECT o_custkey % 2 AS arm,
+             CASE WHEN lead(day) OVER (PARTITION BY o_custkey
+                                       ORDER BY day, o_orderkey) - day
+                       <= {_AUC_HORIZON_DAYS}
+                  THEN 1 ELSE 0 END AS y
+      FROM o
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM labeled
+    )
+    SELECT a, b, c, d,
+           CAST((10000 * a) // (a + b) AS BIGINT) AS rate0_x10000,
+           CAST((10000 * c) // (c + d) AS BIGINT) AS rate1_x10000,
+           round(CAST(a + b + c + d AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)
+                 * CAST(a * d - b * c AS DOUBLE)
+                 / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+                 4) AS chi2
+    FROM cells
+    """,
+)
+def v_chi2_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPERIMENT READOUT: 2x2 chi-square test of independence between
+    a deterministic 50/50 assignment (custkey parity — the hash-split
+    convention: assignment must be reproducible across reruns and
+    engines, never rand()) and the repeat-purchase outcome. Reports the
+    contingency cells, per-arm conversion as exact x10000 integers, and
+    the chi-square statistic chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Determinism note: the cells are EXACT BIGINT counts; chi2 is then
+    one scalar IEEE-double expression over those four integers —
+    identical operand order in both engines, so it is bit-stable
+    WITHOUT any sum-order caveat (the float-trap rule only bites when
+    doubles are AGGREGATED; here doubles appear strictly after all
+    aggregation). (ad-bc) alone would overflow BIGINT squared at fact
+    scale, hence the cast-then-square. Scale: one window for the label
+    (customer-partitioned), one map-side-combinable 4-cell aggregate;
+    output is a single row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    nxt = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    labeled = o.select(
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.when(
+            F.lead("day").over(nxt) - F.col("day") <= _AUC_HORIZON_DAYS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    cells = labeled.agg(
+        F.sum(F.expr("CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.expr("CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.expr("CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.expr("CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("d"),
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("CAST((10000 * a) div (a + b) AS BIGINT)").alias(
+            "rate0_x10000"
+        ),
+        F.expr("CAST((10000 * c) div (c + d) AS BIGINT)").alias(
+            "rate1_x10000"
+        ),
+        F.round(
+            F.expr(
+                "CAST(a + b + c + d AS DOUBLE)"
+                " * CAST(a * d - b * c AS DOUBLE)"
+                " * CAST(a * d - b * c AS DOUBLE)"
+                " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+                "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
+            ),
+            4,
+        ).alias("chi2"),
+    )

@@ -752,3 +752,20 @@ def test_decile_lift_partitions_and_base_rate(spark):
     assert abs(weighted - 10000) < 100
     # no direction assertion: order price is deliberately a WEAK signal
     # (AUC ~0.5 at small SF); the table reports whatever the data says
+
+
+def test_chi2_experiment_cells_and_statistic(spark):
+    r = _q("v_chi2_experiment")(spark, _SF001).collect()[0]
+    n = load(spark, _SF001, "orders").count()
+    assert r.a + r.b + r.c + r.d == n
+    assert r.rate0_x10000 == (10000 * r.a) // (r.a + r.b)
+    assert r.rate1_x10000 == (10000 * r.c) // (r.c + r.d)
+    # independent recomputation of the statistic
+    import math
+
+    num = (r.a + r.b + r.c + r.d) * (r.a * r.d - r.b * r.c) ** 2
+    den = (r.a + r.b) * (r.c + r.d) * (r.a + r.c) * (r.b + r.d)
+    assert math.isclose(r.chi2, num / den, rel_tol=0, abs_tol=5e-5)
+    # parity split is a null experiment: chi2 should be unexceptional
+    # (p > 0.001 <=> chi2 < ~10.8 on 1 dof)
+    assert r.chi2 < 10.83
