@@ -1993,3 +1993,115 @@ def e_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 e_session_paths.__doc__ = e_session_paths.__doc__.format(
     n=_PATH_TOPN, k=_PATH_PREFIX_LEN
 )
+
+
+# --------------------------------------------------------------------------
+# Discrete-time survival: weekly repurchase hazard with right-censoring
+# --------------------------------------------------------------------------
+_HAZ_MAX_WEEK = 26
+
+
+@query(
+    "e_repurchase_hazard",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             o_orderkey
+      FROM orders
+    ),
+    horizon AS (SELECT max(day) AS dmax FROM o),
+    subj AS (
+      SELECT CASE WHEN lead(day) OVER w IS NULL
+                  THEN ((SELECT dmax FROM horizon) - day) // 7
+                  ELSE (lead(day) OVER w - day) // 7 END AS week,
+             CASE WHEN lead(day) OVER w IS NULL THEN 0 ELSE 1 END AS ev
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+    ),
+    wk AS (
+      SELECT week, CAST(count(*) AS BIGINT) AS n_ending,
+             CAST(sum(ev) AS BIGINT) AS n_events
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT week, n_events,
+             CAST((SELECT count(*) FROM subj) AS BIGINT)
+               - CAST(coalesce(sum(n_ending) OVER
+                   (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+      FROM wk
+    )
+    SELECT week, n_at_risk, n_events,
+           CAST((10000 * n_events) // n_at_risk AS BIGINT) AS hazard_x10000
+    FROM risk
+    WHERE week <= {_HAZ_MAX_WEEK} AND n_at_risk > 0
+    """,
+)
+def e_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE-TIME SURVIVAL: the weekly repurchase hazard h(k) =
+    P(repurchase in week k | no repurchase before week k), with
+    RIGHT-CENSORING handled properly — a customer's final order has no
+    next purchase, so it contributes to the at-risk denominator up to
+    the end of the observation window ((max_date - day) div 7 weeks)
+    and never to the event numerator. Dropping censored subjects
+    instead (the classic mistake) inflates the hazard at every
+    horizon. This is the Kaplan-Meier building block kept in exact
+    integers: S(k) would be the running product of (1 - h(k)), left to
+    the consumer because a cross-engine float product is not
+    bit-stable, while counts and the x10000 hazard are.
+
+    Scale: one customer-partitioned lead() window (the q_churn label
+    shuffle), one groupBy onto the WEEK grid — bounded by the
+    observation span, not row count — and the at-risk reverse-cumsum
+    runs over those bounded week aggregates only (the e_burst_minutes
+    bounded-domain window rule)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    horizon = o.agg(F.max("day").alias("dmax"))
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    nxt = F.lead("day").over(w)
+    subj = o.withColumn("nxt", nxt).crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNull(),
+            F.expr("(dmax - day) div 7"),
+        )
+        .otherwise(F.expr("(nxt - day) div 7"))
+        .alias("week"),
+        F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+    )
+    total = subj.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wk = subj.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+        F.sum("ev").cast("long").alias("n_events"),
+    )
+    prior = (
+        Window.orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = wk.crossJoin(F.broadcast(total)).select(
+        "week",
+        "n_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_ending").over(prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    return risk.filter(
+        (F.col("week") <= _HAZ_MAX_WEEK) & (F.col("n_at_risk") > 0)
+    ).select(
+        "week",
+        "n_at_risk",
+        "n_events",
+        F.expr("CAST((10000 * n_events) div n_at_risk AS BIGINT)").alias(
+            "hazard_x10000"
+        ),
+    )

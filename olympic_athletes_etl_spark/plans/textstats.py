@@ -1344,3 +1344,56 @@ def t_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_x1000"), "doc_id")
         .limit(_BM25_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — fixed-dim sparse token vectors
+# --------------------------------------------------------------------------
+_FHASH_DIMS = 64
+
+
+@query(
+    "t_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(({polyhash_duck('token')}) % {_FHASH_DIMS} AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tok
+    WHERE token <> ''
+    GROUP BY 1, 2
+    """,
+)
+def t_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (Weinberger et al.'s hashing trick): every token
+    maps to one of {d} dimensions via the shared 31-base polyhash, and
+    each document becomes a sparse (doc_id, dim, count) vector — the
+    fixed-width featurizer that needs NO vocabulary: no dictionary to
+    build, broadcast, or keep consistent between training and serving,
+    which is the whole point at corpus scale (a vocab join is a shuffle
+    and a coordination problem; a hash is a map-side expression).
+
+    Plan: explode + hash + one map-side-combinable groupBy on
+    (doc_id, dim) — output cardinality is bounded by docs × {d}.
+    Collisions are the accepted trade (two tokens sharing a dim add
+    their counts); {d} is deliberately small here so collisions OCCUR
+    at test scale and the engines must agree on them exactly."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        tok.select(
+            "doc_id",
+            (polyhash_spark("token") % _FHASH_DIMS).cast("long").alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+t_feature_hashing.__doc__ = t_feature_hashing.__doc__.format(d=_FHASH_DIMS)

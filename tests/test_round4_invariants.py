@@ -769,3 +769,44 @@ def test_chi2_experiment_cells_and_statistic(spark):
     # parity split is a null experiment: chi2 should be unexceptional
     # (p > 0.001 <=> chi2 < ~10.8 on 1 dof)
     assert r.chi2 < 10.83
+
+
+def test_feature_hashing_conserves_tokens_and_dims(spark):
+    rows = _q("t_feature_hashing")(spark, _SF001).collect()
+    docs = load(spark, _SF001, "documents")
+    n_tokens = docs.select(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        )
+    ).collect()[0][0]
+    assert sum(r.cnt for r in rows) == n_tokens
+    assert all(0 <= r.dim < 64 for r in rows)
+    # small dim count forces collisions at this scale: some doc must
+    # have fewer distinct dims than distinct tokens
+    n_pairs = len(rows)
+    n_doc_token = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    assert n_pairs < n_doc_token, "no collisions — dim count not exercised"
+
+
+def test_repurchase_hazard_censoring_and_monotone_risk(spark):
+    rows = sorted(
+        _q("e_repurchase_hazard")(spark, _SF001).collect(),
+        key=lambda r: r.week,
+    )
+    n_orders = load(spark, _SF001, "orders").count()
+    assert rows[0].week == 0 and rows[0].n_at_risk == n_orders
+    # at-risk can only shrink; events bounded by at-risk
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk <= a.n_at_risk
+    for r in rows:
+        assert 0 <= r.n_events <= r.n_at_risk
+        assert r.hazard_x10000 == (10000 * r.n_events) // r.n_at_risk
+    # censoring must appear in the denominator: total events < subjects
+    assert sum(r.n_events for r in rows) < n_orders
