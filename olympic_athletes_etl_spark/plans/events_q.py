@@ -2105,3 +2105,119 @@ def e_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_x10000"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — revenue credited to the preceding campaign
+# --------------------------------------------------------------------------
+_ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "e_last_touch_attribution",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+             END AS campaign,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side_rank,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    filled AS (
+      SELECT event_type, cents, ts,
+             last_value(campaign IGNORE NULLS) OVER w AS last_campaign,
+             last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side_rank, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN last_click_ts IS NOT NULL
+                 AND ts <= last_click_ts + INTERVAL {_ATTR_WINDOW_DAYS} DAY
+                THEN last_campaign END AS campaign,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM filled
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def e_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH REVENUE ATTRIBUTION: every purchase credits its full
+    value to the user's most recent click campaign (campaign = props.k
+    div 10), provided the click happened within {d} days — otherwise
+    the purchase lands in the NULL 'organic' bucket (never silently
+    dropped: attribution reports must conserve revenue). Contrast with
+    the multi-touch stream-stream join (view_click_attribution): last-
+    touch needs no pair fan-out at all.
+
+    Same scalable shape as e_asof_join — union-tag both event kinds,
+    ONE user-keyed window forward-fills the latest campaign and click
+    time (clicks sort before purchases at equal ts via the type rank),
+    then the attribution-window rule and the campaign rollup are
+    map-side arithmetic. One fact shuffle total; the output is
+    campaign-cardinality."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10"),
+        ).alias("campaign"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias(
+            "side_rank"
+        ),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(round(value * 100) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.select(
+        "event_type",
+        "cents",
+        "ts",
+        F.last("campaign", ignorenulls=True).over(w).alias("last_campaign"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("last_click_ts").isNotNull()
+                & (
+                    F.col("ts")
+                    <= F.col("last_click_ts")
+                    + F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")
+                ),
+                F.col("last_campaign"),
+            ).alias("campaign"),
+            "cents",
+        )
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+e_last_touch_attribution.__doc__ = e_last_touch_attribution.__doc__.format(
+    d=_ATTR_WINDOW_DAYS
+)

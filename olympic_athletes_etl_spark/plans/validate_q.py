@@ -651,3 +651,84 @@ def v_chi2_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Order-velocity screen — same payer ordering again within a week
+# --------------------------------------------------------------------------
+_VELOCITY_WINDOW_DAYS = 7
+
+
+@query(
+    "v_rapid_repeat_orders",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders
+    ),
+    seq AS (
+      SELECT o_orderkey, o_custkey, cents, day,
+             lag(day) OVER w AS prev_day,
+             lag(o_orderkey) OVER w AS prev_key,
+             lag(cents) OVER w AS prev_cents
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+    )
+    SELECT o_custkey, prev_key AS first_orderkey,
+           o_orderkey AS second_orderkey,
+           CAST(day - prev_day AS BIGINT) AS gap_days,
+           prev_cents AS first_cents, cents AS second_cents
+    FROM seq
+    WHERE prev_day IS NOT NULL
+      AND day - prev_day <= {_VELOCITY_WINDOW_DAYS}
+    """,
+)
+def v_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-VELOCITY SCREEN: consecutive orders by the same customer
+    within {d} days — the audit feed behind double-charge review and
+    abuse velocity rules (both amounts reported so the reviewer sees
+    exact-duplicate candidates immediately; exact-amount equality is
+    NOT required upstream because real double-charges differ by
+    shipping or tax more often than not). The naive form is an O(n²)
+    self-join on customer with a date-band predicate; this plan is ONE
+    customer-keyed window with lag() — each row checks only its
+    immediate predecessor, sufficient because rapid CHAINS still
+    surface as consecutive pairs. Amounts carried as exact integer
+    cents; one fact shuffle total."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    seq = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    return seq.filter(
+        F.col("prev_day").isNotNull()
+        & (F.col("day") - F.col("prev_day") <= _VELOCITY_WINDOW_DAYS)
+    ).select(
+        "o_custkey",
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("second_orderkey"),
+        (F.col("day") - F.col("prev_day")).cast("long").alias("gap_days"),
+        F.col("prev_cents").alias("first_cents"),
+        F.col("cents").alias("second_cents"),
+    )
+
+
+v_rapid_repeat_orders.__doc__ = v_rapid_repeat_orders.__doc__.format(
+    d=_VELOCITY_WINDOW_DAYS
+)

@@ -810,3 +810,39 @@ def test_repurchase_hazard_censoring_and_monotone_risk(spark):
         assert r.hazard_x10000 == (10000 * r.n_events) // r.n_at_risk
     # censoring must appear in the denominator: total events < subjects
     assert sum(r.n_events for r in rows) < n_orders
+
+
+def test_last_touch_attribution_conserves_revenue(spark):
+    rows = _q("e_last_touch_attribution")(spark, _SF001).collect()
+    ev = load(spark, _SF001, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    total = ev.agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+    ).collect()[0][0]
+    # revenue conservation incl. the NULL organic bucket
+    assert sum(r.revenue_cents for r in rows) == total
+    assert sum(r.n_purchases for r in rows) == ev.count()
+    campaigns = {r.campaign for r in rows}
+    assert None in campaigns, "organic bucket missing"
+    assert all(c is None or 0 <= c <= 9 for c in campaigns)
+
+
+def test_rapid_repeat_orders_pairs_verified(spark):
+    rows = _q("v_rapid_repeat_orders")(spark, _SF001).collect()
+    assert rows, "velocity screen vacuous at sf0.01"
+    orders = {
+        r.o_orderkey: r
+        for r in load(spark, _SF001, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .collect()
+    }
+    for r in rows:
+        a, b = orders[r.first_orderkey], orders[r.second_orderkey]
+        assert a.o_custkey == b.o_custkey == r.o_custkey
+        assert 0 <= r.gap_days <= 7
+        assert (b.d - a.d).days == r.gap_days
