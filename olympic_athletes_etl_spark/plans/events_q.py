@@ -2221,3 +2221,98 @@ def e_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 e_last_touch_attribution.__doc__ = e_last_touch_attribution.__doc__.format(
     d=_ATTR_WINDOW_DAYS
 )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest — seasonal-naive daily volume, integer MAE per type
+# --------------------------------------------------------------------------
+_BACKTEST_DAYS = 28
+_SEASON_LAG_DAYS = 7
+
+
+@query(
+    "e_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (
+      SELECT t.event_type, g.d
+      FROM (SELECT DISTINCT event_type FROM daily) t,
+           (SELECT unnest(generate_series((SELECT d0 FROM span),
+                                          (SELECT d1 FROM span),
+                                          INTERVAL 1 DAY))::DATE AS d) g
+    ),
+    filled AS (
+      SELECT s.event_type, s.d, coalesce(daily.n, 0) AS n
+      FROM spine s LEFT JOIN daily USING (event_type, d)
+    ),
+    scored AS (
+      SELECT event_type, d, n,
+             lag(n, {_SEASON_LAG_DAYS}) OVER (PARTITION BY event_type
+                                              ORDER BY d) AS fc
+      FROM filled
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(n - fc)) AS BIGINT) AS total_abs_err,
+           CAST((100 * sum(abs(n - fc))) // count(*) AS BIGINT)
+             AS mae_x100
+    FROM scored, span
+    WHERE fc IS NOT NULL AND d > d1 - {_BACKTEST_DAYS}
+    GROUP BY 1
+    """,
+)
+def e_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST: score the seasonal-naive forecast (predict
+    today's per-type event volume = same weekday last week) over the
+    final {w}-day holdout, reporting MAE in exact x100 integers — the
+    baseline every fancier forecaster must beat, and the evaluation
+    harness shape (spine → forecast → holdout score) is what matters:
+    days with ZERO events are zero-FILLED via the calendar-spine
+    pattern (e_gap_days), because skipping them silently drops exactly
+    the days a volume forecast gets most wrong.
+
+    Scale: daily counts collapse to the (type × span-days) grid first
+    — bounded by calendar, not event count — so the spine cross join,
+    the {lag}-day lag window (partitioned by type), and the holdout
+    aggregate all run on grid-cardinality rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = filled.withColumn("fc", F.lag("n", _SEASON_LAG_DAYS).over(w))
+    return (
+        scored.crossJoin(F.broadcast(span))
+        .filter(
+            F.col("fc").isNotNull()
+            & (F.col("d") > F.date_sub(F.col("d1"), _BACKTEST_DAYS))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("n") - F.col("fc")))
+            .cast("long")
+            .alias("total_abs_err"),
+            F.expr(
+                "CAST((100 * sum(abs(n - fc))) div count(*) AS BIGINT)"
+            ).alias("mae_x100"),
+        )
+    )
+
+
+e_forecast_backtest.__doc__ = e_forecast_backtest.__doc__.format(
+    w=_BACKTEST_DAYS, lag=_SEASON_LAG_DAYS
+)

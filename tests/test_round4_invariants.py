@@ -846,3 +846,22 @@ def test_rapid_repeat_orders_pairs_verified(spark):
         assert a.o_custkey == b.o_custkey == r.o_custkey
         assert 0 <= r.gap_days <= 7
         assert (b.d - a.d).days == r.gap_days
+
+
+def test_forecast_backtest_holdout_and_consistency(spark):
+    rows = _q("e_forecast_backtest")(spark, _SF001).collect()
+    types = {
+        r.event_type
+        for r in load(spark, _SF001, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert {r.event_type for r in rows} == types
+    for r in rows:
+        # holdout is min(28, span - 7 warmup) days; sf0.01 spans ~30d
+        assert 7 <= r.n_days <= 28
+        assert r.mae_x100 == (100 * r.total_abs_err) // r.n_days
+        assert r.total_abs_err >= 0
+    # the naive forecast must actually engage: not all-zero errors
+    assert any(r.total_abs_err > 0 for r in rows)
