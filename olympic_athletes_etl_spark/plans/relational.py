@@ -2025,3 +2025,160 @@ def q_churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_churn_training_set.__doc__ = q_churn_training_set.__doc__.format(
     h=_CHURN_HORIZON_DAYS
 )
+
+
+# --------------------------------------------------------------------------
+# W5b — backward-fill + interpolation-free bounded fill
+# --------------------------------------------------------------------------
+@query(
+    "w_backward_fill",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE round(value, 2) END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfilled,
+           coalesce(
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             AS v_filled_both
+    FROM t
+    """,
+)
+def w_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill — the W5 mirror (next valid observation propagates
+    back), plus the combined ffill-then-bfill column pandas users know
+    as fillna(method='ffill').fillna(method='bfill'): leading nulls take
+    the first later value, everything else takes the last earlier one.
+    One shuffle on user_id serves BOTH frame directions (same
+    partitioning + ordering, forward and reverse frames share the
+    WindowExec sort). Used for sensor warm-up gaps where the first
+    reading arrives late."""
+    events = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.round(F.col("value"), 2)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    base = events.select("event_id", "user_id", v.alias("v"))
+    bfill = F.first("v", ignorenulls=True).over(bwd)
+    ffill = F.last("v", ignorenulls=True).over(fwd)
+    return base.select(
+        "event_id",
+        "user_id",
+        bfill.alias("v_bfilled"),
+        F.coalesce(ffill, bfill).alias("v_filled_both"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Revenue bridge — period-over-period decomposition by customer class
+# --------------------------------------------------------------------------
+_BRIDGE_P1 = ("2000-01-01", "2000-07-01")
+_BRIDGE_P2 = ("2000-07-01", "2001-01-01")
+
+
+@query(
+    "q_revenue_bridge",
+    oracle=f"""
+    WITH p1 AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS r1
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '{_BRIDGE_P1[0]}'
+        AND CAST(o_orderdate AS DATE) < DATE '{_BRIDGE_P1[1]}'
+      GROUP BY 1
+    ),
+    p2 AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS r2
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '{_BRIDGE_P2[0]}'
+        AND CAST(o_orderdate AS DATE) < DATE '{_BRIDGE_P2[1]}'
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT coalesce(p1.o_custkey, p2.o_custkey) AS custkey,
+             coalesce(r1, 0) AS r1, coalesce(r2, 0) AS r2
+      FROM p1 FULL OUTER JOIN p2 ON p1.o_custkey = p2.o_custkey
+    )
+    SELECT CASE WHEN r1 = 0 THEN 'new'
+                WHEN r2 = 0 THEN 'churned'
+                WHEN r2 > r1 THEN 'expansion'
+                WHEN r2 < r1 THEN 'contraction'
+                ELSE 'flat' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(r2 - r1) AS BIGINT) AS delta_cents
+    FROM merged
+    GROUP BY 1
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE: the half-over-half revenue change decomposed
+    into the four stories an operator asks about — new, churned,
+    expanding, contracting customers (plus exactly-flat) — with each
+    segment's customer count and signed delta in exact cents. The
+    bridge identity sum(delta_cents) == P2 total - P1 total is the
+    audit: a decomposition that doesn't reconcile is worse than none.
+
+    Plan shape: two filtered partial aggregates over the SAME fact scan
+    pattern (Catalyst reuses the scan subplan), a per-customer FULL
+    OUTER merge — both sides keyed and shuffle-partitioned on custkey —
+    then classification arithmetic and a 5-row rollup. Nothing after
+    the merge grows with data; the merge itself is the unavoidable
+    alignment shuffle."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        cents.alias("cents"),
+    )
+
+    def period(d0: str, d1: str, out: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("d") >= F.lit(d0)) & (F.col("d") < F.lit(d1))
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").cast("long").alias(out))
+        )
+
+    p1 = period(*_BRIDGE_P1, "r1")
+    p2 = period(*_BRIDGE_P2, "r2")
+    merged = (
+        p1.join(p2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("r1", F.lit(0)).alias("r1"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+    )
+    seg = (
+        F.when(F.col("r1") == 0, "new")
+        .when(F.col("r2") == 0, "churned")
+        .when(F.col("r2") > F.col("r1"), "expansion")
+        .when(F.col("r2") < F.col("r1"), "contraction")
+        .otherwise("flat")
+    )
+    return merged.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.expr("r2 - r1")).cast("long").alias("delta_cents"),
+    )

@@ -865,3 +865,71 @@ def test_forecast_backtest_holdout_and_consistency(spark):
         assert r.total_abs_err >= 0
     # the naive forecast must actually engage: not all-zero errors
     assert any(r.total_abs_err > 0 for r in rows)
+
+
+def test_backward_fill_directions(spark):
+    rows = _q("w_backward_fill")(spark, _SF001).collect()
+    ev = load(spark, _SF001, "events")
+    assert len(rows) == ev.count()
+    # reconstruct one user's sequence and verify both fill directions
+    import collections
+
+    by_user = collections.defaultdict(list)
+    raw = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.round("value", 2))
+        .alias("v"),
+    ).collect()
+    for r in raw:
+        by_user[r.user_id].append(r)
+    got = {(r.event_id): r for r in rows}
+    checked = 0
+    for uid, seq in list(by_user.items())[:20]:
+        seq.sort(key=lambda r: r.event_id)
+        vals = [r.v for r in seq]
+        n = len(vals)
+        for i, r in enumerate(seq):
+            nxt = next((v for v in vals[i:] if v is not None), None)
+            prv = next(
+                (v for v in reversed(vals[: i + 1]) if v is not None), None
+            )
+            assert got[r.event_id].v_bfilled == nxt
+            assert got[r.event_id].v_filled_both == (
+                prv if prv is not None else nxt
+            )
+            checked += 1
+    assert checked > 100
+
+
+def test_revenue_bridge_reconciles(spark):
+    rows = {r.segment: r for r in _q("q_revenue_bridge")(spark, _SF001).collect()}
+    from olympic_athletes_etl_spark.plans.relational import (
+        _BRIDGE_P1,
+        _BRIDGE_P2,
+    )
+
+    orders = load(spark, _SF001, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def tot(p):
+        return (
+            orders.filter((F.col("d") >= p[0]) & (F.col("d") < p[1]))
+            .agg(F.sum("cents"))
+            .collect()[0][0]
+            or 0
+        )
+
+    # the bridge identity: segment deltas reconcile to the P2-P1 total
+    assert sum(r.delta_cents for r in rows.values()) == tot(_BRIDGE_P2) - tot(
+        _BRIDGE_P1
+    )
+    assert rows["new"].delta_cents >= 0
+    assert rows["churned"].delta_cents <= 0
+    if "expansion" in rows:
+        assert rows["expansion"].delta_cents > 0
+    if "contraction" in rows:
+        assert rows["contraction"].delta_cents < 0
