@@ -1627,3 +1627,79 @@ def d_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source shingle overlap — provenance contamination matrix
+# --------------------------------------------------------------------------
+@query(
+    "d_source_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_HASHES_DUCK}),
+    hs AS (
+      SELECT DISTINCT sh.h, d.source
+      FROM sh JOIN documents d USING (doc_id)
+    ),
+    per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST((10000 * count(*)) // least(pa.n, pb.n) AS BIGINT)
+             AS containment_x10000
+    FROM hs a
+    JOIN hs b ON a.h = b.h AND a.source < b.source
+    JOIN per pa ON pa.source = a.source
+    JOIN per pb ON pb.source = b.source
+    GROUP BY 1, 2, least(pa.n, pb.n)
+    """,
+)
+def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE SHINGLE OVERLAP: for every ingest-source pair, the
+    distinct word-bigram shingles appearing in BOTH, and the
+    containment ratio against the smaller side (x10000 exact) — the
+    provenance matrix behind 'crawl B substantially mirrors crawl A'
+    and dataset-licensing review. Exact-text overlap is the wrong tool
+    here (mirrors rewrap boilerplate; this corpus has zero cross-source
+    exact dups), so the screen works at shingle grain like
+    d_contamination. It is deliberately an UPPER-bound screen: common
+    bigrams inflate it, and pairs it flags graduate to the IDF-weighted
+    / minhash pipeline for confirmation.
+
+    Shape: the per-doc shingle set joins the tiny doc→source map,
+    collapses to DISTINCT (shingle, source) — at most |sources| rows
+    per shingle survive, which is what bounds the self-join fan-out at
+    |sources|² per hash — then one hash-keyed equi-join and a
+    source-pair rollup; per-source totals broadcast for the
+    containment division."""
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    src_map = load(spark, sf_dir, "documents").select("doc_id", "source")
+    hs = (
+        sh.join(src_map, "doc_id")
+        .select("h", "source")
+        .distinct()
+    )
+    per = hs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select(F.col("h").alias("h_b"), F.col("source").alias("source_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr(
+                "CAST((10000 * n_shared) div least(na, nb) AS BIGINT)"
+            ).alias("containment_x10000"),
+        )
+    )

@@ -2182,3 +2182,89 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum(F.expr("r2 - r1")).cast("long").alias("delta_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC analysis — cumulative-revenue-share classification of parts
+# --------------------------------------------------------------------------
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+    ranked AS (
+      SELECT cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+                  AS BIGINT) AS cum
+      FROM rev
+    )
+    SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                WHEN 100 * cum <= 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM ranked, tot
+    GROUP BY 1
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC ANALYSIS: parts classified by cumulative revenue share in
+    descending revenue order — A carries the first 80% of revenue, B
+    the next 15%, C the tail — the inventory-prioritization classic
+    (and the per-item sibling of e_user_pareto's curve). Boundary rule
+    is exact integer arithmetic (100*cum <= 80*total), so the part
+    STRADDLING the 80% line goes to B deterministically in both
+    engines — a float share would flicker the boundary part between
+    classes.
+
+    The descending global rank is the scale-interesting part: computed
+    by the partitioned two-pass cumsum with bucket = -(cents div 1e6) —
+    NEGATED so the bucket stays monotone non-decreasing along the
+    descending revenue order (the operator's contract) — never a
+    single-partition global window over the part dimension. Ties
+    (equal revenue) share a bucket, and the (cents DESC, partkey)
+    tie-break totalizes the order identically in both engines."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    ranked = partitioned_running_sum(
+        rev,
+        bucket=F.expr("-(cents div 1000000)"),
+        order_cols=[F.desc("cents"), F.asc("l_partkey")],
+        value_col="cents",
+        out_col="cum",
+    )
+    cls = (
+        F.when(F.expr("100 * cum <= 80 * total"), "A")
+        .when(F.expr("100 * cum <= 95 * total"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

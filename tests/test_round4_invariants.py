@@ -933,3 +933,54 @@ def test_revenue_bridge_reconciles(spark):
         assert rows["expansion"].delta_cents > 0
     if "contraction" in rows:
         assert rows["contraction"].delta_cents < 0
+
+
+def test_abc_analysis_partitions_and_orders(spark):
+    rows = {r.abc_class: r for r in _q("q_abc_analysis")(spark, _SF001).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    li = load(spark, _SF001, "lineitem")
+    assert sum(r.n_parts for r in rows.values()) == (
+        li.select("l_partkey").distinct().count()
+    )
+    total = sum(r.revenue_cents for r in rows.values())
+    raw = li.agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        )
+    ).collect()[0][0]
+    assert total == raw
+    # A holds at most 80% of revenue (boundary part spills to B), and
+    # per-part intensity must strictly decrease A > B > C
+    assert 100 * rows["A"].revenue_cents <= 80 * total
+    inten = {
+        k: r.revenue_cents / r.n_parts for k, r in rows.items()
+    }
+    assert inten["A"] > inten["B"] > inten["C"]
+
+
+def test_source_overlap_bounds(spark):
+    rows = _q("d_source_overlap")(spark, _SF001).collect()
+    assert rows
+    from olympic_athletes_etl_spark.plans.dedup_q import _doc_shingle_hashes
+
+    hs = (
+        _doc_shingle_hashes(spark, _SF001)
+        .join(
+            load(spark, _SF001, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .select("h", "source")
+        .distinct()
+    )
+    per = {
+        r.source: r.n
+        for r in hs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r.source_a < r.source_b
+        lo = min(per[r.source_a], per[r.source_b])
+        assert 0 < r.n_shared <= lo
+        assert r.containment_x10000 == (10000 * r.n_shared) // lo
