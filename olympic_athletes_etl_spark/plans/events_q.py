@@ -2076,11 +2076,12 @@ def e_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("week"),
         F.when(F.col("nxt").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
     )
-    total = subj.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     wk = subj.groupBy("week").agg(
         F.count(F.lit(1)).cast("long").alias("n_ending"),
         F.sum("ev").cast("long").alias("n_events"),
-    )
+    ).localCheckpoint(eager=True)
+    # total subjects from the tiny week grid — not a second fact pass
+    total = wk.agg(F.sum("n_ending").cast("long").alias("n_total"))
     prior = (
         Window.orderBy("week")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2281,9 +2282,14 @@ def e_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {lag}-day lag window (partitioned by type), and the holdout
     aggregate all run on grid-cardinality rows."""
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # materialize the calendar-bounded grid: span, the type dim, and the
+    # spine join all read it — without this each reference re-scans the
+    # fact table (grid size = types x span-days, tiny at any scale)
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     span = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     types = daily.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(span)).select(

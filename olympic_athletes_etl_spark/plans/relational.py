@@ -2233,6 +2233,9 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitioned_running_sum,
     )
 
+    # materialize the catalog-bounded per-part rollup: the total, the
+    # cumsum passes, and the final rollup all read it — unchecked, each
+    # reference re-scans the lineitem fact
     rev = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -2246,6 +2249,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
+        .localCheckpoint(eager=True)
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("total"))
     ranked = partitioned_running_sum(
