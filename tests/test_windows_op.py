@@ -84,3 +84,25 @@ def test_null_bucket_rows_are_kept_and_sum_first(spark):
     assert by_k[None] == 5
     assert by_k[0] == 6 and by_k[1] == 8 and by_k[2] == 11
     assert by_k[10] == 15
+
+
+def test_matches_global_window_descending_with_negated_bucket(spark):
+    # the q_abc_analysis usage: DESC value order with bucket = -(v DIV k)
+    # — negation keeps the bucket monotone NON-DECREASING along the
+    # descending order, which is the operator's contract
+    df = spark.range(500).select(
+        F.col("id").alias("k"), ((F.col("id") * 41) % 1000).alias("v")
+    )
+    got = partitioned_running_sum(
+        df,
+        bucket=F.expr("-(v DIV 100)"),
+        order_cols=[F.desc("v"), F.asc("k")],
+        value_col="v",
+        out_col="cum",
+    )
+    ref = _reference_cumsum(df, [F.desc("v"), F.asc("k")], "v").select(
+        "k", "expect"
+    )
+    joined = got.join(ref, on="k")
+    assert joined.count() == 500
+    assert joined.filter(F.col("cum") != F.col("expect")).count() == 0
