@@ -402,3 +402,91 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 g_kcore.__doc__ = g_kcore.__doc__.format(k=_KCORE_K, r=_KCORE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# BFS depth — bounded-hop traversal from the canonical source part
+# --------------------------------------------------------------------------
+_BFS_ROUNDS = 3
+
+_BFS_ROUND_DUCK = """
+    f{i} AS (
+      SELECT DISTINCT sym.t AS node
+      FROM sym JOIN f{p} ON sym.s = f{p}.node
+      WHERE sym.t NOT IN (SELECT node FROM v{p})
+    ),
+    v{i} AS (
+      SELECT node, depth FROM v{p}
+      UNION ALL
+      SELECT node, {i} AS depth FROM f{i}
+    )
+"""
+
+
+@query(
+    "g_bfs_depth",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    sym AS (
+      SELECT pa AS s, pb AS t FROM edges
+      UNION ALL
+      SELECT pb AS s, pa AS t FROM edges
+    ),
+    f0 AS (SELECT min(node) AS node FROM deg),
+    v0 AS (SELECT node, 0 AS depth FROM f0),
+    {",".join(
+        _BFS_ROUND_DUCK.format(i=i, p=i - 1)
+        for i in range(1, _BFS_ROUNDS + 1)
+    )}
+    SELECT node AS part, CAST(depth AS BIGINT) AS depth
+    FROM v{_BFS_ROUNDS}
+    """,
+)
+def g_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-HOP BFS from the lowest-id part in the co-purchase
+    graph: every part within {r} hops labeled with its hop distance —
+    the traversal primitive behind 'related products within N steps'
+    expansion and ego-network extraction. Level-synchronous frontier
+    BFS, the standard distributed formulation: each round joins the
+    CURRENT frontier (not the visited set) against the symmetrized
+    edge list, dedups the neighbor set, and anti-joins the visited
+    set, so per-round work is frontier-degree-sum, not graph size.
+
+    The round count is a constant (the g_kcore/g_pagerank convention)
+    so the oracle unrolls to chained CTEs; frontier and visited sets
+    are localCheckpointed per round — visited is referenced by every
+    later round's anti-join, and an unmaterialized unroll re-derives
+    the whole prefix each time (the k-core 1000-scan lesson). At
+    100 TB: same loop to a fixpoint with the frontier-size==0 early
+    exit; visited stays (node,depth)-thin regardless of edge count."""
+    edges = _edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("pa").alias("s"), F.col("pb").alias("t"))
+        .unionByName(
+            edges.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        _degrees(edges)
+        .agg(F.min("node").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.withColumn("depth", F.lit(0).cast("long"))
+    for i in range(1, _BFS_ROUNDS + 1):
+        frontier = (
+            sym.join(
+                frontier.select(F.col("node").alias("s")), "s"
+            )
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            frontier.withColumn("depth", F.lit(i).cast("long"))
+        ).localCheckpoint(eager=True)
+    return visited.select(F.col("node").alias("part"), "depth")
+
+
+g_bfs_depth.__doc__ = g_bfs_depth.__doc__.format(r=_BFS_ROUNDS)

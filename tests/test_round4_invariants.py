@@ -984,3 +984,30 @@ def test_source_overlap_bounds(spark):
         lo = min(per[r.source_a], per[r.source_b])
         assert 0 < r.n_shared <= lo
         assert r.containment_x10000 == (10000 * r.n_shared) // lo
+
+
+def test_bfs_depth_levels_are_true_shortest_paths(spark):
+    import collections
+
+    rows = {r.part: r.depth for r in _q("g_bfs_depth")(spark, _SF001).collect()}
+    from olympic_athletes_etl_spark.plans.graph_q import _edges
+
+    adj = collections.defaultdict(set)
+    for e in _edges(spark, _SF001).collect():
+        adj[e.pa].add(e.pb)
+        adj[e.pb].add(e.pa)
+    src = min(adj)
+    # independent BFS to full depth
+    dist = {src: 0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    expect = {n: d for n, d in dist.items() if d <= 3}
+    assert rows == expect
+    assert max(rows.values()) == 3 or max(dist.values()) < 3
