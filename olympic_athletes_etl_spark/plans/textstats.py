@@ -1397,3 +1397,107 @@ def t_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 t_feature_hashing.__doc__ = t_feature_hashing.__doc__.format(d=_FHASH_DIMS)
+
+
+# --------------------------------------------------------------------------
+# Collocation extraction — integer-lift scored bigrams
+# --------------------------------------------------------------------------
+_COLL_MIN_COUNT = 30
+_COLL_TOPN = 20
+
+
+@query(
+    "t_collocations",
+    oracle=f"""
+    WITH t AS (
+      SELECT regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ),
+    u AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM uni GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM u),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> [toks[i], toks[i + 1]])) AS pair
+      FROM t
+    ),
+    bg AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM b GROUP BY 1, 2
+      HAVING count(*) >= {_COLL_MIN_COUNT}
+    )
+    SELECT w1, w2, n_xy,
+           CAST((10000 * n_xy * n_total) // (u1.n_tok * u2.n_tok) AS BIGINT)
+             AS lift_x10000
+    FROM bg
+    JOIN u u1 ON u1.tok = bg.w1
+    JOIN u u2 ON u2.tok = bg.w2
+    CROSS JOIN tot
+    ORDER BY lift_x10000 DESC, w1, w2
+    LIMIT {_COLL_TOPN}
+    """,
+)
+def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION EXTRACTION: the top-{n} word bigrams by association
+    LIFT n_xy·N / (n_x·n_y) — the PMI ranking without its logarithm
+    (log is monotone, so the ordering is identical and the score stays
+    an EXACT x10000 integer; float PMIs would make the cut boundary
+    engine-dependent). A count floor of {m} filters the
+    two-rare-words-once noise PMI is notorious for — the standard
+    Manning-Schütze guard.
+
+    Shape: unigram and bigram counts are both map-side-combinable
+    aggregates bounded by vocabulary (Heaps-sublinear in corpus size);
+    the two unigram joins hit the SURVIVING bigram set only (post
+    count-floor), each a vocabulary-sized equi-join Spark can
+    broadcast under AQE; the corpus total is a 1-row broadcast; top-{n}
+    is TakeOrderedAndProject on a total order. Overflow bound:
+    10000·n_xy·N <= 10000·N² — holds to N ~ 1e7 tokens in BIGINT...
+    which is NOT 100-TB-safe, so past that the score descales to
+    per-million counts first (documented, the v_histogram_drift
+    headroom discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", r"\s+").alias("toks"))
+    uni = toks.select(F.explode("toks").alias("tok"))
+    u = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    tot = u.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= _COLL_MIN_COUNT)
+    )
+    u1 = u.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n1"))
+    u2 = u.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n2"))
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr(
+                "CAST((10000 * n_xy * n_total) div (n1 * n2) AS BIGINT)"
+            ).alias("lift_x10000"),
+        )
+        .orderBy(F.desc("lift_x10000"), "w1", "w2")
+        .limit(_COLL_TOPN)
+    )
+
+
+t_collocations.__doc__ = t_collocations.__doc__.format(
+    n=_COLL_TOPN, m=_COLL_MIN_COUNT
+)

@@ -1011,3 +1011,34 @@ def test_bfs_depth_levels_are_true_shortest_paths(spark):
     expect = {n: d for n, d in dist.items() if d <= 3}
     assert rows == expect
     assert max(rows.values()) == 3 or max(dist.values()) < 3
+
+
+def test_collocations_lift_recomputed(spark):
+    rows = _q("t_collocations")(spark, _SF001).collect()
+    assert len(rows) == 20
+    docs = load(spark, _SF001, "documents").select("text").collect()
+    import collections, re
+
+    uni = collections.Counter()
+    bg = collections.Counter()
+    for (t,) in docs:
+        ws = re.split(r"\s+", t)
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    n_total = sum(uni.values())
+    lifts = [r.lift_x10000 for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert bg[(r.w1, r.w2)] == r.n_xy >= 30
+        assert r.lift_x10000 == (10000 * r.n_xy * n_total) // (
+            uni[r.w1] * uni[r.w2]
+        )
+    # the top-20 boundary is correct: no excluded bigram beats the cut
+    floor = min(lifts)
+    better = sum(
+        1
+        for (w1, w2), n in bg.items()
+        if n >= 30
+        and (10000 * n * n_total) // (uni[w1] * uni[w2]) > floor
+    )
+    assert better <= 20
