@@ -2272,3 +2272,88 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Share-of-parent — multi-level contribution in one aggregation pass
+# --------------------------------------------------------------------------
+@query(
+    "q_share_hierarchy",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           CAST((10000 * cents)
+                // sum(cents) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region_x10000,
+           CAST((10000 * sum(cents) OVER (PARTITION BY region))
+                // sum(cents) OVER () AS BIGINT)
+             AS region_share_x10000
+    FROM rev
+    """,
+)
+def q_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-PARENT at two hierarchy levels in one pass: each
+    nation's revenue share within its region AND the region's share of
+    world revenue, as exact x10000 integers — the drill-down
+    contribution readout every BI tool calls 'percent of parent'.
+
+    The fact table aggregates ONCE to the (region, nation) grid —
+    dimension-bounded (25 nations) — and both parent sums are windows
+    OVER THAT GRID, not over fact rows: the region partition window
+    sees at most |nations| rows, the global window |nations| rows
+    total, so the unpartitioned window is the documented
+    bounded-domain exception (e_burst_minutes rule), never a
+    fact-scale sort. Dims broadcast into the fact join; shares divide
+    exact cents AFTER the x10000 scaling."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+        "n_regionkey",
+    )
+    reg = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.col("r_name").alias("region"),
+    )
+    rev = (
+        orders.join(cust, "o_custkey")
+        .join(F.broadcast(nat), "c_nationkey")
+        .join(F.broadcast(reg), "n_regionkey")
+        .groupBy("region", "nation")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr("10000 * cents").cast("long").alias("_num"),
+        F.sum("cents").over(w_region).alias("_reg"),
+        F.sum("cents").over(w_all).alias("_tot"),
+    ).select(
+        "region",
+        "nation",
+        "cents",
+        F.expr("CAST(_num div _reg AS BIGINT)").alias(
+            "share_of_region_x10000"
+        ),
+        F.expr("CAST((10000 * _reg) div _tot AS BIGINT)").alias(
+            "region_share_x10000"
+        ),
+    )

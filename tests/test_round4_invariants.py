@@ -1042,3 +1042,23 @@ def test_collocations_lift_recomputed(spark):
         and (10000 * n * n_total) // (uni[w1] * uni[w2]) > floor
     )
     assert better <= 20
+
+
+def test_share_hierarchy_sums_to_whole(spark):
+    import collections
+
+    rows = _q("q_share_hierarchy")(spark, _SF001).collect()
+    assert len(rows) == 25
+    by_region = collections.defaultdict(list)
+    for r in rows:
+        by_region[r.region].append(r)
+    # per region: nation shares sum to ~10000 (floor-division slack
+    # bounded by nations-per-region); region shares consistent per region
+    region_share = {}
+    for reg, rs in by_region.items():
+        s = sum(r.share_of_region_x10000 for r in rs)
+        assert 10000 - len(rs) < s <= 10000
+        assert len({r.region_share_x10000 for r in rs}) == 1
+        region_share[reg] = rs[0].region_share_x10000
+    s = sum(region_share.values())
+    assert 10000 - len(region_share) < s <= 10000
