@@ -83,6 +83,11 @@ _PINS = {
     "s_knn_bruteforce": [("shuffles", "<=", 1), ("python", "==", 0)],
     # pure narrow expression pipeline — no exchange at all
     "t_quality_score": [("shuffles", "==", 0), ("python", "==", 0)],
+    # round-4b/c single-fact-shuffle contracts
+    "t_feature_hashing": [("shuffles", "<=", 1), ("python", "==", 0)],
+    "v_rapid_repeat_orders": [("shuffles", "<=", 1), ("python", "==", 0)],
+    "w_backward_fill": [("shuffles", "<=", 1), ("python", "==", 0)],
+    "e_last_touch_attribution": [("shuffles", "<=", 2), ("python", "==", 0)],
 }
 
 
