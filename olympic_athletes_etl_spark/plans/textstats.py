@@ -1501,3 +1501,90 @@ def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 t_collocations.__doc__ = t_collocations.__doc__.format(
     n=_COLL_TOPN, m=_COLL_MIN_COUNT
 )
+
+
+# --------------------------------------------------------------------------
+# Keyword extraction — top TF-IDF terms per document, integer-ranked
+# --------------------------------------------------------------------------
+_KW_PER_DOC = 3
+
+
+@query(
+    "t_keyword_extraction",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf
+      GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST((10000 * tf.tf * n.n_docs) // df.df AS BIGINT) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (10000 * tf.tf * n.n_docs) // df.df DESC,
+                        tf.token) AS rk
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {_KW_PER_DOC}
+    """,
+)
+def t_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT KEYWORD EXTRACTION: each document's top-{k} terms by
+    a TF-IDF-style score — the auto-tagging / faceting primitive. The
+    score is tf·N/df as an EXACT x10000 integer: the usual tf·ln(N/df)
+    is monotone in N/df at fixed tf but NOT jointly monotone with the
+    integer surrogate across terms, so the registry pins the
+    rational-score variant outright (same spirit as t_collocations
+    dropping PMI's log) and both engines rank the identical integers —
+    no float boundary can flip who makes the top-{k}.
+
+    Shape: per-doc term counts (one map-side-combinable aggregate),
+    document frequencies derived FROM that table (no second corpus
+    pass), the doc count a 1-row broadcast, and the per-doc top-{k} a
+    doc-partitioned row_number window — WindowGroupLimit prunes to {k}
+    rows per doc map-side before the shuffle (the F7/O3 machinery).
+    The df join is vocabulary-sized; AQE broadcasts it."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.expr("CAST((10000 * tf * n_docs) div df AS BIGINT)").alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _KW_PER_DOC)
+    )
+
+
+t_keyword_extraction.__doc__ = t_keyword_extraction.__doc__.format(
+    k=_KW_PER_DOC
+)

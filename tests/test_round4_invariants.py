@@ -1062,3 +1062,30 @@ def test_share_hierarchy_sums_to_whole(spark):
         region_share[reg] = rs[0].region_share_x10000
     s = sum(region_share.values())
     assert 10000 - len(region_share) < s <= 10000
+
+
+def test_keyword_extraction_topk_verified(spark):
+    import collections, re
+
+    rows = _q("t_keyword_extraction")(spark, _SF001).collect()
+    docs = load(spark, _SF001, "documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    tf = collections.defaultdict(collections.Counter)
+    df = collections.Counter()
+    for d in docs:
+        ws = [w for w in d.text.split(" ") if w]
+        tf[d.doc_id].update(ws)
+        df.update(set(ws))
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == set(tf)
+    for doc_id, rs in list(by_doc.items())[:100]:
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = {
+            t: (10000 * c * n_docs) // df[t]
+            for t, c in tf[doc_id].items()
+        }
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(r.token, r.score) for r in rs] == expect
