@@ -1364,3 +1364,119 @@ def s_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_x1e6"), "doc_id")
         .limit(_HS_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation — MRR and precision@k with label-match relevance
+# --------------------------------------------------------------------------
+_EVAL_PROBE_MOD = 50
+
+
+@query(
+    "s_retrieval_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), probes AS (
+      SELECT vec_id AS probe_id, label AS p_label, v AS pv, nrm AS pnrm
+      FROM n WHERE vec_id % {_EVAL_PROBE_MOD} = 0
+    ), ranked AS (
+      SELECT p.probe_id, p.p_label, n.label,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY list_dot_product(n.v, p.pv) / (n.nrm * p.pnrm) DESC,
+                        n.vec_id ASC) AS rank
+      FROM n CROSS JOIN probes p
+      WHERE n.vec_id <> p.probe_id
+      QUALIFY rank <= {_K}
+    ), per_probe AS (
+      SELECT probe_id,
+             coalesce(min(CASE WHEN label = p_label THEN rank END), 0)
+               AS first_rel,
+             CAST(sum(CASE WHEN label = p_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN first_rel > 0
+                         THEN 10000 // first_rel ELSE 0 END)
+                // count(*) AS BIGINT) AS mrr_x10000,
+           CAST((10000 * sum(n_rel)) // (count(*) * {_K}) AS BIGINT)
+             AS p_at_{_K}_x10000
+    FROM per_probe
+    """,
+)
+def s_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION: MRR and precision@{k} of exact cosine
+    top-{k} retrieval, with relevance = 'neighbor shares the probe's
+    label' — the standing quality gate every ANN variant in this
+    registry (LSH, IVF, PQ) is tuned against. Reciprocal ranks are
+    x10000 INTEGER divisions per probe (a float 1/rank sum would make
+    the aggregate order-dependent); probes with no relevant neighbor
+    in the top-{k} contribute 0, not NULL-skipped — silently dropping
+    misses is the classic way eval dashboards flatter themselves.
+
+    Probe set = vec_id % {m} == 0 (deterministic, no RNG); corpus scan
+    cost is probes×corpus map-side like s_knn_batch, the one shuffle
+    keys on probe_id. Production pins an ABSOLUTE probe-sample size so
+    eval cost stays flat as the corpus grows; the modulo form here
+    keeps the driver row non-vacuous at every SF."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    n = emb.withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+    probes = n.filter(F.col("vec_id") % _EVAL_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("nrm") * F.col("pnrm"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_raw"), F.asc("vec_id")
+    )
+    ranked = (
+        n.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "p_label",
+            "label",
+            "vec_id",
+            cos.alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+    )
+    per_probe = ranked.groupBy("probe_id").agg(
+        F.coalesce(
+            F.min(
+                F.when(F.col("label") == F.col("p_label"), F.col("rank"))
+            ),
+            F.lit(0),
+        ).alias("first_rel"),
+        F.sum(
+            F.when(F.col("label") == F.col("p_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rel"),
+    )
+    return per_probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.expr(
+            "CAST(sum(CASE WHEN first_rel > 0 THEN 10000 div first_rel"
+            " ELSE 0 END) div count(*) AS BIGINT)"
+        ).alias("mrr_x10000"),
+        F.expr(
+            f"CAST((10000 * sum(n_rel)) div (count(*) * {_K}) AS BIGINT)"
+        ).alias(f"p_at_{_K}_x10000"),
+    )
+
+
+s_retrieval_eval.__doc__ = s_retrieval_eval.__doc__.format(
+    k=_K, m=_EVAL_PROBE_MOD
+)

@@ -1089,3 +1089,34 @@ def test_keyword_extraction_topk_verified(spark):
         }
         expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         assert [(r.token, r.score) for r in rs] == expect
+
+
+def test_retrieval_eval_bounds_and_brute_force_spotcheck(spark):
+    import numpy as np
+
+    r = _q("s_retrieval_eval")(spark, _SF001).collect()[0]
+    emb = load(spark, _SF001, "embeddings").collect()
+    probes = [e for e in emb if e.vec_id % 50 == 0]
+    assert r.n_probes == len(probes) > 0
+    assert 0 <= r.mrr_x10000 <= 10000
+    assert 0 <= r.p_at_5_x10000 <= 10000
+    # independent numpy recomputation
+    vecs = {e.vec_id: np.array(e.embedding, dtype=np.float64) for e in emb}
+    labels = {e.vec_id: e.label for e in emb}
+    mrr_sum = 0
+    rel_sum = 0
+    for p in probes:
+        pv = vecs[p.vec_id]
+        sims = []
+        for vid, v in vecs.items():
+            if vid == p.vec_id:
+                continue
+            c = float(v @ pv / (np.linalg.norm(v) * np.linalg.norm(pv)))
+            sims.append((-c, vid))
+        sims.sort()
+        top = [vid for _, vid in sims[:5]]
+        rel = [i + 1 for i, vid in enumerate(top) if labels[vid] == p.label]
+        mrr_sum += 10000 // rel[0] if rel else 0
+        rel_sum += len(rel)
+    assert r.mrr_x10000 == mrr_sum // len(probes)
+    assert r.p_at_5_x10000 == (10000 * rel_sum) // (len(probes) * 5)
