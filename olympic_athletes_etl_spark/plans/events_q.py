@@ -2322,3 +2322,70 @@ def e_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 e_forecast_backtest.__doc__ = e_forecast_backtest.__doc__.format(
     w=_BACKTEST_DAYS, lag=_SEASON_LAG_DAYS
 )
+
+
+# --------------------------------------------------------------------------
+# Longest activity streak — gaps-and-islands on the day grid
+# --------------------------------------------------------------------------
+@query(
+    "e_longest_streak",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM act
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+             CAST(min(d) AS VARCHAR) AS start_day
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, len AS streak_days, start_day
+    FROM (
+      SELECT user_id, len, start_day,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day ASC) AS rk
+      FROM streaks
+    )
+    WHERE rk = 1
+    """,
+)
+def e_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST DAILY-ACTIVITY STREAK per user — the engagement metric
+    behind 'current streak' badges — via the gaps-and-islands
+    day-minus-rank trick: within a user, consecutive calendar days all
+    share the constant (day - row_number), so one subtraction labels
+    every maximal run without any self-join or iterative chaining.
+    Longest streak per user = top-1-per-group over the island
+    aggregate with a (len DESC, start ASC) total order: equal-length
+    streaks resolve to the EARLIEST, deterministically in both engines.
+
+    Scale: the fact collapses to DISTINCT (user, day) first — bounded
+    by users × calendar — and every window is user-partitioned; the
+    island aggregate and the top-1 reuse the same user-keyed shuffle.
+    Spark's date-int subtraction mirrors DuckDB's DATE - INTEGER."""
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = act.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").cast("string").alias("start_day"),
+    )
+    rk = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start_day")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("len").alias("streak_days"), "start_day")
+    )

@@ -1120,3 +1120,39 @@ def test_retrieval_eval_bounds_and_brute_force_spotcheck(spark):
         rel_sum += len(rel)
     assert r.mrr_x10000 == mrr_sum // len(probes)
     assert r.p_at_5_x10000 == (10000 * rel_sum) // (len(probes) * 5)
+
+
+def test_longest_streak_matches_python_islands(spark):
+    import collections
+
+    rows = {
+        r.user_id: (r.streak_days, r.start_day)
+        for r in _q("e_longest_streak")(spark, _SF001).collect()
+    }
+    act = collections.defaultdict(set)
+    for r in (
+        load(spark, _SF001, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    ):
+        act[r.user_id].add(r.d)
+    assert set(rows) == set(act)
+    import datetime
+
+    for uid, days in act.items():
+        best_len, best_start = 0, None
+        ds = sorted(days)
+        i = 0
+        while i < len(ds):
+            j = i
+            while (
+                j + 1 < len(ds)
+                and ds[j + 1] - ds[j] == datetime.timedelta(days=1)
+            ):
+                j += 1
+            ln = j - i + 1
+            if ln > best_len:
+                best_len, best_start = ln, ds[i]
+            i = j + 1
+        assert rows[uid] == (best_len, str(best_start))
