@@ -2389,3 +2389,92 @@ def e_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("len").alias("streak_days"), "start_day")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival latency percentiles per type — exact, group-partitioned
+# --------------------------------------------------------------------------
+_LAT_PCTS = (50, 95, 99)
+
+
+@query(
+    "e_latency_percentiles",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS BIGINT)
+               AS gap_us
+      FROM events
+    ),
+    vc AS (
+      SELECT event_type, gap_us, CAST(count(*) AS BIGINT) AS cnt
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, gap_us, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_us)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM vc
+    )
+    SELECT event_type, n AS n_gaps,
+           {", ".join(
+             f"CAST(min(CASE WHEN 100 * cum >= {p} * n THEN gap_us END)"
+             f" AS BIGINT) AS p{p}_us"
+             for p in _LAT_PCTS
+           )}
+    FROM cum
+    GROUP BY event_type, n
+    """,
+)
+def e_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT inter-arrival percentiles per event type (p50/p95/p99 in
+    microseconds) — the SLO table, computed as exact ORDER STATISTICS
+    (smallest gap whose cumulative count reaches ceil(p·n/100)), not
+    interpolated quantiles: an SLO of 'p99 under 2s' should compare an
+    OBSERVED latency against the bound, and the exact form needs no
+    float agreement between engines at all.
+
+    This is the a_winsorized_stats count-rank machinery with the
+    global window replaced by GROUP-partitioned ones: gaps collapse to
+    per-(type, value) counts, the cumulative count partitions by type
+    (each WindowExec partition = one type's value domain), and all
+    three percentiles come from one conditional-min aggregate — no
+    per-percentile passes, no global sort anywhere. Everything after
+    the lag shuffle is value-domain-bounded."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    vc = gaps.groupBy("event_type", "gap_us").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("gap_us")
+    wt = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "gap_us",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("n"),
+    )
+    return cum.groupBy("event_type", F.col("n").alias("n_gaps")).agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"100 * cum >= {p} * n"), F.col("gap_us")
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_us")
+            for p in _LAT_PCTS
+        ]
+    )

@@ -1156,3 +1156,30 @@ def test_longest_streak_matches_python_islands(spark):
                 best_len, best_start = ln, ds[i]
             i = j + 1
         assert rows[uid] == (best_len, str(best_start))
+
+
+def test_latency_percentiles_match_sorted_gaps(spark):
+    import collections, math
+
+    rows = {r.event_type: r for r in _q("e_latency_percentiles")(spark, _SF001).collect()}
+    ev = (
+        load(spark, _SF001, "events")
+        .select("event_type", "ts", "event_id")
+        .collect()
+    )
+    by_type = collections.defaultdict(list)
+    for e in ev:
+        by_type[e.event_type].append((e.ts, e.event_id))
+    assert set(rows) == set(by_type)
+    for t, seq in by_type.items():
+        seq.sort()
+        gaps = sorted(
+            int((b[0] - a[0]).total_seconds() * 1_000_000)
+            for a, b in zip(seq, seq[1:])
+        )
+        r = rows[t]
+        assert r.n_gaps == len(gaps)
+        for p in (50, 95, 99):
+            k = math.ceil(p * len(gaps) / 100)
+            assert getattr(r, f"p{p}_us") == gaps[k - 1], (t, p)
+        assert r.p50_us <= r.p95_us <= r.p99_us
