@@ -2478,3 +2478,112 @@ def e_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in _LAT_PCTS
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# Interval union — merged activity coverage per user
+# --------------------------------------------------------------------------
+_COVER_HALO_US = 1800 * 1_000_000
+
+
+@query(
+    "e_active_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + {_COVER_HALO_US} AS e,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > coalesce(max(e) OVER w,
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_block
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    blocks AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_block) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT block_id) AS BIGINT) AS n_blocks,
+           CAST(sum(dur) AS BIGINT) AS covered_us
+    FROM (
+      SELECT user_id, block_id, max(e) - min(s) AS dur
+      FROM blocks GROUP BY 1, 2
+    )
+    GROUP BY 1
+    """,
+)
+def e_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (coverage): every event projects a 30-minute
+    activity halo [ts, ts+30m); overlapping halos merge into maximal
+    blocks, and each user reports block count and total covered
+    MICROSECONDS — 'how much wall-clock was this user active', which
+    naive sum-of-halos overcounts wherever events cluster. The classic
+    merge-overlapping-intervals primitive, done relationally: an
+    interval starts a NEW block iff its start exceeds the running max
+    of all previous ends, a running sum of those flags labels blocks
+    (the sessionize shape generalized to OVERLAPPING inputs —
+    sessionize's gap test is the degenerate point-interval case), then
+    one aggregate per block.
+
+    Two determinism rules learned the hard way (first parity run
+    FAILED on both): epochs stay in integer MICROSECONDS end-to-end —
+    DuckDB's CAST(epoch() AS BIGINT) ROUNDS sub-second fractions while
+    Spark's unix_timestamp floors them — and every window orders by
+    (s, event_id), because (s, e) does not totalize same-timestamp
+    ties and block labels then depend on tie order. All windows and
+    aggregates are user-partitioned — one fact shuffle, no self-joins.
+    Contrast with e_peak_concurrency: same sweep idea, but per-user
+    partitioning makes the global two-pass machinery unnecessary."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(_COVER_HALO_US)).alias("e"),
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(prior),
+                F.lit(-(2**63)).cast("long"),
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_block"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blocks = flagged.withColumn(
+        "block_id", F.sum("new_block").over(run).cast("long")
+    )
+    per_block = blocks.groupBy("user_id", "block_id").agg(
+        (F.max("e") - F.min("s")).alias("dur")
+    )
+    return per_block.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("dur").cast("long").alias("covered_us"),
+    )

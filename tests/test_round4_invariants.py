@@ -1183,3 +1183,38 @@ def test_latency_percentiles_match_sorted_gaps(spark):
             k = math.ceil(p * len(gaps) / 100)
             assert getattr(r, f"p{p}_us") == gaps[k - 1], (t, p)
         assert r.p50_us <= r.p95_us <= r.p99_us
+
+
+def test_active_coverage_matches_python_interval_union(spark):
+    import collections
+
+    rows = {
+        r.user_id: (r.n_blocks, r.covered_us)
+        for r in _q("e_active_coverage")(spark, _SF001).collect()
+    }
+    ev = (
+        load(spark, _SF001, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        )
+        .collect()
+    )
+    halo = 1800 * 1_000_000
+    by_user = collections.defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e.s)
+    assert set(rows) == set(by_user)
+    for uid, starts in by_user.items():
+        ivs = sorted((s, s + halo) for s in starts)
+        blocks = []
+        for s, e in ivs:
+            if blocks and s <= blocks[-1][1]:
+                blocks[-1][1] = max(blocks[-1][1], e)
+            else:
+                blocks.append([s, e])
+        covered = sum(e - s for s, e in blocks)
+        assert rows[uid] == (len(blocks), covered), uid
+        # coverage never exceeds naive sum, never undershoots one halo
+        assert halo <= covered <= len(starts) * halo
