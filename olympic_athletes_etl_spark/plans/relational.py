@@ -2357,3 +2357,101 @@ def q_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_x10000"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Median absolute deviation — the robust-scale estimator, two-pass exact
+# --------------------------------------------------------------------------
+@query(
+    "a_mad_spend",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+    c1 AS (
+      SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum FROM vc
+    ),
+    med AS (
+      SELECT (SELECT min(cents) FROM c1, nn WHERE cum >= (n + 1) // 2) AS m
+    ),
+    dv AS (
+      SELECT abs(cents - m) AS dev, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM vc, med GROUP BY 1
+    ),
+    c2 AS (
+      SELECT dev, sum(cnt) OVER (ORDER BY dev) AS cum FROM dv
+    )
+    SELECT (SELECT n FROM nn) AS n_orders,
+           (SELECT m FROM med) AS median_cents,
+           (SELECT min(dev) FROM c2, nn WHERE cum >= (n + 1) // 2)
+             AS mad_cents
+    """,
+)
+def a_mad_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION of order value — the robust scale
+    estimator that pairs with the winsorized mean and the Gini index
+    (stddev blows up on the same fat-finger rows winsorize clips; MAD
+    has a 50% breakdown point). Exact, two passes of the same
+    count-rank machinery: pass one finds the median as the smallest
+    value whose cumulative count reaches ceil(n/2); pass two re-keys
+    the VALUE-COUNT table (never the facts) by |x - median| — a
+    map-side arithmetic on at most |distinct prices| rows once the
+    1-row median broadcasts — and takes the median of that.
+
+    Both cumsums run through the partitioned two-pass operator over
+    value-domain-bounded tables; the fact is scanned exactly once
+    (the vc table is checkpointed, the a_winsorized_stats discipline).
+    Integer cents end-to-end: MAD of integers is an observed integer
+    deviation, no interpolation to disagree on."""
+    from olympic_athletes_etl_spark.operators.windows import (
+        partitioned_running_sum,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    vc = (
+        o.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    nn = vc.agg(F.sum("cnt").cast("long").alias("n"))
+
+    def rank_median(df: DataFrame, col: str) -> DataFrame:
+        """1-row frame: smallest ``col`` whose cum count hits ceil(n/2)."""
+        cum = partitioned_running_sum(
+            df,
+            bucket=F.expr(f"{col} div 1000000"),
+            order_cols=[col],
+            value_col="cnt",
+            out_col="cum",
+        )
+        return (
+            cum.crossJoin(F.broadcast(nn))
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 1) div 2"), F.col(col)
+                    )
+                ).alias("m")
+            )
+        )
+
+    med = rank_median(vc, "cents")
+    dv = (
+        vc.crossJoin(F.broadcast(med))
+        .groupBy(F.expr("abs(cents - m)").alias("dev"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    mad = rank_median(dv, "dev").select(F.col("m").alias("mad"))
+    return (
+        nn.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("m").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+        )
+    )

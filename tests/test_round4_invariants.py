@@ -1218,3 +1218,28 @@ def test_active_coverage_matches_python_interval_union(spark):
         assert rows[uid] == (len(blocks), covered), uid
         # coverage never exceeds naive sum, never undershoots one halo
         assert halo <= covered <= len(starts) * halo
+
+
+def test_mad_matches_numpy(spark):
+    import numpy as np
+
+    r = _q("a_mad_spend")(spark, _SF001).collect()[0]
+    cents = np.array(
+        [
+            x[0]
+            for x in load(spark, _SF001, "orders")
+            .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .collect()
+        ]
+    )
+    assert r.n_orders == len(cents)
+    # the engine's median is the LOW order statistic (ceil(n/2)-th),
+    # which for even n differs from numpy's interpolated median — use
+    # the same definition here
+    k = (len(cents) + 1) // 2
+    med = int(np.partition(cents, k - 1)[k - 1])
+    assert r.median_cents == med
+    dev = np.abs(cents - med)
+    mad = int(np.partition(dev, k - 1)[k - 1])
+    assert r.mad_cents == mad
+    assert 0 < r.mad_cents < (cents.max() - cents.min())
