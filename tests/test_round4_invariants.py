@@ -1,8 +1,10 @@
-"""Invariant tests for the round-3 queries that had only oracle parity
-(round-3 ADVICE): each assertion is a property an oracle MIRRORING a bug
-would not catch — conservation against the raw tables, internal
-consistency between columns, and non-vacuity at a SF where the query
-actually produces rows."""
+"""Invariant tests beyond oracle parity — round-3 ADVICE backfill plus
+every round-4 addition: each assertion is a property an oracle MIRRORING
+a bug would not catch — conservation against the raw tables, internal
+consistency between columns, non-vacuity at a SF where the query
+actually produces rows, and (where feasible) full recomputation by an
+INDEPENDENT algorithm (numpy midrank AUC, Python BFS/interval-union/
+island scans, collocation recounts)."""
 
 from __future__ import annotations
 
