@@ -490,3 +490,88 @@ def g_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 g_bfs_depth.__doc__ = g_bfs_depth.__doc__.format(r=_BFS_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity — do hubs co-purchase with hubs?
+# --------------------------------------------------------------------------
+@query(
+    "g_assortativity",
+    oracle=f"""
+    WITH {_EDGES_DUCK},
+    sym AS (
+      SELECT pa AS s, pb AS t FROM edges
+      UNION ALL
+      SELECT pb AS s, pa AS t FROM edges
+    ),
+    dd AS (
+      SELECT ds.deg AS dx, dt.deg AS dy
+      FROM sym
+      JOIN deg ds ON ds.node = sym.s
+      JOIN deg dt ON dt.node = sym.t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM dd
+    )
+    SELECT n AS n_endpoints,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+             AS assortativity
+    FROM m
+    """,
+)
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over every directed edge (Newman's
+    r): positive means hubs co-purchase with hubs (assortative mixing,
+    social-network-like), negative means hubs pair with leaves
+    (hub-and-spoke catalogs). The single number that says which joins
+    will skew before you run them.
+
+    Determinism discipline (the a_corr_regression / v_chi2 rule): all
+    five moments accumulate as EXACT BIGINT sums over integer degrees
+    — aggregation order can't change them — and the correlation is
+    one scalar double expression evaluated after aggregation, so the
+    4-decimal round has ~12 orders of magnitude of slack over any
+    1-ulp libm divergence. Plan: two degree-table joins onto the edge
+    list (vocabulary... node-cardinality sides, AQE picks broadcast
+    vs shuffle), one 6-column map-side-combinable aggregate, output
+    one row. Overflow headroom: sum(dx*dy) <= E*maxdeg² — descale
+    degrees first past ~1e12 edge-endpoints (documented, the
+    moment-query convention)."""
+    edges = _edges(spark, sf_dir)
+    deg = _degrees(edges)
+    sym = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("t")
+    ).unionByName(edges.select(F.col("pb").alias("s"), F.col("pa").alias("t")))
+    dd = (
+        sym.join(deg.select(F.col("node").alias("s"), F.col("deg").alias("dx")), "s")
+        .join(deg.select(F.col("node").alias("t"), F.col("deg").alias("dy")), "t")
+        .select("dx", "dy")
+    )
+    m = dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.expr("dx * dx")).cast("long").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("long").alias("syy"),
+        F.sum(F.expr("dx * dy")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_endpoints"),
+        F.round(
+            F.expr(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                "        * CAST(n * syy - sy * sy AS DOUBLE))"
+            ),
+            4,
+        ).alias("assortativity"),
+    )

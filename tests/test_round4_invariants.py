@@ -1245,3 +1245,21 @@ def test_mad_matches_numpy(spark):
     mad = int(np.partition(dev, k - 1)[k - 1])
     assert r.mad_cents == mad
     assert 0 < r.mad_cents < (cents.max() - cents.min())
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    import numpy as np
+
+    r = _q("g_assortativity")(spark, _SF001).collect()[0]
+    from olympic_athletes_etl_spark.plans.graph_q import _degrees, _edges
+
+    edges = _edges(spark, _SF001).collect()
+    deg = {x.node: x.deg for x in _degrees(_edges(spark, _SF001)).collect()}
+    dx, dy = [], []
+    for e in edges:
+        dx += [deg[e.pa], deg[e.pb]]
+        dy += [deg[e.pb], deg[e.pa]]
+    assert r.n_endpoints == len(dx)
+    expect = np.corrcoef(np.array(dx, float), np.array(dy, float))[0, 1]
+    assert abs(r.assortativity - round(float(expect), 4)) <= 1e-4
+    assert -1.0 <= r.assortativity <= 1.0
