@@ -26,99 +26,79 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
-# FRESH driver row this round (round 4):
-#   1. plans CHANGED this round — the e_peak_concurrency /
-#      e_user_pareto partitioned rewrites, the e_burst_minutes
-#      dead-air fix, the r_dim_bridge hash-stable word_id — must be
-#      re-audited under their new oracles;
-#   2. the 20 remaining round-3 late additions that have never had a
-#      driver row (verified locally + by the round-3 judge only);
-#   3. queries NEW this round (no driver row yet);
-#   4. the r1-stale core: all of textops (11) and tpch (5) — driver-green
-#      in r1 but never re-checked since.
-# Prefix math (driver audits 50): 4 changed + 20 never-audited + 23 new
-# + 3 late-round-4 additions (g_pagerank / a_hll_estimate / t_bm25_rank
-# — brand-new families: iterative graph, HLL sketch, retrieval scoring)
-# = exactly 50. The remaining late additions (q_skyline_parts,
-# q_association_rules, e_time_weighted_avg), all 11 textops, all 5
-# tpch-core, and all of relational (r1-stale) rotate first in round 5
-# (recorded in COVERAGE.md). Everything demoted stays covered locally
-# by tools/check_parity.py regardless of order.
-_CHANGED_THIS_ROUND = [
-    "e_peak_concurrency",
-    "e_user_pareto",
-    "e_burst_minutes",
-    "r_dim_bridge",
+# FRESH driver row this round (round 5 — the rotation recorded in
+# COVERAGE.md "Driver audit-prefix rotation log"):
+#   1. the 46 round-4 queries added AFTER the r4 prefix was frozen —
+#      never driver-audited (locally green via tools/check_parity.py and
+#      re-verified by the round-4 judge, but no driver row yet). This
+#      set includes every plan CHANGED this round (m_image_neardup
+#      hot-band cap, q_rfm_segments recency inversion, v_chi2_experiment
+#      double determinant, t_collocations empty-token filter,
+#      a_winsorized_stats refactor), so each change lands with a fresh
+#      driver row under its updated oracle;
+#   2. 4 slots for the r2-stale dedup/similarity core (d_minhash_lsh,
+#      d_simhash, s_ann_lsh, s_ann_ivf — last driver rows r2/r3).
+# Prefix math (driver audits 50): 46 + 4 = exactly 50. New-query growth
+# is frozen this round per the round-4 verdict; the remaining r2-stale
+# dedup/similarity/textstats queries and the r1-stale relational/tpch/
+# textops cores rotate next (round 6). Everything demoted stays covered
+# locally by tools/check_parity.py regardless of order.
+NEVER_AUDITED_R4 = [
+    "q_skyline_parts",
+    "q_association_rules",
+    "e_time_weighted_avg",
+    "d_jaccard_prefix_filter",
+    "g_link_prediction",
+    "a_sketch_algebra",
+    "v_join_size_estimate",
+    "m_image_ahash",
+    "m_image_neardup",
+    "s_hybrid_search",
+    "v_benford_digits",
+    "e_cusum_shift",
+    "e_dau_mau",
+    "q_cohort_ltv",
+    "a_gini_spend",
+    "j_pit_features",
+    "a_winsorized_stats",
+    "r_incremental_agg",
+    "g_kcore",
+    "j_target_encode",
+    "j_negative_sample",
+    "q_rfm_segments",
+    "q_churn_training_set",
+    "e_session_paths",
+    "v_auc_score",
+    "v_decile_lift",
+    "v_chi2_experiment",
+    "t_feature_hashing",
+    "e_repurchase_hazard",
+    "e_last_touch_attribution",
+    "v_rapid_repeat_orders",
+    "e_forecast_backtest",
+    "w_backward_fill",
+    "q_revenue_bridge",
+    "q_abc_analysis",
+    "d_source_overlap",
+    "g_bfs_depth",
+    "t_collocations",
+    "q_share_hierarchy",
+    "t_keyword_extraction",
+    "s_retrieval_eval",
+    "e_longest_streak",
+    "e_latency_percentiles",
+    "e_active_coverage",
+    "a_mad_spend",
+    "g_assortativity",
 ]
-_NEVER_AUDITED = [
-    "d_containment_pairs",
-    "d_dup_rate_by_source",
-    "d_jaccard_histogram",
-    "d_novelty_by_doc",
-    "d_shingle_df_histogram",
-    "e_bot_suspects",
-    "e_inter_event_time",
-    "e_session_durations",
-    "e_type_mix_daily",
-    "e_user_growth",
-    "e_weekly_active_users",
-    "q_copurchase_pairs",
-    "q_nation_trade_balance",
-    "q_order_lifecycle",
-    "q_revenue_trend_mom",
-    "q_supplier_hhi",
-    "s_bucket_stats",
-    "s_knn_batch",
-    "t_quality_funnel",
-    "v_fk_integrity",
+STALE_DEDUP_SIM = [
+    "d_minhash_lsh",
+    "d_simhash",
+    "s_ann_lsh",
+    "s_ann_ivf",
 ]
-_NEW_THIS_ROUND = [
-    "u_noc_df",
-    "m_image_decode",
-    "d_fuzzy_block_join",
-    "d_fuzzy_dedup",
-    "t_sequence_pack",
-    "d_semantic_dedup",
-    "e_retention_cohorts",
-    "e_funnel_conversion",
-    "j_range_band_join",
-    "m_audio_decode",
-    "a_cardinality_sketch",
-    "t_heavy_hitters",
-    "r_zorder_layout",
-    "d_bloom_prefilter",
-    "a_histogram_median",
-    "g_triangle_count",
-    "g_degree_histogram",
-    "a_corr_regression",
-    "e_anomaly_days",
-    "e_ohlc_bars",
-    "t_mix_schedule",
-    "s_centroid_outliers",
-    "v_histogram_drift",
-    # late round-4 additions (one driver slot per new family)
-    "g_pagerank",
-    "a_hll_estimate",
-    "t_bm25_rank",
-]
-_STALE_CORE_MODULES = (textops, tpch, relational)
+AUDIT_PREFIX = NEVER_AUDITED_R4 + STALE_DEDUP_SIM
 
+_promote(AUDIT_PREFIX)
 
-def _module_query_names(mod) -> list[str]:
-    return [n for n, fn in queries().items() if fn.__module__ == mod.__name__]
-
-
-_explicit = _CHANGED_THIS_ROUND + _NEVER_AUDITED + [
-    n for n in _NEW_THIS_ROUND if n in queries()
-]
-_promote(
-    _explicit
-    + [
-        n
-        for m in _STALE_CORE_MODULES
-        for n in _module_query_names(m)
-        if n not in _explicit
-    ]
-)
-
-__all__ = ["queries", "oracle_sql", "query"]
+__all__ = ["queries", "oracle_sql", "query", "AUDIT_PREFIX"]

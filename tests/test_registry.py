@@ -30,6 +30,28 @@ def test_registry_shape():
     assert set(osql) <= set(qs)
 
 
+def test_audit_prefix_composition():
+    """Pin the driver audit prefix: names, order, and exactly-50 length.
+
+    plans/__init__ promotes AUDIT_PREFIX to the front of the registry;
+    the driver's correctness gate audits that 50-query prefix. promote()
+    raises KeyError on unknown names, but nothing else guards ORDER — a
+    later registration-order change or a stray promote() call could
+    silently rotate a family out of the audited prefix. This pin makes
+    that loud. Update AUDIT_PREFIX (and COVERAGE.md's rotation log)
+    deliberately each round; this test just restates it.
+    """
+    from olympic_athletes_etl_spark.plans import AUDIT_PREFIX
+
+    assert len(AUDIT_PREFIX) == 50
+    assert len(set(AUDIT_PREFIX)) == 50
+    names = list(queries())
+    assert names[:50] == AUDIT_PREFIX
+    # every prefix entry is hash-oracle-gated (not rows-only)
+    missing_oracle = [n for n in AUDIT_PREFIX if n not in oracle_sql()]
+    assert not missing_oracle, missing_oracle
+
+
 @pytest.mark.parametrize("name", sorted(queries()))
 def test_query_analyzes(spark, sf_dir, name):
     df = queries()[name](spark, sf_dir)
