@@ -341,9 +341,16 @@ def m_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(_with_synth_payload(docs, ppm_payload))
 
 
+# Hot-band cap: a 14-bit band value shared by more than this many images
+# is a degenerate bucket (uniform/black frames hash identically) and is
+# dropped before the candidate self-join — the skew guard that keeps the
+# band join from going quadratic on crawl corpora. Shared by the Spark
+# plan and the oracle so the two engines can't drift.
+_HOT_BAND_CAP = 100
+
 @query(
     "m_image_neardup",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
       SELECT doc_id,
              4 + (doc_id % 13) AS w,
@@ -378,10 +385,18 @@ def m_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, ahash, j, (ahash >> (j * 14)) & 16383 AS band
       FROM hashes, (SELECT unnest(range(0, 4)) AS j)
     ),
+    hot AS (
+      SELECT j, band FROM bands GROUP BY 1, 2
+      HAVING count(*) > {_HOT_BAND_CAP}
+    ),
+    cold AS (
+      SELECT b.* FROM bands b ANTI JOIN hot h
+        ON b.j = h.j AND b.band = h.band
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.ahash AS ha, b.ahash AS hb
-      FROM bands a JOIN bands b
+      FROM cold a JOIN cold b
         ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -400,15 +415,19 @@ def m_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path with the text-side near-dup machinery: decode -> ahash ->
     band join -> exact hamming verify, never an all-pairs product.
 
-    Banding honesty on THIS corpus: the synthetic images are tiny
-    (4-16 x 3-13), so many hashes share low-entropy bands and the band
-    join prunes mildly; on real photo corpora the 14-bit bands split
-    2^14 ways and candidates collapse to near-identical images only.
-    At production scale add the standard hot-band cap (drop band values
-    shared by > K images — the d_minhash_lsh bucket-cap move) before
-    the self-join; with 4498-41832 candidates at test SFs the uncapped
-    plan is the right simplicity trade-off, and the cap would need
-    mirroring in the oracle.
+    Hot-band cap (the 100 TB skew guard): degenerate media — uniform /
+    black frames — collapse to identical hashes and identical bands, so
+    a single band value can hold an O(corpus) member list and the
+    self-join goes quadratic on exactly the corpora a crawl pipeline
+    sees. Band values shared by > _HOT_BAND_CAP images are therefore
+    dropped BEFORE the self-join (the d_minhash_lsh stop-shingle move;
+    the hot-band dim is tiny — at most 4 x 2^14 keys — so it
+    broadcasts). Pairs inside a dropped band are overwhelmingly
+    exact-duplicate degenerate frames, which belong to the hash-groupBy
+    exact-dedup path (m_payload_dedup / d_exact_dup), not a quadratic
+    near-dup join; a pair that also shares a non-hot band still
+    surfaces here. The oracle applies the identical cap. At sf0.01 the
+    cap drops the two all-zero bands (158 and 147 of 500 members).
 
     NOTE the band guarantee: hamming <= 8 with 4 bands only PROMISES a
     shared band when the 8 differing bits hit <= 3 bands; 8 bits spread
@@ -444,7 +463,14 @@ def m_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.expr("shiftright(ahash, cast(j * 14 as int)) & 16383"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    hot = (
+        bands.groupBy("j", "band")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > _HOT_BAND_CAP)
+        .select("j", "band")
+    )
+    cold = bands.join(F.broadcast(hot), ["j", "band"], "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
     cand = (
         a.join(
             b,
