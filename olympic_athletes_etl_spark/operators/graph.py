@@ -251,6 +251,114 @@ def triangle_stats(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 1000,
+) -> DataFrame:
+    """(node, core_deg) — the k-CORE of an undirected edge list (one row
+    per edge), peeled to the FIXPOINT: rounds continue until a round
+    removes no edge, so callers on arbitrarily deep graphs get the true
+    core. This is the library form of plans/graph_q.py's ``g_kcore``,
+    whose round count is a pinned CONSTANT so its oracle can unroll to
+    chained CTEs — the two agree whenever the constant reaches the
+    fixpoint (pinned at test SF by test_graph's equivalence test).
+
+    Per round: one degree aggregate plus two leftsemi joins on the edge
+    key, all shuffle-partitioned by node/edge keys; the shrinking edge
+    list is localCheckpointed per round (edges are referenced three
+    times per round — an unmaterialized unroll re-derives the input
+    3^rounds times, the documented k-core 1000-scan lesson). The
+    early-exit test is a driver-side count of the already-materialized
+    checkpoint, so it costs one cheap job per round, and rounds needed
+    is the graph's degeneracy-peel depth (typically tens).
+
+    ``max_iter`` is a runaway backstop, not a tuning knob; hitting it
+    raises rather than silently returning a partial peel."""
+    e = edges.select(
+        F.col(src).alias("pa"), F.col(dst).alias("pb")
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionByName(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa", "leftsemi")
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = e.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(f"kcore: no fixpoint within max_iter={max_iter}")
+    return (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    symmetrize: bool = True,
+    max_iter: int = 1000,
+) -> DataFrame:
+    """(node, depth) — hop distance from the seed set, level-synchronous
+    BFS run to the FIXPOINT (empty frontier), so callers on arbitrarily
+    deep graphs get full reachability. Library form of
+    plans/graph_q.py's ``g_bfs_depth``, whose round count is a pinned
+    constant for oracle unrolling; equivalence at test SF is pinned in
+    test_graph.
+
+    ``sources`` is a one-column (``node``) DataFrame of seeds, all at
+    depth 0 (a multi-source BFS is the same loop). Each round joins the
+    CURRENT frontier — not the visited set — against the edge list,
+    dedups, and anti-joins visited, so per-round work is
+    frontier-degree-sum; frontier and visited are localCheckpointed per
+    round (visited is referenced by every later anti-join). Terminates
+    in eccentricity-many rounds; ``max_iter`` is a runaway backstop and
+    hitting it raises rather than returning partial depths."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    if symmetrize:
+        sym = sym.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+        )
+    sym = sym.localCheckpoint(eager=True)
+    frontier = sources.select("node").localCheckpoint(eager=True)
+    visited = frontier.withColumn("depth", F.lit(0).cast("long"))
+    for i in range(1, max_iter + 1):
+        frontier = (
+            sym.join(frontier.select(F.col("node").alias("s")), "s")
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.count() == 0:
+            break
+        visited = visited.unionByName(
+            frontier.withColumn("depth", F.lit(i).cast("long"))
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(f"bfs_depths: frontier non-empty after max_iter={max_iter}")
+    return visited
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",

@@ -371,7 +371,10 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The round count is a CONSTANT ({r}), not a convergence test, so the
     oracle unrolls the identical dataflow as chained CTEs (the
     g_pagerank move); tests pin that {r} rounds reach the fixpoint at
-    test scale. At 100 TB you iterate to fixpoint instead — each round
+    test scale, and operators/graph.py:kcore is the exported
+    iterate-to-fixpoint library form for production callers (equality
+    with this unrolled form is itself pinned in test_graph). At 100 TB
+    you use that fixpoint form — each round
     is one degree-count aggregate plus two leftsemi joins on the edge
     key (all shuffle-partitioned by node/edge keys, no global
     structure), with the shrinking edge list checkpointed each round to
@@ -457,8 +460,10 @@ def g_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     are localCheckpointed per round — visited is referenced by every
     later round's anti-join, and an unmaterialized unroll re-derives
     the whole prefix each time (the k-core 1000-scan lesson). At
-    100 TB: same loop to a fixpoint with the frontier-size==0 early
-    exit; visited stays (node,depth)-thin regardless of edge count."""
+    100 TB: operators/graph.py:bfs_depths is the exported fixpoint form
+    (frontier-size==0 early exit; equality with this unrolled form
+    pinned in test_graph); visited stays (node,depth)-thin regardless
+    of edge count."""
     edges = _edges(spark, sf_dir)
     sym = (
         edges.select(F.col("pa").alias("s"), F.col("pb").alias("t"))

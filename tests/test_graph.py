@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from olympic_athletes_etl_spark.operators.graph import (
     connected_components,
     dedup_clusters,
@@ -210,3 +212,92 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
         assert (r["part_a"], r["part_b"]) not in existing
         assert r["part_a"] < r["part_b"]
         assert r["common_n"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# fixpoint library forms vs the oracle-bounded constant-round queries
+# ---------------------------------------------------------------------------
+def test_kcore_fixpoint_equals_unrolled_query(spark, sf_dir):
+    """g_kcore pins _KCORE_ROUNDS so its oracle can unroll; the library
+    kcore() iterates to the fixpoint. At test SF the constant reaches the
+    fixpoint, so the two must agree exactly — this pin is what licenses
+    the query's constant."""
+    from olympic_athletes_etl_spark.operators.graph import kcore
+    from olympic_athletes_etl_spark.plans.graph_q import (
+        _KCORE_K,
+        _edges,
+        g_kcore,
+    )
+
+    lib = {
+        (r["node"], r["core_deg"])
+        for r in kcore(_edges(spark, sf_dir), k=_KCORE_K, src="pa", dst="pb").collect()
+    }
+    qry = {
+        (r["part"], r["core_deg"]) for r in g_kcore(spark, sf_dir).collect()
+    }
+    assert lib == qry
+    assert lib  # non-degenerate: the test graph has a 2-core
+
+
+def test_kcore_fixpoint_peels_deeper_than_constant_rounds(spark):
+    """A 10-node path with k=2 peels one layer per round from each end —
+    needs 5 rounds to empty, more than the query's pinned 3. The fixpoint
+    form must fully dissolve it (a path has no 2-core)."""
+    from olympic_athletes_etl_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    assert kcore(edges, k=2).count() == 0
+
+
+def test_kcore_fixpoint_keeps_clique_drops_tail(spark):
+    from olympic_athletes_etl_spark.operators.graph import kcore
+
+    # triangle {0,1,2} with a pendant path 2-3-4: core = the triangle
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_deg"] for r in kcore(edges, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_bfs_fixpoint_equals_unrolled_query(spark, sf_dir):
+    """g_bfs_depth pins _BFS_ROUNDS for the unrolled oracle; bfs_depths()
+    iterates to the empty frontier. Equal at test SF means the constant
+    covers the graph's eccentricity from the canonical seed — restricted
+    to the pinned depth in case the full traversal goes deeper."""
+    from olympic_athletes_etl_spark.operators.graph import bfs_depths
+    from olympic_athletes_etl_spark.plans.graph_q import (
+        _BFS_ROUNDS,
+        _degrees,
+        _edges,
+        g_bfs_depth,
+    )
+
+    edges = _edges(spark, sf_dir)
+    seed = _degrees(edges).agg(F.min("node").alias("node"))
+    lib = {
+        (r["node"], r["depth"])
+        for r in bfs_depths(edges, seed, src="pa", dst="pb").collect()
+        if r["depth"] <= _BFS_ROUNDS
+    }
+    qry = {
+        (r["part"], r["depth"]) for r in g_bfs_depth(spark, sf_dir).collect()
+    }
+    assert lib == qry
+    assert lib
+
+
+def test_bfs_fixpoint_traverses_past_constant_rounds(spark):
+    """An 8-node path from one end needs 7 rounds — past the query's
+    pinned 3. The fixpoint form labels every node with its true depth."""
+    from olympic_athletes_etl_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+    seed = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["depth"] for r in bfs_depths(edges, seed).collect()}
+    assert out == {i: i for i in range(8)}
