@@ -69,3 +69,63 @@ def test_fuzzy_canonicalize_is_idempotent(spark):
     }
     # re-canonicalizing the canonical set is the identity
     assert all(k == v for k, v in second.items())
+
+
+# ---------------------------------------------------------------------------
+# hot-block cap — the skew guard for degenerate corpora
+# ---------------------------------------------------------------------------
+def test_fuzzy_pairs_block_cap_drops_hot_block_only(spark):
+    # "the" block has 5 members (> cap 3) and is dropped wholesale;
+    # the 2-member "small" block survives untouched.
+    names = [f"the part {i}" for i in range(5)] + ["small ring", "small rings"]
+    capped = fuzzy_block_pairs(
+        _dim(spark, names), "name", _block(), 4, block_cap=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"]) for r in capped}
+    assert got == {("small ring", "small rings")}
+    # uncapped finds the hot-block pairs too — the cap is the only delta
+    uncapped = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_block_pairs(
+            _dim(spark, names), "name", _block(), 4
+        ).collect()
+    }
+    assert got < uncapped
+    assert all(a.startswith("the") and b.startswith("the")
+               for a, b in uncapped - got)
+
+
+def test_fuzzy_canonicalize_block_cap_keeps_total_assignment(spark):
+    # every input name must still get a canonical; hot-block names map
+    # to themselves (neighborhood search skipped, not the assignment)
+    names = [f"the part {i}" for i in range(5)] + ["small ring", "small rings"]
+    out = {
+        r["name"]: r["canonical"]
+        for r in fuzzy_canonicalize(
+            _dim(spark, names), "name", _block(), 4, block_cap=3
+        ).collect()
+    }
+    assert set(out) == set(names)
+    for n in names:
+        if n.startswith("the"):
+            assert out[n] == n
+    assert out["small ring"] == "small ring"
+    assert out["small rings"] == "small ring"
+
+
+def test_fuzzy_canonicalize_cap_none_unchanged(spark):
+    # block_cap=None is the pre-cap behavior, bit for bit
+    names = ["small ring", "small rings", "large bolt"]
+    base = sorted(
+        tuple(r)
+        for r in fuzzy_canonicalize(
+            _dim(spark, names), "name", _block(), 4
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in fuzzy_canonicalize(
+            _dim(spark, names), "name", _block(), 4, block_cap=None
+        ).collect()
+    )
+    assert base == capped
