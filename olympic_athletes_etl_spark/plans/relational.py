@@ -1453,16 +1453,16 @@ def j_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE cum >= (99 * n + 99) // 100) AS hi_cut
       FROM nn
     )
-    SELECT n AS n_orders, lo_cut AS lo_cut_cents, hi_cut AS hi_cut_cents,
-           CAST(sum(cnt * CASE WHEN cents < lo_cut THEN lo_cut
-                               WHEN cents > hi_cut THEN hi_cut
-                               ELSE cents END) AS BIGINT) AS win_sum_cents,
-           CAST(sum(cnt * CASE WHEN cents < lo_cut THEN lo_cut
-                               WHEN cents > hi_cut THEN hi_cut
-                               ELSE cents END) // n AS BIGINT)
-             AS win_mean_cents
-    FROM vc, cuts
-    GROUP BY 1, 2, 3
+    SELECT n_orders, lo_cut_cents, hi_cut_cents, win_sum_cents,
+           CAST(win_sum_cents // n_orders AS BIGINT) AS win_mean_cents
+    FROM (
+      SELECT n AS n_orders, lo_cut AS lo_cut_cents, hi_cut AS hi_cut_cents,
+             CAST(sum(cnt * CASE WHEN cents < lo_cut THEN lo_cut
+                                 WHEN cents > hi_cut THEN hi_cut
+                                 ELSE cents END) AS BIGINT) AS win_sum_cents
+      FROM vc, cuts
+      GROUP BY 1, 2, 3
+    )
     """,
 )
 def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,12 +1525,12 @@ def a_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lo_cut").alias("lo_cut_cents"),
             F.col("hi_cut").alias("hi_cut_cents"),
         )
-        .agg(
-            F.sum(clipped).cast("long").alias("win_sum_cents"),
-            F.expr("CAST(sum({c}) div first(n) AS BIGINT)".format(
-                c="cnt * CASE WHEN cents < lo_cut THEN lo_cut"
-                  " WHEN cents > hi_cut THEN hi_cut ELSE cents END"
-            )).alias("win_mean_cents"),
+        .agg(F.sum(clipped).cast("long").alias("win_sum_cents"))
+        # mean derives from the single aggregated sum — one clip
+        # expression, no duplicated logic to drift
+        .withColumn(
+            "win_mean_cents",
+            F.expr("CAST(win_sum_cents div n_orders AS BIGINT)"),
         )
     )
 
@@ -1798,7 +1798,7 @@ def _score_duck(metric: str, c: str) -> str:
     {_quintile_cuts_duck("recency")},
     {_quintile_cuts_duck("frequency")},
     {_quintile_cuts_duck("monetary")}
-    SELECT CAST({_score_duck("recency", "recency_cuts")} AS BIGINT)
+    SELECT CAST(6 - ({_score_duck("recency", "recency_cuts")}) AS BIGINT)
              AS r_score,
            CAST({_score_duck("frequency", "frequency_cuts")} AS BIGINT)
              AS f_score,
@@ -1825,6 +1825,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-row CASE against four BROADCAST scalars. No global sort
     touches per-customer rows at any point; ties share a score, so the
     result is engine-deterministic with no tie-break key needed.
+
+    Score direction follows the standard RFM convention: 5 is BEST on
+    every axis — r_score 5 = most recently active (recency in days
+    scores against the quintile cuts and is then inverted, 6 - q),
+    f_score/m_score 5 = highest frequency/spend — so (5,5,5) reads as
+    'best customers', not stale-but-heavy spenders.
 
     The per-customer rollup is localCheckpointed: three threshold
     passes and the final scoring all read it, and it is |customers|
@@ -1884,10 +1890,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def score(metric: str) -> F.Column:
+    def score(metric: str, invert: bool = False) -> F.Column:
         c = F.lit(1)
         for q in (1, 2, 3, 4):
             c = c + (F.col(metric) > F.col(f"{metric}_t{q}")).cast("int")
+        if invert:  # high-is-bad metric (recency days): 5 = most recent
+            c = F.lit(6) - c
         return c.cast("long")
 
     scored = (
@@ -1895,7 +1903,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cuts("frequency")))
         .crossJoin(F.broadcast(cuts("monetary")))
         .select(
-            score("recency").alias("r_score"),
+            score("recency", invert=True).alias("r_score"),
             score("frequency").alias("f_score"),
             score("monetary").alias("m_score"),
             "monetary",

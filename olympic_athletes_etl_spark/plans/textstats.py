@@ -1416,7 +1416,8 @@ _COLL_TOPN = 20
       SELECT unnest(toks) AS tok FROM t
     ),
     u AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM uni GROUP BY 1
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM uni
+      WHERE tok <> '' GROUP BY 1
     ),
     tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM u),
     b AS (
@@ -1426,7 +1427,8 @@ _COLL_TOPN = 20
     ),
     bg AS (
       SELECT pair[1] AS w1, pair[2] AS w2, CAST(count(*) AS BIGINT) AS n_xy
-      FROM b GROUP BY 1, 2
+      FROM b WHERE pair[1] <> '' AND pair[2] <> ''
+      GROUP BY 1, 2
       HAVING count(*) >= {_COLL_MIN_COUNT}
     )
     SELECT w1, w2, n_xy,
@@ -1461,7 +1463,12 @@ def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom discipline)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", r"\s+").alias("toks"))
-    uni = toks.select(F.explode("toks").alias("tok"))
+    # empty tokens (leading-whitespace split artifacts) are excluded from
+    # unigram totals and bigram pairs — consistent with t_feature_hashing
+    # / t_keyword_extraction; the oracle applies the identical filter.
+    uni = toks.select(F.explode("toks").alias("tok")).filter(
+        F.col("tok") != ""
+    )
     u = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
     tot = u.agg(F.sum("n_tok").cast("long").alias("n_total"))
     bg = (
@@ -1475,6 +1482,7 @@ def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
         .filter(F.col("n_xy") >= _COLL_MIN_COUNT)

@@ -573,8 +573,8 @@ def v_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((10000 * a) // (a + b) AS BIGINT) AS rate0_x10000,
            CAST((10000 * c) // (c + d) AS BIGINT) AS rate1_x10000,
            round(CAST(a + b + c + d AS DOUBLE)
-                 * CAST(a * d - b * c AS DOUBLE)
-                 * CAST(a * d - b * c AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
                  / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
                     * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
                  4) AS chi2
@@ -594,8 +594,12 @@ def v_chi2_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operand order in both engines, so it is bit-stable
     WITHOUT any sum-order caveat (the float-trap rule only bites when
     doubles are AGGREGATED; here doubles appear strictly after all
-    aggregation). (ad-bc) alone would overflow BIGINT squared at fact
-    scale, hence the cast-then-square. Scale: one window for the label
+    aggregation). The determinant is computed IN DOUBLE
+    (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c): the a*d product alone
+    overflows BIGINT once per-cell counts pass ~3e9, where Spark
+    (non-ANSI) would wrap silently while DuckDB errors — promoting the
+    first operand keeps both engines on the same IEEE arithmetic at any
+    scale. Scale: one window for the label
     (customer-partitioned), one map-side-combinable 4-cell aggregate;
     output is a single row."""
     o = load(spark, sf_dir, "orders").select(
@@ -643,8 +647,8 @@ def v_chi2_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr(
                 "CAST(a + b + c + d AS DOUBLE)"
-                " * CAST(a * d - b * c AS DOUBLE)"
-                " * CAST(a * d - b * c AS DOUBLE)"
+                " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+                " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
                 " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
                 "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
             ),
