@@ -271,3 +271,45 @@ def test_image_neardup_pairs_are_hamming_verified(spark, sf_dir):
         assert r["doc_a"] < r["doc_b"]
     # identical synthetic rasters (same pixel phase + dims) must surface
     assert any(r["hamming"] == 0 for r in rows)
+
+
+def test_image_neardup_hot_band_cap_binds_at_sf001():
+    """At sf0.01 the degenerate all-zero bands exceed _HOT_BAND_CAP and
+    are dropped; the query must equal a pure-Python reimplementation of
+    capped-band candidates + hamming verify over the 500-doc corpus.
+    Pins both directions: no pair whose only shared bands are hot, and
+    every pair sharing a cold band with hamming <= 8 present."""
+    from itertools import combinations
+
+    from olympic_athletes_etl_spark.plans.multimodal_q import (
+        _HOT_BAND_CAP,
+        m_image_ahash,
+        m_image_neardup,
+    )
+    from olympic_athletes_etl_spark.session import get_spark
+
+    spark = get_spark()
+    sf001 = "/root/testdata/sf0.01"
+    hashes = {
+        r["doc_id"]: r["ahash"]
+        for r in m_image_ahash(spark, sf001).collect()
+    }
+    bands: dict[tuple[int, int], list[int]] = {}
+    for doc, h in hashes.items():
+        for j in range(4):
+            bands.setdefault((j, (h >> (j * 14)) & 16383), []).append(doc)
+    hot = {k for k, v in bands.items() if len(v) > _HOT_BAND_CAP}
+    assert hot  # non-vacuous: the cap actually binds at this SF
+    expected = set()
+    for k, members in bands.items():
+        if k in hot:
+            continue
+        for a, b in combinations(sorted(members), 2):
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 8:
+                expected.add((a, b, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in m_image_neardup(spark, sf001).collect()
+    }
+    assert got == expected
