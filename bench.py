@@ -50,6 +50,14 @@ def main() -> None:
     from olympic_athletes_etl_spark.session import get_spark
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # Ambient 1-minute load BEFORE Spark spins up: captured at the end it
+    # would include the bench's own local[32] execution (~1-2 even on an
+    # otherwise idle box), conflating self-load with the external
+    # contention it exists to flag (the BENCH_r03 +45% lesson).
+    try:
+        load1_ambient = round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):  # platform without getloadavg
+        load1_ambient = None
     spark = get_spark(app_name="bench")
     qs = queries()
 
@@ -71,14 +79,12 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    # 1-minute load average at measurement time: a contended machine
-    # inflates every query uniformly (BENCH_r03 read +45% mid-build vs
-    # 7.2 s idle on identical code) — recording load makes that
-    # distinguishable from a real regression in the artifact itself.
+    # end-of-run load for continuity with BENCH_r01-r04 trend lines
+    # (those recorded this number; it includes the bench's own load)
     try:
-        load1 = round(os.getloadavg()[0], 2)
-    except (OSError, AttributeError):  # platform without getloadavg
-        load1 = None
+        load1_end = round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):
+        load1_end = None
     print(
         json.dumps(
             {
@@ -87,7 +93,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "load1": load1,
+                "load1": load1_ambient,
+                "load1_end": load1_end,
             }
         )
     )
