@@ -301,3 +301,73 @@ def test_bfs_fixpoint_traverses_past_constant_rounds(spark):
     seed = spark.createDataFrame([(0,)], "node long")
     out = {r["node"]: r["depth"] for r in bfs_depths(edges, seed).collect()}
     assert out == {i: i for i in range(8)}
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-checks vs pure-Python references (seeded, deterministic)
+# ---------------------------------------------------------------------------
+def _random_edges(seed, n_nodes=24, n_edges=40):
+    import random
+    from itertools import combinations
+
+    rng = random.Random(seed)
+    return rng.sample(list(combinations(range(n_nodes), 2)), n_edges)
+
+
+def _ref_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        drop = {v for v in nodes if len(adj[v] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    return {v: len(adj[v] & nodes) for v in nodes}
+
+
+def _ref_bfs(edges, source):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    depth = {source: 0}
+    frontier = [source]
+    d = 0
+    while frontier:
+        d += 1
+        frontier = [
+            t for s in frontier for t in adj.get(s, ()) if t not in depth
+        ]
+        frontier = list(dict.fromkeys(frontier))
+        for t in frontier:
+            depth[t] = d
+    return depth
+
+
+def test_kcore_fixpoint_matches_reference_on_random_graphs(spark):
+    from olympic_athletes_etl_spark.operators.graph import kcore
+
+    for seed, k in [(7, 2), (11, 3)]:
+        edges = _random_edges(seed)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["core_deg"] for r in kcore(df, k=k).collect()}
+        assert got == _ref_kcore(edges, k), f"seed={seed} k={k}"
+
+
+def test_bfs_fixpoint_matches_reference_on_random_graphs(spark):
+    from olympic_athletes_etl_spark.operators.graph import bfs_depths
+
+    for seed in (7, 11):
+        # sparser than the kcore graphs so some nodes are unreachable —
+        # exercises the "visited only covers the component" contract
+        edges = _random_edges(seed, n_nodes=30, n_edges=25)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seed_df = spark.createDataFrame([(0,)], "node long")
+        got = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(df, seed_df).collect()
+        }
+        assert got == _ref_bfs(edges, 0), f"seed={seed}"
