@@ -1306,12 +1306,12 @@ def j_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS total,
-             CAST(sum(rnk * cents) AS BIGINT) AS weighted
+             sum(CAST(rnk AS HUGEINT) * cents) AS weighted
       FROM ranked
     )
     SELECT n AS n_customers, total AS total_cents,
-           CAST((10000 * (2 * weighted - (n + 1) * total))
-                // (n * total) AS BIGINT) AS gini_x10000
+           CAST((10000 * (2 * weighted - (CAST(n AS HUGEINT) + 1) * total))
+                // (CAST(n AS HUGEINT) * total) AS BIGINT) AS gini_x10000
     FROM agg
     """,
 )
@@ -1330,10 +1330,17 @@ def a_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's invariant), per-bucket row_number, plus each bucket's
     carried-in offset — every WindowExec input is one bucket. The
     oracle uses the plain global window (DuckDB is single-node; the
-    identity, not the plan, is what's being checked). Overflow bound:
-    sum(rank*x) <= n * total must stay under 2^63 — holds to ~1e9
-    customers at ~$10k lifetime spend; beyond that, compute G on the
-    decile grid (the e_user_pareto move)."""
+    identity, not the plan, is what's being checked).
+
+    Overflow: the rank-weighted sum and the final x10000 ratio run in
+    exact WIDE integers — DECIMAL(38,0) on the Spark side, HUGEINT in
+    the oracle; both are exact integer arithmetic and floor division of
+    non-negative operands, so they agree bit-for-bit while headroom
+    extends past 1e34. (A BIGINT formulation overflowed at sf0.1
+    already: 10000 * 2*sum(rank*cents) ~ 4.5e20 > 2^63 — caught by the
+    round-5 sf0.1 parity sweep, which is why the gate runs one scale
+    above the driver's.) The only remaining 2^63 bound is sum(cents)
+    itself — $92 trillion in cents, comfortably global-scale."""
     from olympic_athletes_etl_spark.operators.windows import (
         partitioned_running_sum,
     )
@@ -1357,14 +1364,15 @@ def a_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total"),
-        F.sum(F.expr("rnk * cents")).alias("weighted"),
+        F.sum(F.expr("CAST(rnk AS DECIMAL(38,0)) * cents")).alias("weighted"),
     )
     return agg.select(
         F.col("n").alias("n_customers"),
         F.col("total").alias("total_cents"),
         F.expr(
-            "CAST((10000 * (2 * weighted - (n + 1) * total))"
-            " div (n * total) AS BIGINT)"
+            "CAST((10000 * (2 * weighted"
+            " - (CAST(n AS DECIMAL(38,0)) + 1) * total))"
+            " div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"
         ).alias("gini_x10000"),
     )
 
