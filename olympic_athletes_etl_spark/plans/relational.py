@@ -2307,10 +2307,11 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT region, nation, cents,
-           CAST((10000 * cents)
+           CAST((10000 * CAST(cents AS HUGEINT))
                 // sum(cents) OVER (PARTITION BY region) AS BIGINT)
              AS share_of_region_x10000,
-           CAST((10000 * sum(cents) OVER (PARTITION BY region))
+           CAST((10000 * CAST(sum(cents) OVER (PARTITION BY region)
+                              AS HUGEINT))
                 // sum(cents) OVER () AS BIGINT)
              AS region_share_x10000
     FROM rev
@@ -2359,7 +2360,10 @@ def q_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "nation",
         "cents",
-        F.expr("10000 * cents").cast("long").alias("_num"),
+        # x10000 numerators in DECIMAL(38,0) (HUGEINT in the oracle):
+        # 10000 * a regional cents sum passes 2^63 at ~$9.2T/region —
+        # real at the 100 TB contract even though BIGINT survives sf0.1
+        F.expr("10000 * CAST(cents AS DECIMAL(38,0))").alias("_num"),
         F.sum("cents").over(w_region).alias("_reg"),
         F.sum("cents").over(w_all).alias("_tot"),
     ).select(
@@ -2369,9 +2373,9 @@ def q_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(_num div _reg AS BIGINT)").alias(
             "share_of_region_x10000"
         ),
-        F.expr("CAST((10000 * _reg) div _tot AS BIGINT)").alias(
-            "region_share_x10000"
-        ),
+        F.expr(
+            "CAST((10000 * CAST(_reg AS DECIMAL(38,0))) div _tot AS BIGINT)"
+        ).alias("region_share_x10000"),
     )
 
 

@@ -442,8 +442,9 @@ v_auc_score.__doc__ = v_auc_score.__doc__.format(h=_AUC_HORIZON_DAYS)
            CAST(sum(cnt) AS BIGINT) AS n_rows,
            CAST(sum(n1) AS BIGINT) AS n_pos,
            CAST((10000 * sum(n1)) // sum(cnt) AS BIGINT) AS rate_x10000,
-           CAST((10000 * sum(n1) * (SELECT n FROM n))
-                // (sum(cnt) * (SELECT npos FROM n)) AS BIGINT)
+           CAST((10000 * CAST(sum(n1) AS HUGEINT) * (SELECT n FROM n))
+                // (CAST(sum(cnt) AS HUGEINT) * (SELECT npos FROM n))
+                AS BIGINT)
              AS lift_x10000
     FROM vc, cuts
     GROUP BY 1
@@ -529,9 +530,15 @@ def v_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((10000 * sum(n1)) div sum(cnt) AS BIGINT)").alias(
                 "rate_x10000"
             ),
+            # lift multiplies two fact-scale counts before dividing, so
+            # it runs in exact wide integers (DECIMAL(38,0) here,
+            # HUGEINT in the oracle) — the BIGINT form overflows at
+            # ~3e7 rows (10000 * npos * n > 2^63), the a_gini_spend
+            # sf0.1 lesson applied one query over
             F.expr(
-                "CAST((10000 * sum(n1) * first(n))"
-                " div (sum(cnt) * first(npos)) AS BIGINT)"
+                "CAST((10000 * CAST(sum(n1) AS DECIMAL(38,0)) * first(n))"
+                " div (CAST(sum(cnt) AS DECIMAL(38,0)) * first(npos))"
+                " AS BIGINT)"
             ).alias("lift_x10000"),
         )
     )
