@@ -1194,7 +1194,12 @@ def t_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (token counting is size(split) per row, no explode), plus a
     source-cardinality-row broadcast for the totals. Integer epoch
     arithmetic end-to-end — no float mixture share ever materializes,
-    so the schedule is bit-reproducible."""
+    so the schedule is bit-reproducible. Overflow bound:
+    1000 * weight * total_tokens stays under 2^63 while
+    weight * total_tokens < 9.2e15 — a ~100 TB text corpus is ~2e13
+    tokens, so small integer weights have ~20x headroom; for larger
+    corpora or big weight vectors, widen the product to DECIMAL(38,0)/
+    HUGEINT (the a_gini_spend / v_decile_lift move)."""
     docs = load(spark, sf_dir, "documents")
     pert = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
