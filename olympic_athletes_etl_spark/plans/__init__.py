@@ -34,8 +34,10 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      set includes every plan CHANGED this round (m_image_neardup
 #      hot-band cap, q_rfm_segments recency inversion, v_chi2_experiment
 #      double determinant, t_collocations empty-token filter,
-#      a_winsorized_stats refactor), so each change lands with a fresh
-#      driver row under its updated oracle;
+#      a_winsorized_stats refactor, and the decimal/int128 overflow
+#      widenings in a_gini_spend / v_decile_lift / q_share_hierarchy
+#      that the sf0.1 sweep motivated), so each change lands with a
+#      fresh driver row under its updated oracle;
 #   2. 4 slots for the r2-stale dedup/similarity core (d_minhash_lsh,
 #      d_simhash, s_ann_lsh, s_ann_ivf — last driver rows r2/r3).
 # Prefix math (driver audits 50): 46 + 4 = exactly 50. New-query growth
