@@ -371,3 +371,22 @@ def test_bfs_fixpoint_matches_reference_on_random_graphs(spark):
             for r in bfs_depths(df, seed_df).collect()
         }
         assert got == _ref_bfs(edges, 0), f"seed={seed}"
+
+
+def test_kcore_empty_and_fully_peeled_inputs(spark):
+    from olympic_athletes_etl_spark.operators.graph import kcore
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert kcore(empty, k=2).count() == 0
+    # k above max degree: everything peels in one round
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    assert kcore(tri, k=3).count() == 0
+
+
+def test_bfs_isolated_seed_gets_depth_zero(spark):
+    from olympic_athletes_etl_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seed = spark.createDataFrame([(99,)], "node long")  # not in the graph
+    out = {(r["node"], r["depth"]) for r in bfs_depths(edges, seed).collect()}
+    assert out == {(99, 0)}
