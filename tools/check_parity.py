@@ -6,6 +6,14 @@ order-insensitive value multiset (columns sorted by name — the driver's
 documented compare). Exits non-zero listing mismatches.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+
+Two sweeps beyond the driver's gate are worth repeating each round
+(both caught/confirmed real properties in round 5):
+  - scale-up:      python tools/check_parity.py /root/testdata/sf0.1
+    (found a_gini_spend's BIGINT overflow that sf0.01 could not)
+  - layout-perturb: SPARK_GRAFT_CPUS=13 python tools/check_parity.py
+    (13 shuffle partitions — proves partition-layout invariance of
+    every registered result)
 """
 
 from __future__ import annotations
