@@ -14,6 +14,21 @@ time is reported — single-run numbers at these sub-second scales swing
 ±15% on JIT/GC/page-cache noise (BENCH_r01 vs r02 showed a uniform +12%
 on untouched code), and the median filters that without hiding real
 regressions.
+
+Beyond the gated headline set, an EXTENDED section times the heavyweight
+LLM-pipeline composites (near-dup pipeline, corpus-wide kNN graph,
+triangle counting, corpus prep) so scale regressions in those families
+are visible round-over-round; it is reported under separate keys
+("extended", "extended_total") and does NOT feed "value", so the
+driver's perf gate is unaffected. Skip it with
+SPARK_GRAFT_BENCH_EXTENDED=0.
+
+Load-average keys: "load1" is the END-OF-RUN 1-minute load (the quantity
+BENCH_r01–r04 recorded under this key — it includes the bench's own
+local[32] execution) and "load1_ambient" is the pre-Spark ambient load
+(the external-contention flag the BENCH_r03 +45% lesson motivated).
+BENCH_r05 briefly reported ambient under "load1"; r6+ restores the
+original meaning and gives ambient its own key.
 """
 
 from __future__ import annotations
@@ -43,6 +58,23 @@ BENCH_QUERIES = [
     "t_quality_score",
 ]
 
+# Non-gated heavyweights — the LLM-pipeline composites whose scale shape
+# matters most at 100 TB. Timed after the headline set (their page-cache
+# warmth then matches round-over-round), reported separately.
+EXTENDED_QUERIES = [
+    "d_neardup_pipeline",
+    "s_knn_graph",
+    "g_triangle_count",
+    "t_corpus_prep",
+]
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):  # platform without getloadavg
+        return None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,14 +82,12 @@ def main() -> None:
     from olympic_athletes_etl_spark.session import get_spark
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    extended_on = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "1") != "0"
     # Ambient 1-minute load BEFORE Spark spins up: captured at the end it
     # would include the bench's own local[32] execution (~1-2 even on an
     # otherwise idle box), conflating self-load with the external
     # contention it exists to flag (the BENCH_r03 +45% lesson).
-    try:
-        load1_ambient = round(os.getloadavg()[0], 2)
-    except (OSError, AttributeError):  # platform without getloadavg
-        load1_ambient = None
+    load1_ambient = _load1()
     spark = get_spark(app_name="bench")
     qs = queries()
 
@@ -67,37 +97,38 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def median_timings(names: list[str]) -> dict[str, float]:
+        # Round-robin over the query list (not back-to-back repeats of
+        # one query) so iteration i of every query sees comparable
+        # JVM/GC state.
+        samples: dict[str, list[float]] = {name: [] for name in names}
+        for _ in range(iters):
+            for name in names:
+                samples[name].append(run(name))
+        return {
+            name: round(statistics.median(ts), 3)
+            for name, ts in samples.items()
+        }
+
     run("flagship_region_top_customers")  # warmup (JVM + codegen + page cache)
 
-    # Round-robin over the query list (not back-to-back repeats of one
-    # query) so iteration i of every query sees comparable JVM/GC state.
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    for _ in range(iters):
-        for name in BENCH_QUERIES:
-            samples[name].append(run(name))
-    timings = {
-        name: round(statistics.median(ts), 3) for name, ts in samples.items()
-    }
+    timings = median_timings(BENCH_QUERIES)
+    extended = median_timings(EXTENDED_QUERIES) if extended_on else {}
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    # end-of-run load for continuity with BENCH_r01-r04 trend lines
-    # (those recorded this number; it includes the bench's own load)
-    try:
-        load1_end = round(os.getloadavg()[0], 2)
-    except (OSError, AttributeError):
-        load1_end = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "load1": load1_ambient,
-                "load1_end": load1_end,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # end-of-run load, same meaning as BENCH_r01-r04's "load1"
+        "load1": _load1(),
+        "load1_ambient": load1_ambient,
+    }
+    if extended:
+        out["extended"] = extended
+        out["extended_total"] = round(sum(extended.values()), 3)
+    print(json.dumps(out))
     spark.stop()
 
 

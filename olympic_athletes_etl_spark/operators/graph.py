@@ -297,7 +297,12 @@ def kcore(
             .localCheckpoint(eager=True)
         )
         n_next = e.count()
-        if n_next == n_edges:
+        # n_next == 0 is a fixpoint by definition — break NOW rather
+        # than on the next pass's n_edges == 0 check, so a peel that
+        # empties the graph on exactly the last allowed iteration
+        # returns instead of spuriously raising at the for-else.
+        if n_next in (0, n_edges):
+            n_edges = n_next
             break
         n_edges = n_next
     else:

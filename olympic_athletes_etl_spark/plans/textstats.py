@@ -1174,8 +1174,9 @@ def t_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pert
     )
     SELECT source, n_docs, n_tokens, weight,
-           (1000 * weight * total_tokens)
-             // (total_weight * n_tokens) AS epochs_milli
+           CAST((1000 * CAST(weight AS HUGEINT) * total_tokens)
+                // (CAST(total_weight AS HUGEINT) * n_tokens)
+                AS BIGINT) AS epochs_milli
     FROM pert, tot
     """,
 )
@@ -1194,12 +1195,11 @@ def t_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (token counting is size(split) per row, no explode), plus a
     source-cardinality-row broadcast for the totals. Integer epoch
     arithmetic end-to-end — no float mixture share ever materializes,
-    so the schedule is bit-reproducible. Overflow bound:
-    1000 * weight * total_tokens stays under 2^63 while
-    weight * total_tokens < 9.2e15 — a ~100 TB text corpus is ~2e13
-    tokens, so small integer weights have ~20x headroom; for larger
-    corpora or big weight vectors, widen the product to DECIMAL(38,0)/
-    HUGEINT (the a_gini_spend / v_decile_lift move)."""
+    so the schedule is bit-reproducible. The
+    1000 * weight * total_tokens product is computed in exact wide
+    integers (DECIMAL(38,0) Spark-side, HUGEINT oracle-side — the
+    a_gini_spend / v_decile_lift widening), so the schedule has no
+    overflow bound below 10^34 weighted tokens — beyond any corpus."""
     docs = load(spark, sf_dir, "documents")
     pert = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1228,8 +1228,9 @@ def t_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "weight",
         F.expr(
-            "(1000 * weight * total_tokens)"
-            " div (total_weight * n_tokens)"
+            "CAST((1000 * CAST(weight AS DECIMAL(38,0)) * total_tokens)"
+            " div (CAST(total_weight AS DECIMAL(38,0)) * n_tokens)"
+            " AS BIGINT)"
         ).alias("epochs_milli"),
     )
 
@@ -1243,10 +1244,17 @@ _BM25_TOPN = 15
 #   tf_sat = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/L))
 #          = 20000*tf*L / (8*L*tf + 3*L + 9*dl*N)   (x1000, multiply by 8L)
 # idf     = floor(log2(N/df)) + 1 == length(bin(N div df)), clamped >= 1
-_BM25_SCORE = (
-    "((20000 * tf * L) div (8 * L * tf + 3 * L + 9 * dl * N))"
+# The rational's products (20000*tf*L, 9*dl*N) are computed in exact
+# wide integers — {W} is DECIMAL(38,0) Spark-side, HUGEINT in DuckDB
+# (the a_gini_spend widening) — so the score has no BIGINT bound; the
+# quotient itself is <= 2500 and both engines' integer division agree
+# on non-negative operands (Spark's decimal `div` returns BIGINT).
+_BM25_SCORE_T = (
+    "((20000 * CAST(tf AS {W}) * L)"
+    " div (8 * CAST(L AS {W}) * tf + 3 * L + 9 * CAST(dl AS {W}) * N))"
     " * length(bin(greatest(N div df, 1)))"
 )
+_BM25_SCORE = _BM25_SCORE_T.format(W="DECIMAL(38,0)")
 
 
 # The WITH-body and the scored aggregate are shared with the hybrid
@@ -1275,7 +1283,7 @@ _BM25_CTES_DUCK = f"""toks AS (
     ),
     bm_scored AS (
       SELECT tf.doc_id,
-             CAST(sum({_BM25_SCORE.replace(" div ", " // ")}) AS BIGINT)
+             CAST(sum({_BM25_SCORE_T.format(W="HUGEINT").replace(" div ", " // ")}) AS BIGINT)
                AS score_x1000
       FROM tf
       JOIN docfreq df USING (token)
@@ -1331,11 +1339,12 @@ def t_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the length normalization folded in (multiply through by 8L:
     20000*tf*L / (8L*tf + 3L + 9*dl*N), exact x1000 floor division),
     and the IDF is the floor-log2 trick from the HLL sketch —
-    length(bin(N div df)) — so the whole score is BIGINT arithmetic
-    both engines compute bit-identically; no float sums, no round()
-    boundary flips. Overflow needs 20000*tf*L < 2^63: holds to corpora
-    of ~10^13 tokens at tf <= 10^4 — shrink the x1000 scale first at
-    web scale.
+    length(bin(N div df)) — so the whole score is exact integer
+    arithmetic both engines compute bit-identically; no float sums, no
+    round() boundary flips. The rational's products are widened to
+    DECIMAL(38,0)/HUGEINT (see _BM25_SCORE_T), so 20000*tf*L is exact
+    to 10^38 — no corpus-size overflow bound; the per-term quotient
+    itself is bounded by 2500 and sums safely in BIGINT.
 
     Plan shape: the query-term IN filter lands directly on the exploded
     token stream (the posting-list sliver — rows past the filter are
@@ -1437,7 +1446,8 @@ _COLL_TOPN = 20
       HAVING count(*) >= {_COLL_MIN_COUNT}
     )
     SELECT w1, w2, n_xy,
-           CAST((10000 * n_xy * n_total) // (u1.n_tok * u2.n_tok) AS BIGINT)
+           CAST((10000 * CAST(n_xy AS HUGEINT) * n_total)
+                // (CAST(u1.n_tok AS HUGEINT) * u2.n_tok) AS BIGINT)
              AS lift_x10000
     FROM bg
     JOIN u u1 ON u1.tok = bg.w1
@@ -1461,11 +1471,11 @@ def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two unigram joins hit the SURVIVING bigram set only (post
     count-floor), each a vocabulary-sized equi-join Spark can
     broadcast under AQE; the corpus total is a 1-row broadcast; top-{n}
-    is TakeOrderedAndProject on a total order. Overflow bound:
-    10000·n_xy·N <= 10000·N² — holds to N ~ 1e7 tokens in BIGINT...
-    which is NOT 100-TB-safe, so past that the score descales to
-    per-million counts first (documented, the v_histogram_drift
-    headroom discipline)."""
+    is TakeOrderedAndProject on a total order. The 10000·n_xy·N lift
+    numerator is computed in exact wide integers (DECIMAL(38,0)
+    Spark-side, HUGEINT oracle-side — the a_gini_spend widening), so
+    the score is exact to 10^38 >> 10000·N² at any corpus size; no
+    descale step remains."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", r"\s+").alias("toks"))
     # empty tokens (leading-whitespace split artifacts) are excluded from
@@ -1503,7 +1513,8 @@ def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "n_xy",
             F.expr(
-                "CAST((10000 * n_xy * n_total) div (n1 * n2) AS BIGINT)"
+                "CAST((10000 * CAST(n_xy AS DECIMAL(38,0)) * n_total)"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
             ).alias("lift_x10000"),
         )
         .orderBy(F.desc("lift_x10000"), "w1", "w2")

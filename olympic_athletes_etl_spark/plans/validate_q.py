@@ -580,8 +580,10 @@ def v_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((10000 * a) // (a + b) AS BIGINT) AS rate0_x10000,
            CAST((10000 * c) // (c + d) AS BIGINT) AS rate1_x10000,
            round(CAST(a + b + c + d AS DOUBLE)
-                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
-                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 * CAST(CAST(a AS HUGEINT) * d
+                        - CAST(b AS HUGEINT) * c AS DOUBLE)
+                 * CAST(CAST(a AS HUGEINT) * d
+                        - CAST(b AS HUGEINT) * c AS DOUBLE)
                  / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
                     * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
                  4) AS chi2
@@ -601,12 +603,14 @@ def v_chi2_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical operand order in both engines, so it is bit-stable
     WITHOUT any sum-order caveat (the float-trap rule only bites when
     doubles are AGGREGATED; here doubles appear strictly after all
-    aggregation). The determinant is computed IN DOUBLE
-    (CAST(a AS DOUBLE)*d - CAST(b AS DOUBLE)*c): the a*d product alone
-    overflows BIGINT once per-cell counts pass ~3e9, where Spark
-    (non-ANSI) would wrap silently while DuckDB errors — promoting the
-    first operand keeps both engines on the same IEEE arithmetic at any
-    scale. Scale: one window for the label
+    aggregation). The determinant ad-bc is computed in EXACT wide
+    integers (DECIMAL(38,0) Spark-side, HUGEINT oracle-side — the
+    a_gini_spend/v_decile_lift widening) and cast to double ONCE: a
+    double-side determinant loses exactness above 2^53 precisely where
+    chi2 is near 0 (ad ~ bc, catastrophic cancellation), and BIGINT
+    overflows at per-cell counts ~3e9; the wide-integer subtraction is
+    exact to 38 digits, far beyond any 100 TB cell count. Scale: one
+    window for the label
     (customer-partitioned), one map-side-combinable 4-cell aggregate;
     output is a single row."""
     o = load(spark, sf_dir, "orders").select(
@@ -654,8 +658,10 @@ def v_chi2_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr(
                 "CAST(a + b + c + d AS DOUBLE)"
-                " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
-                " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+                " * CAST(CAST(a AS DECIMAL(38,0)) * d"
+                "        - CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)"
+                " * CAST(CAST(a AS DECIMAL(38,0)) * d"
+                "        - CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)"
                 " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
                 "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
             ),

@@ -33,3 +33,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf001_dir(sf_dir) -> str:
+    """sf0.01 sibling of the test SF dir — for the few tests whose
+    invariant only binds at the larger scale (e.g. hot-band caps)."""
+    return os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")

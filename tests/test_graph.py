@@ -373,6 +373,31 @@ def test_bfs_fixpoint_matches_reference_on_random_graphs(spark):
         assert got == _ref_bfs(edges, 0), f"seed={seed}"
 
 
+def test_kcore_converging_on_last_allowed_iteration_returns(spark):
+    """Peel that finishes on EXACTLY the max_iter-th round must return,
+    not raise: convergence used to be observed only at the top of the
+    NEXT pass, so a graph emptying on the final allowed iteration hit
+    the for-else backstop despite being fully (and correctly) peeled."""
+    from olympic_athletes_etl_spark.operators.graph import kcore
+
+    # 6-node path with k=2: peels one node from each end per round,
+    # emptying on round 3 exactly.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    assert kcore(edges, k=2, max_iter=3).count() == 0
+    # triangle+tail converges (non-empty fixpoint) on round 2 exactly:
+    # round 1 drops the pendant edge, round 2 removes nothing.
+    tri_tail = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["core_deg"]
+        for r in kcore(tri_tail, k=2, max_iter=2).collect()
+    }
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
 def test_kcore_empty_and_fully_peeled_inputs(spark):
     from olympic_athletes_etl_spark.operators.graph import kcore
 

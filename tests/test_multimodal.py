@@ -273,7 +273,7 @@ def test_image_neardup_pairs_are_hamming_verified(spark, sf_dir):
     assert any(r["hamming"] == 0 for r in rows)
 
 
-def test_image_neardup_hot_band_cap_binds_at_sf001():
+def test_image_neardup_hot_band_cap_binds_at_sf001(spark, sf001_dir):
     """At sf0.01 the degenerate all-zero bands exceed _HOT_BAND_CAP and
     are dropped; the query must equal a pure-Python reimplementation of
     capped-band candidates + hamming verify over the 500-doc corpus.
@@ -286,10 +286,8 @@ def test_image_neardup_hot_band_cap_binds_at_sf001():
         m_image_ahash,
         m_image_neardup,
     )
-    from olympic_athletes_etl_spark.session import get_spark
 
-    spark = get_spark()
-    sf001 = "/root/testdata/sf0.01"
+    sf001 = sf001_dir
     hashes = {
         r["doc_id"]: r["ahash"]
         for r in m_image_ahash(spark, sf001).collect()
