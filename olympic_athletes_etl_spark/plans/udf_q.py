@@ -3,10 +3,16 @@
 NOC canonicalization (reference: pandas_based/src/data_clean.py:172-256
 ``noc_parsing``; Glue twin data_clean_glue.py:200-284) is inherently
 procedural — ordered legacy-name substring rewrites, then a
-longest-match-first scan that REMOVES each match before rescanning. Per
-SURVEY §7 it is registered WITHOUT a SQL oracle (rows-only check): the
-value-level semantics are pinned by tests/test_etl_impute.py against
-hand-computed expectations instead.
+longest-match-first scan that REMOVES each match before rescanning.
+Through round 5 it was registered WITHOUT a SQL oracle (rows-only
+check); round 6 promotes it to the full hash gate: on a name list where
+no country name contains another as a word-boundary substring (true of
+the nation table's 25 names — pinned by
+tests/test_etl_impute.py::test_udf_and_df_twin_agree), the UDF's
+remove-and-rescan is value-equivalent to the DF twin's
+containment-filter, so both queries share one declarative DuckDB
+oracle. Value-level semantics remain additionally pinned by
+tests/test_etl_impute.py against hand-computed expectations.
 
 The "country list" here is the nation table's 25 names; the input
 strings are deterministic multi-country compounds built from nation ×
@@ -28,45 +34,6 @@ from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 
 
-@query("u_noc_canonicalize", oracle=None)
-def u_noc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalize synthetic NOC strings: ``"<A> and <B>"`` /
-    ``"<A>/<B>"`` / ``"<A>, <B> team"`` per row, where A is the nation's
-    name and B the nation 7·key+3 (mod 25) away. The UDF returns the
-    sorted comma-joined set of recognized names. The 25-name list rides
-    the UDF closure (auto-broadcast — reference explicitly broadcasts,
-    data_clean_glue.py:279-280)."""
-    nation = load(spark, sf_dir, "nation")
-    names = [r[0] for r in nation.select("n_name").collect()]  # 25-row dim
-    other = nation.select(
-        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("other_name")
-    )
-    pairs = (
-        nation.withColumn("k2", (F.col("n_nationkey") * 7 + 3) % 25)
-        .join(F.broadcast(other), on="k2")
-        .select("n_nationkey", "n_name", "other_name")
-    )
-    compound = (
-        F.when(
-            F.col("n_nationkey") % 3 == 0,
-            F.concat(F.col("n_name"), F.lit(" and "), F.col("other_name")),
-        )
-        .when(
-            F.col("n_nationkey") % 3 == 1,
-            F.concat(F.col("n_name"), F.lit("/"), F.col("other_name")),
-        )
-        .otherwise(F.concat(F.col("n_name"), F.lit(", "), F.col("other_name"), F.lit(" team")))
-    )
-    udf = canonicalize_noc_udf(names)
-    return (
-        pairs.withColumn("noc_raw", compound)
-        .select("n_nationkey", udf(F.col("noc_raw")).alias("noc_canon"))
-    )
-
-
-# --------------------------------------------------------------------------
-# U1b — the pure-DataFrame NOC twin, oracle-gated (round-4 verdict item 5)
-# --------------------------------------------------------------------------
 def _legacy_chain_sql(expr: str) -> str:
     """Nest DuckDB ``replace()`` calls mirroring the ordered legacy-name
     rewrite exactly as the DF twin's chained ``regexp_replace`` (both
@@ -126,6 +93,53 @@ _NOC_DF_ORACLE = f"""
 """
 
 
+@query("u_noc_canonicalize", oracle=_NOC_DF_ORACLE)
+def u_noc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize synthetic NOC strings: ``"<A> and <B>"`` /
+    ``"<A>/<B>"`` / ``"<A>, <B> team"`` per row, where A is the nation's
+    name and B the nation 7·key+3 (mod 25) away. The UDF returns the
+    sorted comma-joined set of recognized names. The 25-name list rides
+    the UDF closure (auto-broadcast — reference explicitly broadcasts,
+    data_clean_glue.py:279-280).
+
+    Hash-gated since round 6 against the SAME declarative oracle as
+    ``u_noc_df``: the UDF's remove-before-rescan and the oracle's
+    longest-match containment filter agree whenever no valid name
+    word-boundary-contains another (true of this 25-name list; the
+    general equivalence-on-overlap-free-lists property is pinned by the
+    UDF-vs-twin test in test_etl_impute). A future name list with
+    nested names would need the rows-only registration back."""
+    nation = load(spark, sf_dir, "nation")
+    names = [r[0] for r in nation.select("n_name").collect()]  # 25-row dim
+    other = nation.select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("other_name")
+    )
+    pairs = (
+        nation.withColumn("k2", (F.col("n_nationkey") * 7 + 3) % 25)
+        .join(F.broadcast(other), on="k2")
+        .select("n_nationkey", "n_name", "other_name")
+    )
+    compound = (
+        F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.concat(F.col("n_name"), F.lit(" and "), F.col("other_name")),
+        )
+        .when(
+            F.col("n_nationkey") % 3 == 1,
+            F.concat(F.col("n_name"), F.lit("/"), F.col("other_name")),
+        )
+        .otherwise(F.concat(F.col("n_name"), F.lit(", "), F.col("other_name"), F.lit(" team")))
+    )
+    udf = canonicalize_noc_udf(names)
+    return (
+        pairs.withColumn("noc_raw", compound)
+        .select("n_nationkey", udf(F.col("noc_raw")).alias("noc_canon"))
+    )
+
+
+# --------------------------------------------------------------------------
+# U1b — the pure-DataFrame NOC twin, oracle-gated (round-4 verdict item 5)
+# --------------------------------------------------------------------------
 @query("u_noc_df", oracle=_NOC_DF_ORACLE)
 def u_noc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB NOC path on the correctness surface: the same

@@ -33,7 +33,11 @@ def test_cli_run_unknown_query_suggests(spark, capsys):
 def test_cli_oracle_prints_sql_and_flags_rows_only(spark, capsys):
     assert main(["oracle", "q1_pricing_summary"]) == 0
     assert "l_returnflag" in capsys.readouterr().out
-    assert main(["oracle", "u_noc_canonicalize"]) == 2
+    # u_noc_canonicalize gained a hash oracle in round 6 — the registry
+    # is 231/231 gated, so the rows-only exit path only fires for
+    # genuinely unregistered oracles now.
+    assert main(["oracle", "u_noc_canonicalize"]) == 0
+    assert "noc_canon" in capsys.readouterr().out
 
 
 def test_cli_run_out_writes_parquet(spark, sf_dir, tmp_path):

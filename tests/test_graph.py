@@ -415,3 +415,95 @@ def test_bfs_isolated_seed_gets_depth_zero(spark):
     seed = spark.createDataFrame([(99,)], "node long")  # not in the graph
     out = {(r["node"], r["depth"]) for r in bfs_depths(edges, seed).collect()}
     assert out == {(99, 0)}
+
+
+def test_pagerank_converged_matches_fixed_point_round_for_round(spark):
+    """The convergence wrapper must add a stopping rule, never different
+    arithmetic: pagerank_fixed_point run for exactly the rounds
+    pagerank_converged reports must reproduce its ranks bit-for-bit."""
+    from olympic_athletes_etl_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_fixed_point,
+    )
+
+    # star + tail, symmetrized: hub/leaf asymmetry keeps deltas moving
+    # for several rounds before the contraction settles.
+    base = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)]
+    sym = base + [(b, a) for a, b in base]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    # 1e-2 mean drift (~28 rounds at d=0.85) keeps the test quick while
+    # still exercising a multi-round convergence path.
+    eps = 8 * 10_000_000
+    ranks, rounds = pagerank_converged(edges, eps_units=eps, max_iter=100)
+    assert rounds >= 2  # non-trivial: converged after more than one round
+    got = {(r["node"], r["rank"]) for r in ranks.collect()}
+    want = {
+        (r["node"], r["rank"])
+        for r in pagerank_fixed_point(edges, n_iter=rounds).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_converged_on_gated_query_graph(spark, sf_dir):
+    """On the same co-purchase edge graph the gated g_pagerank uses
+    (symmetrized, same scale/damping), the fixpoint form converges and
+    round-for-round matches the gated query's library
+    (pagerank_fixed_point) — linking the convergence form to the
+    oracle-pinned arithmetic at test SF."""
+    from olympic_athletes_etl_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_fixed_point,
+    )
+    from olympic_athletes_etl_spark.plans.graph_q import _edges
+
+    edges = _edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    n_nodes = sym.select("src").distinct().count()
+    ranks, rounds = pagerank_converged(
+        sym, eps_units=n_nodes * 10_000_000, max_iter=100
+    )
+    got = {(r["node"], r["rank"]) for r in ranks.collect()}
+    want = {
+        (r["node"], r["rank"])
+        for r in pagerank_fixed_point(sym, n_iter=rounds).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_converged_delta_at_stop_is_small(spark):
+    """At the reported stopping round the L1 movement of one FURTHER
+    fixed-point round is <= the default epsilon (one unit per node) —
+    the stopping rule measured what it claims to measure."""
+    from olympic_athletes_etl_spark.operators.graph import (
+        pagerank_converged,
+        pagerank_fixed_point,
+    )
+
+    base = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4)]
+    sym = base + [(b, a) for a, b in base]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    eps = 8 * 10_000_000
+    ranks, rounds = pagerank_converged(edges, eps_units=eps, max_iter=100)
+    at_stop = {r["node"]: r["rank"] for r in ranks.collect()}
+    prev = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, n_iter=rounds - 1).collect()
+    } if rounds > 1 else {n: 1_000_000_000 for n in at_stop}
+    delta = sum(abs(at_stop[n] - prev[n]) for n in at_stop)
+    assert delta <= eps
+
+
+def test_pagerank_converged_raises_on_max_iter(spark):
+    from olympic_athletes_etl_spark.operators.graph import pagerank_converged
+
+    base = [(0, i) for i in range(1, 6)]
+    sym = base + [(b, a) for a, b in base]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="pagerank_converged"):
+        pagerank_converged(edges, max_iter=1, eps_units=0)
