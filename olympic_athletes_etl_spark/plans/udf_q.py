@@ -152,8 +152,9 @@ def u_noc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     5): the DuckDB oracle mirrors the rewrite chain with nested
     ``replace()`` in map order and RE2 ``\\b`` boundaries — equivalent
     to the Spark side's lookarounds because every country name starts
-    and ends with a word character. The UDF variant stays rows-only;
-    tests pin UDF==DF agreement on the overlap-free name list."""
+    and ends with a word character. Since round 6 the UDF variant
+    shares this oracle too (see u_noc_canonicalize); tests pin UDF==DF
+    agreement on the overlap-free name list."""
     nation = load(spark, sf_dir, "nation")
     other = nation.select(
         F.col("n_nationkey").alias("k2"), F.col("n_name").alias("other_name")
