@@ -21,7 +21,8 @@ triangle counting, corpus prep) so scale regressions in those families
 are visible round-over-round; it is reported under separate keys
 ("extended", "extended_total") and does NOT feed "value", so the
 driver's perf gate is unaffected. Skip it with
-SPARK_GRAFT_BENCH_EXTENDED=0.
+SPARK_GRAFT_BENCH_EXTENDED=0. Extended timings include DataFrame
+construction (see EXTENDED_QUERIES) and default to one pass.
 
 Load-average keys: "load1" is the END-OF-RUN 1-minute load (the quantity
 BENCH_r01–r04 recorded under this key — it includes the bench's own
@@ -60,7 +61,14 @@ BENCH_QUERIES = [
 
 # Non-gated heavyweights — the LLM-pipeline composites whose scale shape
 # matters most at 100 TB. Timed after the headline set (their page-cache
-# warmth then matches round-over-round), reported separately.
+# warmth then matches round-over-round), reported separately. Unlike the
+# headline set these are timed INCLUDING DataFrame construction: the
+# iterative ones (d_neardup_pipeline's connected components) do their
+# rounds eagerly via localCheckpoint at build time, so a sink-only timer
+# would miss nearly all their work. One timed pass each
+# ($SPARK_GRAFT_BENCH_EXT_ITERS to change): at multi-second scale the
+# relative jitter the headline median filters is much smaller, and these
+# exist for round-over-round trend visibility, not the perf gate.
 EXTENDED_QUERIES = [
     "d_neardup_pipeline",
     "s_knn_graph",
@@ -91,20 +99,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
-    def run(name: str) -> float:
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
+    def run(name: str, include_build: bool = False) -> float:
+        if include_build:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+        else:
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def median_timings(names: list[str]) -> dict[str, float]:
+    def median_timings(
+        names: list[str], n_iters: int, include_build: bool = False
+    ) -> dict[str, float]:
         # Round-robin over the query list (not back-to-back repeats of
         # one query) so iteration i of every query sees comparable
         # JVM/GC state.
         samples: dict[str, list[float]] = {name: [] for name in names}
-        for _ in range(iters):
+        for _ in range(n_iters):
             for name in names:
-                samples[name].append(run(name))
+                samples[name].append(run(name, include_build))
         return {
             name: round(statistics.median(ts), 3)
             for name, ts in samples.items()
@@ -112,8 +126,13 @@ def main() -> None:
 
     run("flagship_region_top_customers")  # warmup (JVM + codegen + page cache)
 
-    timings = median_timings(BENCH_QUERIES)
-    extended = median_timings(EXTENDED_QUERIES) if extended_on else {}
+    timings = median_timings(BENCH_QUERIES, iters)
+    ext_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_ITERS", "1")))
+    extended = (
+        median_timings(EXTENDED_QUERIES, ext_iters, include_build=True)
+        if extended_on
+        else {}
+    )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
         "metric": "headline_queries_total",
