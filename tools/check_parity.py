@@ -5,7 +5,11 @@ oracle, then compares: row count, sorted column names, and an
 order-insensitive value multiset (columns sorted by name — the driver's
 documented compare). Exits non-zero listing mismatches.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [sf_dir] [query ...] [--json OUT]
+
+``--json OUT`` additionally writes a machine-readable sweep record
+(sf_dir, cpu/shuffle-partition layout, per-query status, all_green) —
+the end-of-round sweeps commit these as SWEEP_r{N}_*.json evidence.
 
 Two sweeps beyond the driver's gate are worth repeating each round
 (both caught/confirmed real properties in round 5):
@@ -52,8 +56,14 @@ def _multiset(rows: list[tuple], names: list[str]) -> Counter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from olympic_athletes_etl_spark.plans import oracle_sql, queries
     from olympic_athletes_etl_spark.session import get_spark
@@ -67,6 +77,7 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures: list[str] = []
+    statuses: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,9 +88,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}")
             print(f"FAIL  {name} (spark error)")
+            statuses[name] = "spark_error"
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
+            statuses[name] = f"rows_only:{len(s_rows)}"
             continue
         try:
             res = con.execute(oracles[name])
@@ -88,6 +101,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:400]}")
             print(f"FAIL  {name} (oracle error)")
+            statuses[name] = "oracle_error"
             continue
         problems = []
         if len(s_rows) != len(d_rows):
@@ -103,8 +117,25 @@ def main() -> int:
         if problems:
             failures.append(f"{name}: " + "; ".join(problems))
             print(f"FAIL  {name}")
+            statuses[name] = "mismatch: " + "; ".join(problems)[:300]
         else:
             print(f"ok    {name} ({len(s_rows)} rows)")
+            statuses[name] = f"ok:{len(s_rows)}"
+
+    if json_out:
+        import json as _json
+
+        record = {
+            "sf_dir": sf_dir,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "n_checked": len(statuses),
+            "all_green": not failures,
+            "queries": statuses,
+        }
+        with open(json_out, "w") as fh:
+            _json.dump(record, fh, indent=0)
+        print(f"sweep record -> {json_out}")
 
     print()
     if failures:
