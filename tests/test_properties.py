@@ -277,3 +277,67 @@ def encode_ppm_safe(arr):
     from olympic_athletes_etl_spark.multimodal import encode_ppm
 
     return encode_ppm(arr)
+
+
+# ------------------------------------------------- NOC UDF == DF twin
+# The round-6 shared oracle for u_noc_canonicalize rests on this
+# equivalence: on a name list where no valid name word-boundary-contains
+# another (true of the TPC-H nation names), the UDF's longest-first
+# remove-and-rescan equals the DF twin's match-all + containment filter.
+# Exercise it over a broad generated compound set — all ordered name
+# pairs x separator forms, legacy-name rewrites landing on in-list
+# targets, casing/whitespace perturbations, noise and no-match rows —
+# in ONE batched job per side.
+
+
+def test_noc_udf_equals_df_twin_on_generated_compounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.etl.noc import (
+        canonicalize_noc_df,
+        canonicalize_noc_udf,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    names = [r[0] for r in nation.select("n_name").collect()]
+    assert len(names) == 25
+    # precondition for the shared-oracle claim: overlap-free list
+    lowered = [n.lower().strip() for n in names]
+    for a in lowered:
+        for b in lowered:
+            if a != b:
+                assert not re.search(
+                    rf"(?<!\w){re.escape(a)}(?!\w)", b
+                ), (a, b)
+
+    seps = [" and ", "/", ", ", "; ", " AND "]
+    cases: list[str] = []
+    for i, a in enumerate(names):
+        for j in (1, 7, 12):  # three partners per name, deterministic
+            b = names[(i * 3 + j) % 25]
+            cases.append(f"{a}{seps[(i + j) % len(seps)]}{b}")
+    # triples, casing, padding, noise
+    cases += [f"{names[i]} and {names[(i+5) % 25]}, {names[(i+11) % 25]}"
+              for i in range(0, 25, 3)]
+    cases += [f"  {n.lower()}  " for n in names[:8]]
+    cases += [f"{n.title()} team" for n in names[8:16]]
+    cases += [f"the {n} delegation" for n in names[16:24]]
+    # legacy rewrites whose targets are in the nation list
+    cases += [
+        "Viet Nam", "United Arab Republic", "Peoples Republic of China",
+        "USSR and France",  # russian federation NOT in list -> partial match
+        "Atlantis", "", "   ", "no countries here",
+    ]
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id int, NOC string"
+    )
+    via_df = canonicalize_noc_df(df, nation, noc_col="NOC", name_col="n_name")
+    got_df = {r["id"]: r["NOC"] for r in via_df.collect()}
+    udf = canonicalize_noc_udf(names)
+    got_udf = {
+        r["id"]: r["NOC"]
+        for r in df.withColumn("NOC", udf(F.col("NOC"))).collect()
+    }
+    assert got_df == got_udf
