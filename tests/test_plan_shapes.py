@@ -12,6 +12,13 @@ plan contains no scale-killers:
   1-row scalar aggregate, a bounded dim (codebooks, centroids,
   hyperplanes, thresholds), or a documented broadcast inequality join
   (j_range_band_join's irregular bands, u_noc_df's rlike country dim);
+- ``SortMergeJoin`` only in the allowlisted queries at recorded counts —
+  every allowed site is either a fact-to-fact equi-join on a scaling key
+  (orderkey, doc pairs, period self-joins) or a post-localCheckpoint
+  iteration join (checkpointing severs the stats that would have allowed
+  a broadcast; the joined sides are id-lists). This catches the silent
+  100 TB killer where a dim join degrades from broadcast to SMJ because
+  a stats change pushed it over the broadcast threshold;
 - unpartitioned ``Window`` nodes (the "No Partition Defined" sites that
   move all rows to one partition) only in the allowlisted queries — each
   one a window over a POST-AGGREGATE bounded set (top-K after
@@ -82,6 +89,27 @@ ALLOWED_BNLJ = {
     "v_benford_digits": 1,
     "v_decile_lift": 3,
     "v_join_size_estimate": 1,
+}
+
+# query -> max SortMergeJoin nodes (fact-to-fact equi-joins or
+# post-localCheckpoint iteration joins; see module docstring)
+ALLOWED_SMJ = {
+    "d_cluster_canonical": 3,   # CC labels join (post-checkpoint) + canonical picks
+    "d_dup_clusters": 1,        # CC label propagation (post-checkpoint)
+    "d_jaccard_prefix_filter": 1,  # prefix-token doc-doc candidate join
+    "d_neardup_pipeline": 1,    # CC stage over checkpointed candidates
+    "d_semantic_dedup": 1,      # within-cluster doc-doc cosine join
+    "d_source_overlap": 1,      # shingle-hash source-pair join
+    "g_assortativity": 2,       # edge endpoints x degree table (post-checkpoint)
+    "g_link_prediction": 4,     # wedge joins over checkpointed edge list
+    "g_pagerank": 9,            # 3 iterations x (share/inflow/update) joins
+    "g_triangle_count": 2,      # degree-oriented wedge close (fact-fact)
+    "j_full_outer_recon": 1,    # full outer profile-vs-activity (fact-fact)
+    "j_negative_sample": 1,     # anti-join vs the bought set (fact-fact)
+    "q21_waiting_suppliers": 1, # per-order supplier agg join on orderkey
+    "q_nation_trade_balance": 2,  # dual-perspective fact joins
+    "q_revenue_bridge": 1,      # period-over-period customer self-join
+    "u_noc_df": 2,              # matches/survivors self-join (post-checkpoint)
 }
 
 # query -> max unpartitioned Window nodes (each a bounded-set site)
@@ -169,6 +197,7 @@ def plan_stats(spark, sf_dir):
             "bnlj": len(
                 re.findall(r"\(\d+\) BroadcastNestedLoopJoin", txt)
             ),
+            "smj": len(re.findall(r"\(\d+\) SortMergeJoin", txt)),
             "unpart_win": _unpartitioned_windows(txt),
         }
     return stats
@@ -192,6 +221,20 @@ def test_bnlj_only_at_allowlisted_bounded_broadcasts(plan_stats):
     )
 
 
+def test_smj_only_at_allowlisted_fact_joins(plan_stats):
+    over = {
+        n: s["smj"]
+        for n, s in plan_stats.items()
+        if s["smj"] > ALLOWED_SMJ.get(n, 0)
+    }
+    assert not over, (
+        f"unlisted/over-budget SortMergeJoin: {over} — if the join is "
+        "fact-to-fact on a scaling key or post-checkpoint iterative, add "
+        "it to ALLOWED_SMJ with a justification comment; if a dim join "
+        "degraded from broadcast, fix the plan (F.broadcast or stats)"
+    )
+
+
 def test_unpartitioned_windows_only_at_bounded_sets(plan_stats):
     over = {
         n: s["unpart_win"]
@@ -209,4 +252,5 @@ def test_unpartitioned_windows_only_at_bounded_sets(plan_stats):
 def test_allowlists_carry_no_dead_entries(plan_stats):
     """Entries whose query no longer exists would silently rot."""
     assert set(ALLOWED_BNLJ) <= set(plan_stats)
+    assert set(ALLOWED_SMJ) <= set(plan_stats)
     assert set(ALLOWED_UNPART_WINDOW) <= set(plan_stats)
