@@ -302,7 +302,6 @@ def kcore(
         # empties the graph on exactly the last allowed iteration
         # returns instead of spuriously raising at the for-else.
         if n_next in (0, n_edges):
-            n_edges = n_next
             break
         n_edges = n_next
     else:
@@ -492,11 +491,16 @@ def pagerank_converged(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    if eps_units is None:
-        eps_units = max(nodes.count(), 1) * max(scale // 1_000_000, 1)
+    n_nodes = nodes.count()
     ranks = nodes.withColumn(
         "rank", F.lit(scale).cast("long")
     ).localCheckpoint(eager=True)
+    if n_nodes == 0:
+        # empty graph: already at the fixpoint (the delta aggregate
+        # below would collect a NULL sum over zero rows)
+        return ranks, 0
+    if eps_units is None:
+        eps_units = n_nodes * max(scale // 1_000_000, 1)
     for rounds in range(1, max_iter + 1):
         shares = (
             ranks.join(out_deg, ranks["node"] == out_deg["s"])
@@ -531,6 +535,10 @@ def pagerank_converged(
             )
             .collect()[0]["d"]
         )
+        # the superseded round's checkpoint is dead once the delta is
+        # computed — unpersist it so storage holds ONE rank table, not
+        # up to max_iter of them
+        ranks.unpersist()
         ranks = new_ranks
         if int(delta) <= eps_units:
             return ranks, rounds

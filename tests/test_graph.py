@@ -507,3 +507,15 @@ def test_pagerank_converged_raises_on_max_iter(spark):
 
     with _pytest.raises(RuntimeError, match="pagerank_converged"):
         pagerank_converged(edges, max_iter=1, eps_units=0)
+
+
+def test_pagerank_converged_empty_graph_returns_empty(spark):
+    """Empty edge list: already at the fixpoint — must return an empty
+    (node, rank) frame and 0 rounds, not TypeError on a NULL delta sum."""
+    from olympic_athletes_etl_spark.operators.graph import pagerank_converged
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    ranks, rounds = pagerank_converged(empty)
+    assert rounds == 0
+    assert ranks.count() == 0
+    assert ranks.columns == ["node", "rank"]
