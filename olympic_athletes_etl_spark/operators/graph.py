@@ -30,12 +30,20 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 1000,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Deterministic: min-label is order-independent.
+
+    Runs to the FIXPOINT (a round that changes no label); convergence
+    takes O(component diameter) rounds — tiny on near-dup graphs
+    (unions of small cliques), graph-diameter-many on a long path.
+    ``max_iter`` is a runaway backstop like kcore/bfs_depths': hitting
+    it RAISES rather than silently returning partial labels (the
+    pre-round-6 behavior with the old default of 20 — a >20-diameter
+    component would have come back split into wrong sub-components).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -71,9 +79,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()  # superseded checkpoint — keep ONE label table
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"max_iter={max_iter}"
+        )
     return labels
 
 

@@ -519,3 +519,29 @@ def test_pagerank_converged_empty_graph_returns_empty(spark):
     assert rounds == 0
     assert ranks.count() == 0
     assert ranks.columns == ["node", "rank"]
+
+
+def test_connected_components_deep_path_beyond_old_default(spark):
+    """A 60-vertex path has diameter 59 > the pre-round-6 max_iter of
+    20, under which min-label propagation silently returned the path
+    SPLIT into wrong sub-components. The fixpoint form must label every
+    vertex with component 0."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["src", "dst"]
+    )
+    comp = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert len(comp) == 60
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_raises_instead_of_partial_labels(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="connected_components"):
+        connected_components(edges, max_iter=3)
