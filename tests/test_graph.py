@@ -545,3 +545,90 @@ def test_connected_components_raises_instead_of_partial_labels(spark):
     )
     with _pytest.raises(RuntimeError, match="connected_components"):
         connected_components(edges, max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# connected_components_star — log-round CC (Kiveris large-star/small-star)
+# ---------------------------------------------------------------------------
+
+
+def _cc_star_labels(spark, edges):
+    from olympic_athletes_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["vertex"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+
+
+def test_cc_star_matches_simple_on_shapes(spark):
+    cases = [
+        [(1, 2)],
+        [(1, 2), (2, 3)],
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(5, 5), (5, 6)],  # self-loop dropped, pair kept
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        simple = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert _cc_star_labels(spark, edges) == simple, edges
+
+
+def test_cc_star_deep_path_converges_in_log_rounds(spark):
+    """A 64-vertex path (diameter 63): min-label needs 63 rounds; the
+    star form must finish inside its default 60-round-PAIR backstop —
+    which it could not do at one hop per round — and label everything 0."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_star_labels(spark, edges)
+    assert len(got) == 64
+    assert set(got.values()) == {0}
+
+
+def test_cc_star_matches_reference_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        # python reference: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {v: find(v) for v in sorted(touched)}
+        # canonical min-member labels
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for v, r in want.items():
+            groups[find(r)].append(v)
+        want = {v: min(g) for g in groups.values() for v in g}
+        assert _cc_star_labels(spark, edges) == want, seed
+
+
+def test_cc_star_empty_graph(spark):
+    from olympic_athletes_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
