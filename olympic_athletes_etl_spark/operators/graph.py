@@ -99,12 +99,24 @@ def dedup_clusters(
     id_col: str,
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    method: str = "label",
 ) -> DataFrame:
     """Full-table cluster assignment: every vertex gets a cluster id
     (the min member id); singletons are their own cluster. The canonical
     representative IS the cluster id — downstream dedup keeps
-    ``id == cluster`` rows."""
-    comp = connected_components(candidate_pairs, src=pair_a, dst=pair_b)
+    ``id == cluster`` rows.
+
+    ``method``: ``"label"`` (default) = min-label propagation, fewest
+    shuffles per round, right for near-dup graphs (clique unions,
+    diameter ~2); ``"star"`` = large-star/small-star
+    (``connected_components_star``), O(log² n) rounds, right when the
+    candidate graph's diameter is unbounded (e.g. clustering a kNN
+    graph). Both produce identical labels (pinned in test_graph)."""
+    cc = {
+        "label": connected_components,
+        "star": connected_components_star,
+    }[method]
+    comp = cc(candidate_pairs, src=pair_a, dst=pair_b)
     return (
         vertices.select(F.col(id_col).alias("vertex"))
         .join(comp, on="vertex", how="left")

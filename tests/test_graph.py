@@ -632,3 +632,21 @@ def test_cc_star_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_dedup_clusters_star_method_matches_default(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 7), (2, 6), (6, 4)], ["doc_a", "doc_b"]
+    )
+    want = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup_clusters(docs, pairs, id_col="doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup_clusters(
+            docs, pairs, id_col="doc_id", method="star"
+        ).collect()
+    }
+    assert got == want
