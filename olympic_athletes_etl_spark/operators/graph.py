@@ -112,6 +112,10 @@ def dedup_clusters(
     (``connected_components_star``), O(log² n) rounds, right when the
     candidate graph's diameter is unbounded (e.g. clustering a kNN
     graph). Both produce identical labels (pinned in test_graph)."""
+    if method not in ("label", "star"):
+        raise ValueError(
+            f"method must be 'label' or 'star', got {method!r}"
+        )
     cc = {
         "label": connected_components,
         "star": connected_components_star,
@@ -601,19 +605,32 @@ def connected_components_star(
     edge list is localCheckpointed per phase (each feeds the next
     phase's aggregate AND join) and the superseded checkpoint is
     unpersisted. Convergence = a full (large, small) round leaves the
-    edge set unchanged; at the fixpoint the edges form stars
-    (v -> component min). ``max_iter`` bounds (large, small) round
-    PAIRS and raises on overrun — 60 covers n < 2^30 components with
-    the paper's log² bound.
+    edge set unchanged (checked by count equality — both sides are
+    distinct sets — plus ONE exceptAll probe; set equality follows
+    from |A| == |B| and A\\B == ∅). At the fixpoint the edges form
+    stars (v -> component min). ``max_iter`` bounds (large, small)
+    round PAIRS and raises on overrun: observed convergence is
+    ~log2(n) pairs (18 pairs on a 2^17-edge path; exhaustively ≤ a
+    handful on all 6-vertex graphs), so 60 gives order-of-magnitude
+    headroom over the measured behavior up to astronomically large
+    components — note the paper's worst-case O(log² n) bound is
+    weaker, so a pathological input would raise here rather than
+    silently spin.
 
     Equivalence to ``connected_components`` on every input is pinned in
     test_graph (random graphs + deep paths). Use the simple form for
     near-dup clique unions (diameter ~2, fewer shuffles per round);
     use this one when component diameter is unbounded (kNN graphs,
     social/web graphs, long event chains)."""
+    # materialize the (possibly expensively derived — LSH joins, kNN
+    # candidate generation) input ONCE; e and all_vertices both derive
+    # from this checkpoint, so the upstream plan runs a single time
+    # (the pagerank_fixed_point re-derivation lesson).
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
@@ -621,11 +638,12 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     all_vertices = (
-        edges.select(F.col(src).alias("vertex"))
-        .unionByName(edges.select(F.col(dst).alias("vertex")))
+        raw.select(F.col("a").alias("vertex"))
+        .unionByName(raw.select(F.col("b").alias("vertex")))
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    raw.unpersist()
 
     def _sym(df: DataFrame) -> DataFrame:
         return df.select(
@@ -667,16 +685,22 @@ def connected_components_star(
         )
         return out
 
+    n_edges = e.count()
     for _ in range(max_iter):
         after_large = _large_star(e).localCheckpoint(eager=True)
         after_small = _small_star(after_large).localCheckpoint(eager=True)
         after_large.unpersist()
+        # both sides are distinct sets: equal counts + one empty
+        # difference direction is full set equality, and the count of
+        # the already-materialized checkpoint is nearly free
+        n_next = after_small.count()
         unchanged = (
-            after_small.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(after_small).limit(1).count() == 0
+            n_next == n_edges
+            and after_small.exceptAll(e).limit(1).count() == 0
         )
         e.unpersist()
         e = after_small
+        n_edges = n_next
         if unchanged:
             break
     else:

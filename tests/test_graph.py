@@ -650,3 +650,12 @@ def test_dedup_clusters_star_method_matches_default(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_clusters_unknown_method_is_a_value_error(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="'label' or 'star'"):
+        dedup_clusters(docs, pairs, id_col="doc_id", method="labels")
