@@ -659,3 +659,27 @@ def test_dedup_clusters_unknown_method_is_a_value_error(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     with _pytest.raises(ValueError, match="'label' or 'star'"):
         dedup_clusters(docs, pairs, id_col="doc_id", method="labels")
+
+
+def test_cc_star_clusters_the_knn_graph(spark, sf_dir):
+    """The advertised scale use case end-to-end at test SF: cluster the
+    corpus kNN graph (s_knn_graph's top-k cosine neighbor pairs) with
+    the star form and check the labels against the simple min-label
+    form — the integration the method='star' switch exists for."""
+    from olympic_athletes_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    from olympic_athletes_etl_spark.plans.similarity_q import s_knn_graph
+
+    pairs = s_knn_graph(spark, sf_dir).select("src", "dst")
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == want
+    assert len(got) > 0
