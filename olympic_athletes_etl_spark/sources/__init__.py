@@ -13,11 +13,13 @@ from olympic_athletes_etl_spark.sources.io import (
     object_store_conf,
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     read_parquet_glob,
     resume_remaining,
     split_by_tag,
     write_jsonl,
+    write_orc,
     write_parquet,
 )
 
@@ -30,6 +32,7 @@ __all__ = [
     "parse_tables",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "read_parquet",
     "read_parquet_glob",
     "resume_remaining",
@@ -37,5 +40,6 @@ __all__ = [
     "split_by_tag",
     "tagged_to_tables",
     "write_jsonl",
+    "write_orc",
     "write_parquet",
 ]

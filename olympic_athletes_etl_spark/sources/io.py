@@ -41,6 +41,21 @@ def read_parquet_glob(spark: SparkSession, pattern: str) -> DataFrame:
     return spark.read.option("mergeSchema", "false").parquet(pattern)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S1-adjacent (beyond reference): ORC scan. Spark-native columnar
+    alternative to parquet — same predicate-pushdown/column-pruning
+    behavior through the DataSource V1 ORC reader, useful when the lake
+    standardized on ORC (Hive lineage). With ``schema``, mismatched
+    files fail fast instead of silently widening types, mirroring
+    read_parquet's contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -149,6 +164,12 @@ def object_store_conf(
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5: layer publish."""
     df.write.mode(mode).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5-adjacent (beyond reference): ORC publish, parity twin of
+    write_parquet for ORC-standardized lakes."""
+    df.write.mode(mode).orc(path)
 
 
 def checkpoint_append(df: DataFrame, path: str) -> None:

@@ -217,3 +217,44 @@ def test_resume_remaining_missing_dir_returns_everything(spark, tmp_path):
         spark, all_ids, str(tmp_path / "nope" / "*.parquet"), "k"
     )
     assert got.count() == 5
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write -> read roundtrip preserves values and schema, the
+    explicit-schema read fails fast on type drift (same contract as
+    read_parquet), and a filter reaches the ORC scan as a pushed
+    predicate (searchArgument / PushedFilters in the formatted plan)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from olympic_athletes_etl_spark.sources import read_orc, write_orc
+
+    p = str(tmp_path / "events.orc")
+    src = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "purchase")], "id long, etype string"
+    )
+    write_orc(src, p)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("etype", StringType())]
+    )
+    back = read_orc(spark, p, schema=schema)
+    assert back.schema == schema
+    assert {(r["id"], r["etype"]) for r in back.collect()} == {
+        (1, "view"), (2, "click"), (3, "purchase")
+    }
+    # append mode accumulates files like the parquet checkpoint sink
+    write_orc(src.limit(1), p, mode="append")
+    assert read_orc(spark, p).count() == 4
+    # predicate pushdown reaches the ORC scan
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        read_orc(spark, p).filter("id = 2").explain("formatted")
+    txt = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in txt
