@@ -323,11 +323,15 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
+        prev = e
         e = (
             e.join(keep.withColumnRenamed("node", "pa"), "pa", "leftsemi")
             .join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
             .localCheckpoint(eager=True)
         )
+        # superseded checkpoint — keep ONE edge list in block-manager
+        # storage, not one per peel round (deep peels run hundreds)
+        prev.unpersist()
         n_next = e.count()
         # n_next == 0 is a fixpoint by definition — break NOW rather
         # than on the next pass's n_edges == 0 check, so a peel that
@@ -706,7 +710,31 @@ def connected_components_star(
     else:
         raise RuntimeError(
             f"connected_components_star: edge set still changing after "
-            f"max_iter={max_iter} (large,small) rounds"
+            f"max_iter={max_iter} (large,small) rounds — raise max_iter "
+            f"(observed convergence is ~log2(n) rounds, so also check "
+            f"the input for pathological structure)"
+        )
+    # The loop detects convergence on the COMPOSED round
+    # (small(large(e)) == e); the label read-out below additionally
+    # requires the fixpoint to be star-shaped (every edge (a, b) has a
+    # as the component min and b as a leaf — no b-side vertex is also an
+    # a-side center). Kiveris et al. prove stars at the per-phase
+    # fixpoint; a composed-round cycle where large-star changes the edge
+    # set and small-star restores it would satisfy the loop's check with
+    # a NON-star edge set and silently mislabel. Never observed (random
+    # graphs, deep paths, kNN graphs all pass), but cheap to rule out at
+    # runtime: one leftsemi probe over the final edge list.
+    non_star = (
+        e.select("b")
+        .join(e.select(F.col("a").alias("b")), "b", "leftsemi")
+        .limit(1)
+        .count()
+    )
+    if non_star:
+        raise RuntimeError(
+            "connected_components_star: converged edge set is not "
+            "star-shaped (a leaf vertex also appears as a center) — "
+            "labels would be wrong; raising instead of mislabeling"
         )
     # fixpoint edges are stars (min, v): label v -> min; centers and
     # isolated vertices label themselves
