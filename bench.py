@@ -72,6 +72,8 @@ BENCH_QUERIES = [
 EXTENDED_QUERIES = [
     "d_neardup_pipeline",
     "s_knn_graph",
+    "s_knn_graph_multiprobe",
+    "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",
 ]

@@ -26,94 +26,90 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
-# FRESH driver row this round (round 6 — the rotation recorded in
+# FRESH driver row this round (round 7 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"):
-#   1. the 6 queries whose PLANS changed this round, so each lands with
-#      a fresh driver row under its updated oracle: the DECIMAL(38,0)/
-#      HUGEINT exact-wide-integer widenings (v_chi2_experiment
-#      determinant; t_bm25_rank + s_hybrid_search via the shared BM25
-#      score; t_mix_schedule; t_collocations) and u_noc_canonicalize,
-#      promoted from rows-only to the full hash gate (shared oracle
-#      with u_noc_df) — its FIRST value-checked driver row;
-#   2. all 38 r1-stale queries (latest driver row round 1): the
-#      relational core (24), the full textops c_* family (11), and 3
-#      tpch-core bench queries (q3, q5, q_order_share_window) — after
-#      this round no query's latest driver row predates round 2;
-#   3. flagship_region_top_customers + q1_pricing_summary (r2-stale,
-#      benched every round — the remaining tpch-core);
-#   4. 4 slots for the r2-stale dedup/similarity core (s_knn_bruteforce
-#      — benched every round — d_exact_dup, d_ngram_jaccard,
-#      d_dup_clusters).
-# Prefix math (driver audits 50): 6 + 38 + 2 + 4 = exactly 50. The
-# remaining r2/r3-stale families (events, multimodal, rest of dedup/
-# similarity/textstats, tpch_close) rotate r7/r8 per the generated
-# freshness ledger (tools/audit_ledger.py → COVERAGE.md). Everything
+#   1. the 7 queries whose plans are NEW or CHANGED this round, so each
+#      lands with a fresh driver row under its updated oracle: the
+#      decorrelated hyperplane family (the old affine family collapsed
+#      256 nominal buckets to ~25 with one 36%-of-corpus hot bucket —
+#      see similarity_q._PLANE_W) changes the output of s_ann_lsh,
+#      s_ann_lsh_multiprobe, s_bucket_stats, s_knn_graph, and
+#      d_embedding_neardup; s_knn_graph additionally gains the
+#      per-bucket target cap; s_knn_graph_multiprobe and
+#      d_dup_clusters_star are newly registered (the multiprobe kNN
+#      graph and the large-star/small-star CC scale path);
+#   2. the pre-generated oldest-first r7 rotation from the COVERAGE.md
+#      freshness ledger (r2-stale textstats/dedup/events, multimodal,
+#      validation, the r2-stale tpch slice, then r3 residue) — minus
+#      d_embedding_neardup (already in group 1) and minus the last 6
+#      ledger entries (t_pii_scrub, t_unigram_commonness,
+#      t_chunk_overlap, d_simhash_wide, d_contamination,
+#      d_minhash_estimate), displaced by the changed-plan group and
+#      rolled to the front of the r8 rotation.
+# Prefix math (driver audits 50): 7 + 43 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
-CHANGED_PLANS_R6 = [
-    "v_chi2_experiment",
-    "t_bm25_rank",
-    "s_hybrid_search",
-    "t_mix_schedule",
-    "t_collocations",
-    "u_noc_canonicalize",
+CHANGED_PLANS_R7 = [
+    "s_knn_graph",
+    "s_knn_graph_multiprobe",
+    "s_ann_lsh",
+    "s_ann_lsh_multiprobe",
+    "s_bucket_stats",
+    "d_embedding_neardup",
+    "d_dup_clusters_star",
 ]
-STALE_R1 = [
-    # relational core
-    "f_semi_join",
-    "j_left_single_key",
-    "j_left_composite_key",
-    "j_expr_key",
-    "j_dynamic_keys_recover",
-    "a_mode_per_group",
-    "a_group_median",
-    "a_distinct_pairs",
-    "a_null_profile",
-    "a_value_counts",
-    "a_collect_sorted",
-    "a_dup_detect",
-    "a_union_align",
-    "a_except_distinct",
-    "a_rollup_revenue",
-    "a_cube_counts",
-    "a_percentiles",
-    "w_surrogate_key",
-    "w_forward_fill",
-    "o_topk_per_group",
-    "o_ordered_limit",
-    "r_explode_split",
-    "r_pivot_counts",
-    "r_merge_upsert",
-    # textops scalar-function family
-    "c_regex_clean",
-    "c_regex_extract",
-    "c_split_element",
-    "c_concat_label",
-    "c_rlike_flag",
-    "c_date_parse",
-    "c_conditional_bucket",
-    "c_coalesce_impute",
-    "c_math_ratio",
-    "c_length_check",
-    "c_cross_col_dates",
-    # tpch core (r1-stale slice)
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q_order_share_window",
+STALE_LEDGER_R7 = [
+    # r2-stale textstats
+    "t_token_count",
+    "t_quality_score",
+    "t_lang_id",
+    "t_fingerprint",
+    "t_bpe_token_count",
+    "t_stratified_sample",
+    "t_train_test_split",
+    "t_token_pack",
+    # r2-stale dedup
+    "d_simhash_banded",
+    "d_neardup_pipeline",
+    # r2-stale events
+    "e_tumbling_window",
+    "e_latest_per_key",
+    "e_json_extract",
+    "e_sliding_window",
+    "e_asof_join",
+    "e_range_join_buckets",
+    "e_funnel",
+    "e_cohort_retention",
+    "e_value_outliers",
+    # r2-stale multimodal + validation
+    "m_byte_features",
+    "m_frame_energy",
+    "v_rule_summary",
+    "v_failure_cases",
+    # r2-stale tpch slice
+    "q4_priority_late_ship",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q12_priority_shipping",
+    # r3 textstats residue
+    "t_gopher_quality",
+    "t_source_mix",
+    "t_balanced_sample",
+    "t_corpus_prep",
+    "t_idf",
+    "t_chunk_split",
+    "t_ngram_freq",
 ]
-STALE_TPCH_BENCH_R2 = [
-    "flagship_region_top_customers",
-    "q1_pricing_summary",
-]
-STALE_DEDUP_SIM_R2 = [
-    "s_knn_bruteforce",
-    "d_exact_dup",
-    "d_ngram_jaccard",
-    "d_dup_clusters",
-]
-AUDIT_PREFIX = (
-    CHANGED_PLANS_R6 + STALE_R1 + STALE_TPCH_BENCH_R2 + STALE_DEDUP_SIM_R2
-)
+AUDIT_PREFIX = CHANGED_PLANS_R7 + STALE_LEDGER_R7
 
 _promote(AUDIT_PREFIX)
 

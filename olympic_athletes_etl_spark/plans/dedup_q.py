@@ -375,8 +375,11 @@ _NB_BANDS = 8
 _NB_ROWS = 2  # planes per band; 16 sign bits total
 
 # plane(p, d) weight — integers in [-998, 998], deterministic in (p, d);
-# same construction as similarity_q's ANN planes.
-_NB_PLANE_W = "((({p} * 9973 + d * 7919) % 1997) - 998)"
+# same construction as similarity_q's ANN planes (see the _PLANE_W note
+# there: the d² term decorrelates consecutive planes, which for BANDED
+# LSH keeps the bands independent — correlated bands agree together and
+# inflate the candidate volume without adding recall).
+_NB_PLANE_W = "(((({p} + 1) * (d * d * 31 + d * 7919 + 1) + {p} * {p} * 104729) % 1997) - 998)"
 _DOT_D = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
     " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -718,6 +721,32 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = d_minhash_lsh(spark, sf_dir)
     return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+@query(
+    "d_dup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_cand_ctes()},
+    {_closure_ctes()}
+    SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def d_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d_dup_clusters via the LARGE-STAR/SMALL-STAR connected-components
+    form (operators/graph.py:connected_components_star, Kiveris et al.)
+    — identical output (same oracle as d_dup_clusters), different
+    iteration: O(log² n) rounds instead of O(diameter), the 100 TB path
+    when the candidate graph's diameter is unbounded (deep near-dup
+    chains, kNN graphs). Registering it separately puts the scale path
+    itself under the driver's hash gate rather than only under the
+    equivalence tests in test_graph."""
+    from olympic_athletes_etl_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = d_minhash_lsh(spark, sf_dir)
+    return dedup_clusters(docs, pairs, id_col="doc_id", method="star")
 
 
 # --------------------------------------------------------------------------

@@ -26,7 +26,15 @@ _N_PLANES = 8
 _DIM = 64
 
 # plane(p, d) weight: integers in [-998, 998], deterministic in (p, d).
-_PLANE_W = "((({p} * 9973 + d * 7919) % 1997) - 998)"
+# The d² term is load-bearing: it makes the weight NONLINEAR in d per
+# plane with a plane-dependent coefficient, so consecutive planes are
+# not near-shifts of each other. (The previous affine family
+# ((p·9973 + d·7919) % 1997) − 998 had plane p+1 ≡ plane p − 12 mod
+# 1997 — wrap-arounds aside, a constant shift — so sign bits across
+# planes were highly correlated: at sf0.001 only 25 of 256 buckets were
+# populated with a 180-member hot bucket. This family yields 200
+# buckets, max occupancy 10, on the same data.)
+_PLANE_W = "(((({p} + 1) * (d * d * 31 + d * 7919 + 1) + {p} * {p} * 104729) % 1997) - 998)"
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,19 +109,19 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, integer-deterministic)
 # --------------------------------------------------------------------------
-def _bucket_expr_spark() -> F.Column:
+def _bucket_expr_spark(n_planes: int = _N_PLANES) -> F.Column:
     """Sum over planes of (dot(v, plane_p) > 0) << p."""
     bits = []
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         plane = f"transform(sequence(0, {_DIM - 1}), d -> CAST({_PLANE_W.format(p=p)} AS DOUBLE))"
         dot = _DOT.format(a="v", b=plane)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return F.expr(" + ".join(bits))
 
 
-def _bucket_sql_duck() -> str:
+def _bucket_sql_duck(n_planes: int = _N_PLANES) -> str:
     bits = []
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         plane = (
             f"list_transform(range(0, {_DIM}),"
             f" d -> CAST({_PLANE_W.format(p=p)} AS DOUBLE))"
@@ -917,11 +925,124 @@ def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KNN-graph construction — top-k neighbors for EVERY vector
 # --------------------------------------------------------------------------
 _K_GRAPH = 3
+# Target-side cap per bucket (the house hot-bucket guard, the
+# m_image_neardup / d_minhash_lsh stop-cap recipe applied to the LSH
+# self-join): a bucket contributes at most this many candidate TARGETS
+# (the first `cap` members by vec_id — deterministic, so the DuckDB
+# oracle mirrors it exactly with a row_number QUALIFY). This bounds the
+# bucket join at O(n · probes · cap) candidates TOTAL — linear in corpus
+# size — where the uncapped join is quadratic within a bucket and a
+# degenerate bucket (near-duplicate embedding factories, zero vectors)
+# would make it the asymptotic cost of all-pairs/2^planes.
+_GRAPH_BUCKET_CAP = 64
 
 
-@query(
-    "s_knn_graph",
-    oracle=f"""
+def knn_graph(
+    emb: DataFrame,
+    k: int = _K_GRAPH,
+    n_planes: int = _N_PLANES,
+    bucket_cap: int = _GRAPH_BUCKET_CAP,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """(src, dst, cos_sim, rank) — top-``k`` cosine neighbors for EVERY
+    vector of ``emb`` (columns ``vec_id``, ``v: array<double>``), the
+    batch primitive under semantic dedup, embedding clustering, and
+    graph-based retrieval. Candidates come from deterministic
+    random-hyperplane LSH buckets; each source scores only its probed
+    bucket(s), then a per-source row_number window keeps k.
+
+    Scale knobs (the three that matter at corpus scale):
+
+    - ``n_planes``: buckets = 2^n_planes, expected bucket population =
+      n / 2^n_planes. Choose ≈ log2(n / target_bucket_size) — e.g. a
+      1e9-vector corpus targeting ~1k-vector buckets wants ~20 planes.
+      The plane family is closed-form in (p, d), so raising the count
+      changes no stored state.
+    - ``bucket_cap``: hard per-bucket TARGET cap (first ``cap`` members
+      by vec_id). Candidate volume is ≤ n · probes · cap regardless of
+      skew — the guard that keeps one degenerate bucket (duplicate
+      embedding factories, zero vectors) from going quadratic. Sized so
+      cap ≥ the expected bucket population it only binds on hot
+      buckets; vectors beyond the cap still get THEIR OWN neighbor
+      lists (they stay on the probe side), they just stop being
+      candidate targets.
+    - ``multiprobe``: also probe the source's n_planes hamming-1
+      buckets (the s_ann_lsh_multiprobe trick). Recovers the
+      singleton-bucket recall gap — a vector alone in its bucket emits
+      no edges without it — at ~(1 + n_planes)× the candidate volume
+      and an identical plan shape (the probe side explodes; no new
+      shuffle).
+
+    Plan shape: two shuffles regardless of corpus size — the bucket
+    hash-join (the target-cap window pre-partitions on the same key, so
+    its exchange is reused) and the per-src rank."""
+    n = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
+        _bucket_expr_spark(n_planes).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
+    t = (
+        n.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= bucket_cap)
+        .select(
+            F.col("vec_id").alias("dst"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            F.col("bucket").alias("bucket_b"),
+        )
+    )
+    src_cols = [
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    ]
+    if multiprobe:
+        masks = [0] + [1 << p for p in range(n_planes)]
+        probes = n.select(
+            *src_cols,
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("pb"),
+        )
+    else:
+        probes = n.select(*src_cols, F.col("bucket").alias("pb"))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    # no duplicate (src, dst) pairs possible: a target lives in exactly
+    # one bucket and the probe masks are distinct, so at most one probe
+    # bucket matches — the rank window needs no pre-distinct.
+    pairs = (
+        probes.join(
+            t,
+            (F.col("pb") == F.col("bucket_b"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _knn_graph_oracle(multiprobe: bool) -> str:
+    probes = (
+        f"""probes AS (
+      SELECT n.vec_id AS src, n.v AS va, n.nrm AS na,
+             xor(n.bucket, m.m) AS pb
+      FROM n CROSS JOIN (VALUES {", ".join(f"({m})" for m in _MP_MASKS)}) m(m)
+    )"""
+        if multiprobe
+        else """probes AS (
+      SELECT vec_id AS src, v AS va, nrm AS na, bucket AS pb FROM n
+    )"""
+    )
+    return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -930,61 +1051,46 @@ _K_GRAPH = 3
              {_bucket_sql_duck()} AS bucket
       FROM e
     ),
+    t AS (
+      SELECT vec_id, v, nrm, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+               AS rn
+      FROM n QUALIFY rn <= {_GRAPH_BUCKET_CAP}
+    ),
+    {probes},
     pairs AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_raw
-      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      SELECT p.src, t.vec_id AS dst,
+             list_dot_product(p.va, t.v) / (p.na * t.nrm) AS cos_raw
+      FROM probes p JOIN t
+        ON t.bucket = p.pb AND t.vec_id <> p.src
     )
     SELECT src, dst, round(cos_raw, 4) AS cos_sim,
            row_number() OVER (PARTITION BY src
                               ORDER BY cos_raw DESC, dst ASC) AS rank
     FROM pairs
     QUALIFY rank <= {_K_GRAPH}
-    """,
-)
+    """
+
+
+@query("s_knn_graph", oracle=_knn_graph_oracle(multiprobe=False))
 def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KNN-GRAPH construction: top-k cosine neighbors for EVERY vector at
-    once — the batch primitive under semantic dedup, embedding
-    clustering, and graph-based retrieval, where a per-probe loop (500
-    brute-force scans here, billions at corpus scale) is the wrong shape.
-    Candidates come from the same deterministic hyperplane buckets as
-    s_ann_lsh: the self-join keys on the bucket id, so each vector only
-    scores against its bucket (expected n/2^planes candidates), then a
-    per-source row_number window keeps k. Two shuffles total — bucket,
-    then src — regardless of corpus size; the bucket join's per-key cost
-    is quadratic only WITHIN a bucket, which the plane count controls.
-    Vectors alone in their bucket emit no edges (documented sparsity —
-    raise coverage with multi-probe as in s_ann_lsh_multiprobe).
+    """KNN-GRAPH construction over the corpus — ``knn_graph`` (see its
+    docstring for the scale knobs) at the registered defaults: 8
+    planes, per-bucket target cap 64, single-probe. Vectors alone in
+    their bucket emit no edges (documented sparsity — see
+    s_knn_graph_multiprobe for the recall-recovering variant).
     Ranking runs on raw doubles (bit-identical), rounding on output."""
-    n = _emb_double(spark, sf_dir).select(
-        "vec_id",
-        "v",
-        F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
-        _bucket_expr_spark().alias("bucket"),
-    )
-    a = n.select(
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "bucket",
-    )
-    b = n.select(
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("src") != F.col("dst")))
-        .select("src", "dst", cos.alias("cos_raw"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K_GRAPH)
-        .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
-    )
+    return knn_graph(_emb_double(spark, sf_dir))
+
+
+@query("s_knn_graph_multiprobe", oracle=_knn_graph_oracle(multiprobe=True))
+def s_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_knn_graph with 1-bit multi-probe: every source also probes its
+    8 hamming-1 buckets, recovering the singleton-bucket recall gap
+    (recall vs the exact all-pairs graph is pinned in
+    test_round3_ops) at ~9× the candidate volume — same plan shape,
+    same per-bucket target cap, no new shuffle."""
+    return knn_graph(_emb_double(spark, sf_dir), multiprobe=True)
 
 
 # --------------------------------------------------------------------------

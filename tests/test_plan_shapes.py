@@ -96,6 +96,9 @@ ALLOWED_BNLJ = {
 ALLOWED_SMJ = {
     "d_cluster_canonical": 3,   # CC labels join (post-checkpoint) + canonical picks
     "d_dup_clusters": 1,        # CC label propagation (post-checkpoint)
+    "d_dup_clusters_star": 2,   # star-CC read-out: vertex-universe x star
+                                # labels + cluster assignment — both join
+                                # post-checkpoint id-lists (stats severed)
     "d_jaccard_prefix_filter": 1,  # prefix-token doc-doc candidate join
     "d_neardup_pipeline": 1,    # CC stage over checkpointed candidates
     "d_semantic_dedup": 1,      # within-cluster doc-doc cosine join

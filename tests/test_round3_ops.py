@@ -19,8 +19,11 @@ from olympic_athletes_etl_spark.plans.events_q import (
 from olympic_athletes_etl_spark.plans.multimodal_q import m_payload_dedup
 from olympic_athletes_etl_spark.plans.similarity_q import (
     _K_GRAPH,
+    _emb_double,
+    knn_graph,
     s_dim_profile,
     s_knn_graph,
+    s_knn_graph_multiprobe,
 )
 from olympic_athletes_etl_spark.plans.tables import load
 from olympic_athletes_etl_spark.plans.textstats import (
@@ -155,6 +158,64 @@ def test_knn_graph_ranks_are_contiguous_topk(spark, sf_dir):
         edges.sort(key=lambda e: e["rank"])
         for a, b in zip(edges, edges[1:]):
             assert a["cos_sim"] >= b["cos_sim"] - 1e-9
+
+
+def test_knn_graph_hot_bucket_cap_bounds_candidates(spark):
+    """The per-bucket target cap is the kNN-graph's skew guard: a
+    degenerate corpus where EVERY vector lands in one LSH bucket (all
+    vectors share a direction, so every plane dot product has the same
+    sign) must not go quadratic. With cap=c the candidate volume is
+    exactly n·c − c (each source scores the first c bucket members by
+    vec_id, minus itself), not n·(n−1) — asserted by ranking with k
+    large enough to keep every candidate."""
+    n, cap = 40, 5
+    rows = [(i, [float(i)] * 64) for i in range(1, n + 1)]
+    emb = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    out = knn_graph(emb, k=n, bucket_cap=cap).collect()
+    # candidate volume is linear in n: n*cap minus the cap self-pairs
+    assert len(out) == n * cap - cap
+    # only the first `cap` members (by vec_id) serve as targets...
+    assert {r["dst"] for r in out} == set(range(1, cap + 1))
+    # ...but every vector still gets its own neighbor list
+    assert {r["src"] for r in out} == set(range(1, n + 1))
+    # identical directions: all cosines 1, ties broken by dst ascending
+    first = {r["src"]: r["dst"] for r in out if r["rank"] == 1}
+    assert first[1] == 2 and first[cap + 1] == 1
+
+
+def test_knn_graph_multiprobe_recall_vs_exact(spark, sf_dir):
+    """Recall yardstick (the test_pq_recall pattern): both kNN-graph
+    variants against the exact all-pairs top-k graph. Multi-probe must
+    (a) dominate single-probe recall, (b) clear the measured floor, and
+    (c) close the singleton-bucket coverage gap — every vector emits a
+    neighbor list. Floors are measured-at-sf0.001 minus slack; the
+    point pinned is the RELATIONSHIP, not the exact recall."""
+    import numpy as np
+
+    emb = _emb_double(spark, sf_dir).collect()
+    ids = [r["vec_id"] for r in emb]
+    V = np.array([r["v"] for r in emb])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2.0)
+    exact = set()
+    for i in range(len(ids)):
+        sims = S[i]
+        top = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        for j in top[:_K_GRAPH]:
+            exact.add((ids[i], ids[j]))
+    single = {
+        (r["src"], r["dst"]) for r in s_knn_graph(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["src"], r["dst"])
+        for r in s_knn_graph_multiprobe(spark, sf_dir).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.10  # measured 0.125 at sf0.001
+    assert {s for s, _ in multi} == set(ids)
 
 
 def test_peak_concurrency_carries_over_hour_boundaries(spark, sf_dir):
