@@ -73,6 +73,7 @@ EXTENDED_QUERIES = [
     "d_neardup_pipeline",
     "s_knn_graph",
     "s_knn_graph_multiprobe",
+    "s_knn_graph_ivf",
     "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",

@@ -1093,6 +1093,94 @@ def s_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(_emb_double(spark, sf_dir), multiprobe=True)
 
 
+def _knn_graph_ivf_oracle() -> str:
+    ctes, cent = _km_train_ctes()
+    return f"""{ctes}, t AS (
+      SELECT vec_id, v, vnrm, list_id,
+             row_number() OVER (PARTITION BY list_id ORDER BY vec_id)
+               AS rn
+      FROM asgF QUALIFY rn <= {_GRAPH_BUCKET_CAP}
+    ), plists AS (
+      SELECT nq.vec_id AS src, nq.v AS va, nq.vnrm AS na, c.c_id AS pl,
+             row_number() OVER (
+               PARTITION BY nq.vec_id
+               ORDER BY list_dot_product(nq.vq, c.cv)
+                        / (nq.qnrm * sqrt(list_dot_product(c.cv, c.cv)))
+                        DESC, c.c_id ASC) AS pr
+      FROM nq CROSS JOIN {cent} c
+      QUALIFY pr <= {_N_PROBE}
+    ), pairs AS (
+      SELECT p.src, t.vec_id AS dst,
+             list_dot_product(p.va, t.v) / (p.na * t.vnrm) AS cos_raw
+      FROM plists p JOIN t ON t.list_id = p.pl AND t.vec_id <> p.src
+    )
+    SELECT src, dst, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_raw DESC, dst ASC) AS rank
+    FROM pairs
+    QUALIFY rank <= {_K_GRAPH}
+    """
+
+
+@query("s_knn_graph_ivf", oracle=_knn_graph_ivf_oracle())
+def s_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph build over LEARNED inverted lists: the s_knn_graph
+    construction with the deterministic k-means lists of
+    s_ann_ivf_kmeans instead of random hyperplane buckets — the
+    data-ADAPTIVE variant. Random planes split space uniformly, so a
+    clustered corpus concentrates in few buckets; k-means lists follow
+    the density, and each source probes its _N_PROBE nearest lists
+    (the IVF search rule applied to the batch graph build), which
+    recovers the list-boundary recall the single-assignment join
+    loses. Same scale guards as knn_graph: per-list target cap (first
+    cap members by vec_id, oracle-mirrored) bounds candidates at
+    n·nprobe·cap; the capped target side is ≤ n_centroids·cap rows and
+    broadcasts. Centroid count is the scale knob (≈ √n at corpus
+    scale — 16 here is the test-scale codebook): it sets both list
+    granularity and the parallelism of the cap window's list-keyed
+    shuffle, so at 100 TB raise it with the corpus the same way
+    n_planes scales for the LSH variant. Training cost is independent
+    of table size (broadcast assignment passes + a (k·dim)-row
+    driver aggregate per round — the bounded collect documented in
+    _km_fit)."""
+    n = _km_base(spark, sf_dir)
+    entries = _sim_desc_sorted(_km_entries(_km_fit(n)))
+    asg = n.withColumn("ent", entries)
+    wl = Window.partitionBy("list_b").orderBy(F.asc("dst"))
+    t = (
+        asg.select(
+            F.col("vec_id").alias("dst"),
+            F.col("v").alias("vb"),
+            F.col("vnrm").alias("nb"),
+            F.element_at("ent", 1)["c_id"].alias("list_b"),
+        )
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= _GRAPH_BUCKET_CAP)
+        .drop("rn")
+    )
+    probes = asg.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("vnrm").alias("na"),
+        F.explode(F.slice("ent", 1, _N_PROBE)).alias("e"),
+    ).select("src", "va", "na", F.col("e.c_id").alias("pl"))
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    # no duplicate (src, dst): a target lives in exactly one list, the
+    # probe lists are distinct — at most one probe matches.
+    pairs = (
+        probes.join(
+            t, (F.col("pl") == F.col("list_b")) & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K_GRAPH)
+        .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-dimension embedding distribution profile
 # --------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from olympic_athletes_etl_spark.plans.similarity_q import (
     knn_graph,
     s_dim_profile,
     s_knn_graph,
+    s_knn_graph_ivf,
     s_knn_graph_multiprobe,
 )
 from olympic_athletes_etl_spark.plans.tables import load
@@ -216,6 +217,17 @@ def test_knn_graph_multiprobe_recall_vs_exact(spark, sf_dir):
     assert r_multi >= r_single
     assert r_multi >= 0.10  # measured 0.125 at sf0.001
     assert {s for s, _ in multi} == set(ids)
+    # the data-adaptive variant: learned lists follow density, so its
+    # recall beats random planes at the same candidate budget, and
+    # nprobe=2 closes coverage completely
+    ivf = {
+        (r["src"], r["dst"])
+        for r in s_knn_graph_ivf(spark, sf_dir).collect()
+    }
+    r_ivf = len(ivf & exact) / len(exact)
+    assert r_ivf >= r_multi
+    assert r_ivf >= 0.30  # measured 0.388 at sf0.001
+    assert {s for s, _ in ivf} == set(ids)
 
 
 def test_peak_concurrency_carries_over_hour_boundaries(spark, sf_dir):
