@@ -35,25 +35,27 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      see similarity_q._PLANE_W) changes the output of s_ann_lsh,
 #      s_ann_lsh_multiprobe, s_bucket_stats, s_knn_graph, and
 #      d_embedding_neardup; s_knn_graph additionally gains the
-#      per-bucket target cap; s_knn_graph_multiprobe,
-#      s_knn_graph_ivf, and d_dup_clusters_star are newly registered
-#      (the multiprobe kNN graph, the learned-inverted-list kNN graph,
-#      and the large-star/small-star CC scale path);
+#      per-bucket target cap; s_knn_graph_multiprobe, s_knn_graph_ivf,
+#      s_list_stats, and d_dup_clusters_star are newly registered (the
+#      multiprobe kNN graph, the learned-inverted-list kNN graph + its
+#      occupancy diagnostic, and the large-star/small-star CC scale
+#      path);
 #   2. the pre-generated oldest-first r7 rotation from the COVERAGE.md
 #      freshness ledger (r2-stale textstats/dedup/events, multimodal,
 #      validation, the r2-stale tpch slice, then r3 residue) — minus
-#      d_embedding_neardup (already in group 1) and minus the last 7
-#      ledger entries (t_ngram_freq, t_pii_scrub,
+#      d_embedding_neardup (already in group 1) and minus the last 8
+#      ledger entries (t_chunk_split, t_ngram_freq, t_pii_scrub,
 #      t_unigram_commonness, t_chunk_overlap, d_simhash_wide,
 #      d_contamination, d_minhash_estimate), displaced by the
 #      changed-plan group and rolled to the front of the r8 rotation.
-# Prefix math (driver audits 50): 8 + 42 = exactly 50. Everything
+# Prefix math (driver audits 50): 9 + 41 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 CHANGED_PLANS_R7 = [
     "s_knn_graph",
     "s_knn_graph_multiprobe",
     "s_knn_graph_ivf",
+    "s_list_stats",
     "s_ann_lsh",
     "s_ann_lsh_multiprobe",
     "s_bucket_stats",
@@ -108,7 +110,6 @@ STALE_LEDGER_R7 = [
     "t_balanced_sample",
     "t_corpus_prep",
     "t_idf",
-    "t_chunk_split",
 ]
 AUDIT_PREFIX = CHANGED_PLANS_R7 + STALE_LEDGER_R7
 

@@ -1339,6 +1339,41 @@ def s_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _list_stats_oracle() -> str:
+    ctes, _ = _km_train_ctes()
+    return f"""{ctes}
+    SELECT list_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id
+    FROM asgF GROUP BY 1
+    """
+
+
+@query("s_list_stats", oracle=_list_stats_oracle())
+def s_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-occupancy profile — the capacity diagnostic for the
+    LEARNED-list path (s_ann_ivf_kmeans / s_knn_graph_ivf), the twin of
+    s_bucket_stats for random-plane buckets. Probe cost is the probed
+    LIST's size, so this table's tail is the worst-case latency and the
+    direct input to sizing the per-list cap and the centroid count: a
+    fat list says raise n_centroids (split lists), an empty one says
+    the codebook over-fits a sparse region. With only n_centroids rows
+    out, it reports exact per-list occupancy (no histogram roll-up
+    needed — the list count is the bounded dimension). One in-row
+    broadcast assignment pass + one aggregate keyed on list_id."""
+    n = _km_base(spark, sf_dir)
+    entries = _sim_desc_sorted(_km_entries(_km_fit(n)))
+    asg = n.select(
+        "vec_id", F.element_at(entries, 1)["c_id"].alias("list_id")
+    )
+    return asg.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding QA — centroid-distance outliers with integer-exact arithmetic
 # --------------------------------------------------------------------------
