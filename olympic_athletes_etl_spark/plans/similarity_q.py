@@ -976,6 +976,12 @@ def knn_graph(
     Plan shape: two shuffles regardless of corpus size — the bucket
     hash-join (the target-cap window pre-partitions on the same key, so
     its exchange is reused) and the per-src rank."""
+    if n_planes < 1:
+        raise ValueError(f"n_planes must be >= 1, got {n_planes}")
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     n = emb.select(
         "vec_id",
         "v",

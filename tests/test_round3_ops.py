@@ -184,6 +184,20 @@ def test_knn_graph_hot_bucket_cap_bounds_candidates(spark):
     assert first[1] == 2 and first[cap + 1] == 1
 
 
+def test_knn_graph_rejects_degenerate_knobs(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id: long, v: array<double>"
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        knn_graph(emb, n_planes=0)
+    with pytest.raises(ValueError, match="bucket_cap"):
+        knn_graph(emb, bucket_cap=0)
+    with pytest.raises(ValueError, match="k"):
+        knn_graph(emb, k=0)
+
+
 def test_knn_graph_multiprobe_recall_vs_exact(spark, sf_dir):
     """Recall yardstick (the test_pq_recall pattern): both kNN-graph
     variants against the exact all-pairs top-k graph. Multi-probe must
