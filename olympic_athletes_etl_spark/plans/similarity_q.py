@@ -1151,14 +1151,26 @@ def s_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _km_fit)."""
     n = _km_base(spark, sf_dir)
     entries = _sim_desc_sorted(_km_entries(_km_fit(n)))
-    asg = n.withColumn("ent", entries)
+    # Materialize the per-vector probe lists ONCE. `t` and `probes` are
+    # two branches over the same corpus, and without this checkpoint each
+    # branch re-evaluates the k-dot-product assignment — the most
+    # expensive map of the build (k ≈ √n centroid dots per row at corpus
+    # scale) — plus a second full scan. This is the cluster-scale "write
+    # assignments, then join" IVF shape; element_at(ent, 1) ≡ pls[0], so
+    # keeping only the top-_N_PROBE slice loses nothing either branch uses.
+    asg = n.select(
+        "vec_id",
+        "v",
+        "vnrm",
+        F.slice(entries, 1, _N_PROBE).alias("pls"),
+    ).localCheckpoint(eager=True)
     wl = Window.partitionBy("list_b").orderBy(F.asc("dst"))
     t = (
         asg.select(
             F.col("vec_id").alias("dst"),
             F.col("v").alias("vb"),
             F.col("vnrm").alias("nb"),
-            F.element_at("ent", 1)["c_id"].alias("list_b"),
+            F.col("pls")[0]["c_id"].alias("list_b"),
         )
         .withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") <= _GRAPH_BUCKET_CAP)
@@ -1168,14 +1180,18 @@ def s_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
         F.col("vnrm").alias("na"),
-        F.explode(F.slice("ent", 1, _N_PROBE)).alias("e"),
+        F.explode("pls").alias("e"),
     ).select("src", "va", "na", F.col("e.c_id").alias("pl"))
     cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     # no duplicate (src, dst): a target lives in exactly one list, the
     # probe lists are distinct — at most one probe matches.
+    # Explicit broadcast: t is bounded at ≤ n_centroids·_GRAPH_BUCKET_CAP
+    # rows by the cap window, but the checkpoint hides that from the
+    # size estimator (a LogicalRDD defaults to "huge").
     pairs = (
         probes.join(
-            t, (F.col("pl") == F.col("list_b")) & (F.col("src") != F.col("dst"))
+            F.broadcast(t),
+            (F.col("pl") == F.col("list_b")) & (F.col("src") != F.col("dst")),
         )
         .select("src", "dst", cos.alias("cos_raw"))
     )
