@@ -28,6 +28,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a superseded ``localCheckpoint``'s blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries (those
+    made by ``.persist()``/``.cache()``); a local checkpoint persists
+    its RDD directly, bypassing the CacheManager, so on a checkpointed
+    frame ``unpersist()`` is a silent no-op and superseded per-round
+    checkpoints would sit in block-manager storage until the JVM's
+    ContextCleaner gets around to them. Reach the checkpointed RDD
+    through the plan's LogicalRDD node and unpersist IT. Falls back to
+    doing nothing if the internal handle is unavailable — the blocks
+    are then freed lazily by the ContextCleaner (the pre-fix behavior),
+    never leaked.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover — py4j internals unavailable
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -81,7 +103,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()  # superseded checkpoint — keep ONE label table
+        _release_checkpoint(labels)  # superseded — keep ONE label table
         labels = new_labels
         if changed == 0:
             break
@@ -90,6 +112,9 @@ def connected_components(
             f"connected_components: labels still changing after "
             f"max_iter={max_iter}"
         )
+    # the edge list is dead once the loop exits (labels is a
+    # self-contained checkpoint)
+    _release_checkpoint(sym)
     return labels
 
 
@@ -180,6 +205,7 @@ def pagerank(
             .groupBy("vertex")
             .agg(F.sum("c").alias("inflow"))
         )
+        prev = ranks
         ranks = (
             verts.join(contribs, "vertex", "left")
             .select(
@@ -191,6 +217,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # superseded round checkpoint (round 1's prev is unmaterialized
+        # and the release no-ops) — keep ONE rank table live
+        _release_checkpoint(prev)
     total = ranks.agg(F.sum("rank").alias("t"))
     return ranks.crossJoin(F.broadcast(total)).select(
         "vertex", (F.col("rank") * n / F.col("t")).alias("rank")
@@ -331,7 +360,7 @@ def kcore(
         )
         # superseded checkpoint — keep ONE edge list in block-manager
         # storage, not one per peel round (deep peels run hundreds)
-        prev.unpersist()
+        _release_checkpoint(prev)
         n_next = e.count()
         # n_next == 0 is a fixpoint by definition — break NOW rather
         # than on the next pass's n_edges == 0 check, so a peel that
@@ -382,6 +411,7 @@ def bfs_depths(
     frontier = sources.select("node").localCheckpoint(eager=True)
     visited = frontier.withColumn("depth", F.lit(0).cast("long"))
     for i in range(1, max_iter + 1):
+        prev_frontier = frontier
         frontier = (
             sym.join(frontier.select(F.col("node").alias("s")), "s")
             .select(F.col("t").alias("node"))
@@ -390,10 +420,25 @@ def bfs_depths(
             .localCheckpoint(eager=True)
         )
         if frontier.count() == 0:
+            # the last non-empty frontier is dead IF visited is already
+            # a self-contained checkpoint (every round but the first —
+            # round 1's visited still references the depth-0 frontier)
+            if i > 1:
+                _release_checkpoint(prev_frontier)
             break
+        prev_visited = visited
         visited = visited.unionByName(
             frontier.withColumn("depth", F.lit(i).cast("long"))
         ).localCheckpoint(eager=True)
+        # Both superseded checkpoints are dead only now: round 1's
+        # visited is an UNMATERIALIZED projection of the source
+        # frontier, so the source frontier must outlive the first
+        # visited checkpoint (and the release of an unmaterialized
+        # frame no-ops). On the empty-frontier break path nothing is
+        # released — the returned visited may still reference the
+        # depth-0 frontier.
+        _release_checkpoint(prev_frontier)
+        _release_checkpoint(prev_visited)
     else:
         raise RuntimeError(f"bfs_depths: frontier non-empty after max_iter={max_iter}")
     return visited
@@ -574,7 +619,7 @@ def pagerank_converged(
         # the superseded round's checkpoint is dead once the delta is
         # computed — unpersist it so storage holds ONE rank table, not
         # up to max_iter of them
-        ranks.unpersist()
+        _release_checkpoint(ranks)
         ranks = new_ranks
         if int(delta) <= eps_units:
             return ranks, rounds
@@ -647,7 +692,7 @@ def connected_components_star(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    raw.unpersist()
+    _release_checkpoint(raw)
 
     def _sym(df: DataFrame) -> DataFrame:
         return df.select(
@@ -693,7 +738,7 @@ def connected_components_star(
     for _ in range(max_iter):
         after_large = _large_star(e).localCheckpoint(eager=True)
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        after_large.unpersist()
+        _release_checkpoint(after_large)
         # both sides are distinct sets: equal counts + one empty
         # difference direction is full set equality, and the count of
         # the already-materialized checkpoint is nearly free
@@ -702,7 +747,7 @@ def connected_components_star(
             n_next == n_edges
             and after_small.exceptAll(e).limit(1).count() == 0
         )
-        e.unpersist()
+        _release_checkpoint(e)
         e = after_small
         n_edges = n_next
         if unchanged:
@@ -734,6 +779,18 @@ def connected_components_star(
         raise RuntimeError(
             "connected_components_star: converged edge set is not "
             "star-shaped (a leaf vertex also appears as a center) — "
+            "labels would be wrong; raising instead of mislabeling"
+        )
+    # ...and that no leaf has TWO centers: {(c1,v),(c2,v)} with distinct
+    # non-leaf centers passes the probe above but would emit duplicate,
+    # conflicting rows for v from the read-out below. One aggregate.
+    dup_center = (
+        e.groupBy("b").count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup_center:
+        raise RuntimeError(
+            "connected_components_star: converged edge set is not "
+            "star-shaped (a leaf vertex has more than one center) — "
             "labels would be wrong; raising instead of mislabeling"
         )
     # fixpoint edges are stars (min, v): label v -> min; centers and

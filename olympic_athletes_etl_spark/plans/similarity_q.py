@@ -935,6 +935,12 @@ _K_GRAPH = 3
 # degenerate bucket (near-duplicate embedding factories, zero vectors)
 # would make it the asymptotic cost of all-pairs/2^planes.
 _GRAPH_BUCKET_CAP = 64
+# Broadcast the capped target side of a graph-build join only while its
+# STATIC row bound (buckets/lists × cap) fits comfortably: ~2^18 rows of
+# 64-dim doubles ≈ 140 MB. Beyond that (corpus-scale knob settings, e.g.
+# 2^20 buckets) the bound is no longer broadcastable and the list-keyed
+# shuffle join is the right physical plan — the hint must not force it.
+_BROADCAST_ROW_BOUND = 1 << 18
 
 
 def knn_graph(
@@ -973,21 +979,30 @@ def knn_graph(
       and an identical plan shape (the probe side explodes; no new
       shuffle).
 
-    Plan shape: two shuffles regardless of corpus size — the bucket
-    hash-join (the target-cap window pre-partitions on the same key, so
-    its exchange is reused) and the per-src rank."""
+    Plan shape: the bucketed corpus (id, vector, norm, bucket) is
+    materialized once (localCheckpoint — the target and probe branches
+    would otherwise each re-scan and re-run the plane-dot bucket map);
+    two shuffles regardless of corpus size — the target-cap window's
+    bucket exchange and the per-src rank — plus the bucket join, which
+    broadcasts the capped target side while its static 2^planes·cap
+    bound fits (_BROADCAST_ROW_BOUND) and shuffle-joins beyond."""
     if n_planes < 1:
         raise ValueError(f"n_planes must be >= 1, got {n_planes}")
     if bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # Materialize the bucketed corpus ONCE: the capped-target and probe
+    # branches below otherwise each re-scan the input and re-run the
+    # norm + n_planes-dot-product bucket map — the most expensive map of
+    # the build, doubled (the same fix as the IVF twin's assignment
+    # checkpoint).
     n = emb.select(
         "vec_id",
         "v",
         F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
         _bucket_expr_spark(n_planes).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     wb = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
     t = (
         n.withColumn("rn", F.row_number().over(wb))
@@ -1020,9 +1035,15 @@ def knn_graph(
     # no duplicate (src, dst) pairs possible: a target lives in exactly
     # one bucket and the probe masks are distinct, so at most one probe
     # bucket matches — the rank window needs no pre-distinct.
+    # The capped target side is statically bounded at 2^n_planes ·
+    # bucket_cap rows — broadcast it iff that bound actually fits (the
+    # checkpoint hides the bound from the size estimator, and an
+    # UNCONDITIONAL hint would break the corpus-scale knob settings,
+    # where 2^20 buckets · cap is shuffle-join territory).
+    t_bound = (1 << n_planes) * bucket_cap if n_planes < 63 else float("inf")
     pairs = (
         probes.join(
-            t,
+            F.broadcast(t) if t_bound <= _BROADCAST_ROW_BOUND else t,
             (F.col("pb") == F.col("bucket_b"))
             & (F.col("src") != F.col("dst")),
         )
@@ -1141,7 +1162,10 @@ def s_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses. Same scale guards as knn_graph: per-list target cap (first
     cap members by vec_id, oracle-mirrored) bounds candidates at
     n·nprobe·cap; the capped target side is ≤ n_centroids·cap rows and
-    broadcasts. Centroid count is the scale knob (≈ √n at corpus
+    broadcasts while that bound fits _BROADCAST_ROW_BOUND (beyond it —
+    the √n-centroid regime — the list-keyed shuffle join takes over
+    rather than forcing an over-limit broadcast). Centroid count is the
+    scale knob (≈ √n at corpus
     scale — 16 here is the test-scale codebook): it sets both list
     granularity and the parallelism of the cap window's list-keyed
     shuffle, so at 100 TB raise it with the corpus the same way
@@ -1185,12 +1209,15 @@ def s_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     # no duplicate (src, dst): a target lives in exactly one list, the
     # probe lists are distinct — at most one probe matches.
-    # Explicit broadcast: t is bounded at ≤ n_centroids·_GRAPH_BUCKET_CAP
-    # rows by the cap window, but the checkpoint hides that from the
-    # size estimator (a LogicalRDD defaults to "huge").
+    # The capped target side is statically bounded at n_centroids·cap
+    # rows, a bound the checkpoint hides from the size estimator (a
+    # LogicalRDD defaults to "huge") — broadcast iff it actually fits:
+    # at the corpus-scale recipe (k ≈ √n centroids) the bound outgrows
+    # any broadcast and the list-keyed shuffle join takes over.
+    t_bound = _N_CENTROIDS * _GRAPH_BUCKET_CAP
     pairs = (
         probes.join(
-            F.broadcast(t),
+            F.broadcast(t) if t_bound <= _BROADCAST_ROW_BOUND else t,
             (F.col("pl") == F.col("list_b")) & (F.col("src") != F.col("dst")),
         )
         .select("src", "dst", cos.alias("cos_raw"))

@@ -683,3 +683,63 @@ def test_cc_star_clusters_the_knn_graph(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# localCheckpoint storage discipline
+# --------------------------------------------------------------------------
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_checkpoint_frees_blocks_where_unpersist_does_not(spark):
+    """DataFrame.unpersist() only clears CacheManager entries; a local
+    checkpoint persists its RDD directly, so unpersist() is a silent
+    no-op on it — the motivating fact for _release_checkpoint."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    before = _n_persistent(spark)
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert _n_persistent(spark) == before + 1
+    df.unpersist()  # the documented no-op
+    assert _n_persistent(spark) == before + 1
+    _release_checkpoint(df)
+    assert _n_persistent(spark) == before
+
+
+def test_release_checkpoint_noops_on_unmaterialized_frames(spark):
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    before = _n_persistent(spark)
+    _release_checkpoint(spark.range(10).selectExpr("id * 2 AS x"))
+    assert _n_persistent(spark) == before
+
+
+def test_iterative_operators_do_not_accumulate_checkpoints(spark):
+    """A deep peel/propagation must hold O(1) checkpointed frames, not
+    one per round — superseded rounds are released deterministically."""
+    from olympic_athletes_etl_spark.operators.graph import (
+        bfs_depths,
+        connected_components,
+        kcore,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+
+    before = _n_persistent(spark)
+    labels = connected_components(edges)  # ~30 propagation rounds
+    assert labels.count() == 31
+    # only the returned labels checkpoint may remain live
+    assert _n_persistent(spark) - before <= 1
+
+    before = _n_persistent(spark)
+    sources = spark.createDataFrame([(0,)], ["node"])
+    depths = bfs_depths(edges, sources)  # 30 frontier rounds
+    assert depths.count() == 31
+    # final visited + final (empty) frontier + the edge list may remain
+    assert _n_persistent(spark) - before <= 3
+
+    before = _n_persistent(spark)
+    core = kcore(edges, k=2)  # a path has no 2-core: full 30-round peel
+    assert core.count() == 0
+    assert _n_persistent(spark) - before <= 2
