@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 
@@ -391,11 +392,13 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KCORE_ROUNDS):
         deg = _degrees(e)
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        prev = e
         e = (
             e.join(keep.withColumnRenamed("node", "pa"), "pa", "leftsemi")
             .join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
             .localCheckpoint(eager=True)
         )
+        _release_checkpoint(prev)  # superseded round — keep ONE edge list
     return (
         e.select(F.col("pa").alias("part"))
         .unionByName(e.select(F.col("pb").alias("part")))
@@ -479,6 +482,7 @@ def g_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = frontier.withColumn("depth", F.lit(0).cast("long"))
     for i in range(1, _BFS_ROUNDS + 1):
+        prev_frontier = frontier
         frontier = (
             sym.join(
                 frontier.select(F.col("node").alias("s")), "s"
@@ -488,9 +492,15 @@ def g_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
+        prev_visited = visited
         visited = visited.unionByName(
             frontier.withColumn("depth", F.lit(i).cast("long"))
         ).localCheckpoint(eager=True)
+        # released only after the new visited checkpoint: round 1's
+        # visited is an unmaterialized projection of the seed frontier
+        # (same ordering constraint as operators/graph.py:bfs_depths)
+        _release_checkpoint(prev_frontier)
+        _release_checkpoint(prev_visited)
     return visited.select(F.col("node").alias("part"), "depth")
 
 
