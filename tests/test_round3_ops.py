@@ -290,3 +290,25 @@ def test_peak_concurrency_carries_over_hour_boundaries(spark, sf_dir):
             h += dt.timedelta(hours=1)
     per_hour = {k: v for k, v in per_hour.items() if v > 0}
     assert rows == per_hour
+
+
+def test_knn_graph_broadcast_hint_respects_static_bound(spark):
+    """The capped target side is broadcast ONLY while its static
+    2^n_planes·cap row bound fits _BROADCAST_ROW_BOUND: at registered
+    defaults the pre-AQE plan must carry the broadcast (the checkpoint
+    hides the bound from the size estimator), and at corpus-scale knob
+    settings the hint must be absent — forcing an over-limit broadcast
+    there would fail outright on a real cluster instead of falling back
+    to the bucket-keyed shuffle join."""
+    rows = [(i, [float(i + d) for d in range(64)]) for i in range(1, 9)]
+    emb = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+
+    small = knn_graph(emb)  # default 8 planes · cap 64 = 16k <= bound
+    p_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p_small
+
+    big = knn_graph(emb, n_planes=20)  # 2^20 · 64 >> bound
+    p_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p_big
+    # results are knob-shaped but both forms still rank correctly
+    assert all(r["rank"] <= _K_GRAPH for r in big.collect())
