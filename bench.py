@@ -74,6 +74,7 @@ EXTENDED_QUERIES = [
     "s_knn_graph",
     "s_knn_graph_multiprobe",
     "s_knn_graph_ivf",
+    "s_knn_graph_incr",
     "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",

@@ -997,14 +997,35 @@ def knn_graph(
     # norm + n_planes-dot-product bucket map — the most expensive map of
     # the build, doubled (the same fix as the IVF twin's assignment
     # checkpoint).
-    n = emb.select(
+    n = _bucketed_corpus(emb, n_planes)
+    t = _capped_targets(n, bucket_cap)
+    probes = _graph_probes(n, n_planes, multiprobe)
+    # no duplicate (src, dst) pairs possible: a target lives in exactly
+    # one bucket and the probe masks are distinct, so at most one probe
+    # bucket matches — the rank window needs no pre-distinct.
+    pairs = _pair_edges(probes, t, _target_bound(n_planes, bucket_cap))
+    return (
+        _topk_raw(pairs, k)
+        .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _bucketed_corpus(emb: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, v, nrm, bucket) — one eager checkpoint every graph-build
+    branch (target cap, probes, old/new splits) derives from."""
+    return emb.select(
         "vec_id",
         "v",
         F.sqrt(F.expr(_DOT.format(a="v", b="v"))).alias("nrm"),
         _bucket_expr_spark(n_planes).alias("bucket"),
     ).localCheckpoint(eager=True)
+
+
+def _capped_targets(n: DataFrame, bucket_cap: int) -> DataFrame:
+    """First ``bucket_cap`` members of each bucket by vec_id — the
+    deterministic hot-bucket guard (oracle-mirrored via QUALIFY)."""
     wb = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
-    t = (
+    return (
         n.withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= bucket_cap)
         .select(
@@ -1014,6 +1035,9 @@ def knn_graph(
             F.col("bucket").alias("bucket_b"),
         )
     )
+
+
+def _graph_probes(n: DataFrame, n_planes: int, multiprobe: bool) -> DataFrame:
     src_cols = [
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
@@ -1021,7 +1045,7 @@ def knn_graph(
     ]
     if multiprobe:
         masks = [0] + [1 << p for p in range(n_planes)]
-        probes = n.select(
+        return n.select(
             *src_cols,
             F.explode(
                 F.array(
@@ -1029,19 +1053,23 @@ def knn_graph(
                 )
             ).alias("pb"),
         )
-    else:
-        probes = n.select(*src_cols, F.col("bucket").alias("pb"))
+    return n.select(*src_cols, F.col("bucket").alias("pb"))
+
+
+def _target_bound(n_planes: int, bucket_cap: int) -> float:
+    """Static row bound of the capped target side: 2^planes · cap."""
+    return (1 << n_planes) * bucket_cap if n_planes < 63 else float("inf")
+
+
+def _pair_edges(probes: DataFrame, t: DataFrame, t_bound: float) -> DataFrame:
+    """Bucket-keyed candidate join → (src, dst, cos_raw). The capped
+    target side is statically bounded (see _target_bound) — broadcast it
+    iff that bound actually fits (the checkpoint hides the bound from
+    the size estimator, and an UNCONDITIONAL hint would break the
+    corpus-scale knob settings, where 2^20 buckets · cap is shuffle-join
+    territory)."""
     cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
-    # no duplicate (src, dst) pairs possible: a target lives in exactly
-    # one bucket and the probe masks are distinct, so at most one probe
-    # bucket matches — the rank window needs no pre-distinct.
-    # The capped target side is statically bounded at 2^n_planes ·
-    # bucket_cap rows — broadcast it iff that bound actually fits (the
-    # checkpoint hides the bound from the size estimator, and an
-    # UNCONDITIONAL hint would break the corpus-scale knob settings,
-    # where 2^20 buckets · cap is shuffle-join territory).
-    t_bound = (1 << n_planes) * bucket_cap if n_planes < 63 else float("inf")
-    pairs = (
+    return (
         probes.join(
             F.broadcast(t) if t_bound <= _BROADCAST_ROW_BOUND else t,
             (F.col("pb") == F.col("bucket_b"))
@@ -1049,10 +1077,94 @@ def knn_graph(
         )
         .select("src", "dst", cos.alias("cos_raw"))
     )
+
+
+def _topk_raw(pairs: DataFrame, k: int) -> DataFrame:
+    """Per-src rank over (src, dst, cos_raw); keeps rank <= k."""
     w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_graph_merge(
+    emb: DataFrame,
+    is_new,
+    old_graph: DataFrame | None = None,
+    k: int = _K_GRAPH,
+    n_planes: int = _N_PLANES,
+    bucket_cap: int = _GRAPH_BUCKET_CAP,
+) -> DataFrame:
+    """INCREMENTAL kNN-graph maintenance: merge a NEW vector batch into
+    an existing graph without re-running the old×old candidate join —
+    the operation a 100 TB embedding store actually performs per
+    ingestion batch (a full rebuild re-pays the whole corpus's candidate
+    volume for every batch; the merge pays only the edges the batch can
+    change).
+
+    ``emb``: the full corpus (old ∪ new), ``is_new``: a Column predicate
+    marking the new batch, ``old_graph``: the stored top-``k`` graph
+    over the OLD vectors with RAW scores — columns (src, dst, cos_raw)
+    — e.g. read back from the parquet the previous build wrote. Pass
+    ``None`` to have it rebuilt in-plan from the old side (the
+    self-contained form the registered query uses; production passes
+    the stored graph and skips that cost entirely).
+
+    Construction: candidate pairs are exactly the bucket-join pairs that
+    INVOLVE the new batch — (all probes × capped NEW targets) ∪ (new
+    probes × capped ALL targets) — unioned with the old graph's edges,
+    deduped on (src, dst) (max(cos_raw) — the score is identical where
+    both sides produced the pair), then the standard per-src top-k.
+    Candidate volume is ≤ n·(new-per-bucket, capped) + |new|·cap —
+    proportional to the BATCH's bucket footprint, not the corpus's.
+
+    Exactness: when the bucket cap does not bind, the merge equals the
+    full rebuild EXACTLY — any rebuild top-k neighbor of an old source
+    is either new (generated by the batch join) or old, and an old
+    neighbor that survives against the union ranks at least as high
+    among old-only candidates, so it is already in ``old_graph``
+    (pinned in test_round3_ops). Where the cap binds, the capped target
+    sets differ (old-only vs union caps) and the merge is the documented
+    approximation every incremental-ANN maintenance scheme makes.
+
+    Plan shape: one checkpointed bucket map over the corpus, the two
+    batch joins (capped sides conditionally broadcast — _target_bound),
+    one (src, dst) dedup aggregate, one per-src rank — every shuffle
+    keyed on bucket or src exactly like the full build."""
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = _bucketed_corpus(emb, n_planes)
+    new_n = n.filter(is_new)
+    t_bound = _target_bound(n_planes, bucket_cap)
+    if old_graph is None:
+        old_n = n.filter(~is_new)
+        old_pairs = _pair_edges(
+            _graph_probes(old_n, n_planes, False),
+            _capped_targets(old_n, bucket_cap),
+            t_bound,
+        )
+        old_graph = _topk_raw(old_pairs, k).select("src", "dst", "cos_raw")
+    cand_new_dst = _pair_edges(
+        _graph_probes(n, n_planes, False),
+        _capped_targets(new_n, bucket_cap),
+        t_bound,
+    )
+    cand_new_src = _pair_edges(
+        _graph_probes(new_n, n_planes, False),
+        _capped_targets(n, bucket_cap),
+        t_bound,
+    )
+    merged = (
+        old_graph.select("src", "dst", "cos_raw")
+        .unionByName(cand_new_dst)
+        .unionByName(cand_new_src)
+        .groupBy("src", "dst")
+        .agg(F.max("cos_raw").alias("cos_raw"))
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        _topk_raw(merged, k)
         .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
 
@@ -1228,6 +1340,95 @@ def s_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K_GRAPH)
         .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental kNN-graph maintenance (merge a new batch into the graph)
+# --------------------------------------------------------------------------
+_INCR_MOD = 8  # new batch = vec_id % _INCR_MOD == 0 (deterministic 1/8)
+
+
+def _knn_graph_incr_oracle() -> str:
+    cap, k, m = _GRAPH_BUCKET_CAP, _K_GRAPH, _INCR_MOD
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_bucket_sql_duck()} AS bucket
+      FROM e
+    ),
+    old AS (SELECT * FROM n WHERE vec_id % {m} <> 0),
+    nw  AS (SELECT * FROM n WHERE vec_id % {m} = 0),
+    tOld AS (
+      SELECT vec_id, v, nrm, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+      FROM old QUALIFY rn <= {cap}
+    ),
+    gOld AS (
+      SELECT p.vec_id AS src, t.vec_id AS dst,
+             list_dot_product(p.v, t.v) / (p.nrm * t.nrm) AS cos_raw,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_dot_product(p.v, t.v) / (p.nrm * t.nrm) DESC,
+                        t.vec_id ASC) AS rk
+      FROM old p JOIN tOld t
+        ON t.bucket = p.bucket AND t.vec_id <> p.vec_id
+      QUALIFY rk <= {k}
+    ),
+    tNew AS (
+      SELECT vec_id, v, nrm, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+      FROM nw QUALIFY rn <= {cap}
+    ),
+    tAll AS (
+      SELECT vec_id, v, nrm, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+      FROM n QUALIFY rn <= {cap}
+    ),
+    candA AS (
+      SELECT p.vec_id AS src, t.vec_id AS dst,
+             list_dot_product(p.v, t.v) / (p.nrm * t.nrm) AS cos_raw
+      FROM n p JOIN tNew t
+        ON t.bucket = p.bucket AND t.vec_id <> p.vec_id
+    ),
+    candB AS (
+      SELECT p.vec_id AS src, t.vec_id AS dst,
+             list_dot_product(p.v, t.v) / (p.nrm * t.nrm) AS cos_raw
+      FROM nw p JOIN tAll t
+        ON t.bucket = p.bucket AND t.vec_id <> p.vec_id
+    ),
+    merged AS (
+      SELECT src, dst, max(cos_raw) AS cos_raw FROM (
+        SELECT src, dst, cos_raw FROM gOld
+        UNION ALL SELECT src, dst, cos_raw FROM candA
+        UNION ALL SELECT src, dst, cos_raw FROM candB
+      ) u GROUP BY 1, 2
+    )
+    SELECT src, dst, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_raw DESC, dst ASC) AS rank
+    FROM merged
+    QUALIFY rank <= {k}
+    """
+
+
+@query("s_knn_graph_incr", oracle=_knn_graph_incr_oracle())
+def s_knn_graph_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL kNN-graph maintenance — ``knn_graph_merge`` with the
+    new batch = vec_id % {m} == 0 and the old graph rebuilt in-plan
+    (registered queries are stateless; production reads the stored
+    graph instead and pays only the batch joins — candidate volume
+    proportional to the BATCH's bucket footprint, not the corpus's).
+    Merge == full rebuild exactly while the bucket cap doesn't bind
+    (pinned in test_round3_ops); same knobs and plan shape as
+    knn_graph."""
+    emb = _emb_double(spark, sf_dir)
+    return knn_graph_merge(emb, F.col("vec_id") % _INCR_MOD == 0)
+
+
+s_knn_graph_incr.__doc__ = s_knn_graph_incr.__doc__.format(m=_INCR_MOD)
 
 
 # --------------------------------------------------------------------------
@@ -1757,4 +1958,123 @@ def s_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 s_retrieval_eval.__doc__ = s_retrieval_eval.__doc__.format(
     k=_K, m=_EVAL_PROBE_MOD
+)
+
+
+# --------------------------------------------------------------------------
+# kNN-graph recall evaluation (every variant vs the exact graph, sampled)
+# --------------------------------------------------------------------------
+_RECALL_MOD = 10  # sampled sources = vec_id % _RECALL_MOD == 0
+
+
+def _graph_recall_oracle() -> str:
+    k, m = _K_GRAPH, _RECALL_MOD
+    return f"""
+    WITH g_lsh AS ({_knn_graph_oracle(multiprobe=False)}),
+    g_multi AS ({_knn_graph_oracle(multiprobe=True)}),
+    g_ivf AS ({_knn_graph_ivf_oracle()}),
+    e2 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n2 AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2
+    ),
+    probes AS (
+      SELECT vec_id AS src, v AS pv, nrm AS pnrm FROM n2
+      WHERE vec_id % {m} = 0
+    ),
+    exact AS (
+      SELECT p.src, n2.vec_id AS dst,
+             row_number() OVER (
+               PARTITION BY p.src
+               ORDER BY list_dot_product(n2.v, p.pv) / (n2.nrm * p.pnrm)
+                        DESC, n2.vec_id ASC) AS rk
+      FROM n2 CROSS JOIN probes p
+      WHERE n2.vec_id <> p.src
+      QUALIFY rk <= {k}
+    ),
+    ex_cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    tagged AS (
+      SELECT 'lsh' AS variant, src, dst FROM g_lsh WHERE src % {m} = 0
+      UNION ALL
+      SELECT 'multiprobe', src, dst FROM g_multi WHERE src % {m} = 0
+      UNION ALL
+      SELECT 'ivf', src, dst FROM g_ivf WHERE src % {m} = 0
+    ),
+    hits AS (
+      SELECT t.variant, CAST(count(*) AS BIGINT) AS n_hit
+      FROM tagged t JOIN exact x ON x.src = t.src AND x.dst = t.dst
+      GROUP BY 1
+    )
+    SELECT h.variant, c.n_exact, h.n_hit,
+           CAST((10000 * h.n_hit) // c.n_exact AS BIGINT) AS recall_x10000
+    FROM hits h CROSS JOIN ex_cnt c
+    """
+
+
+@query("s_graph_recall", oracle=_graph_recall_oracle())
+def s_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH RECALL EVALUATION: every registered graph variant
+    (single-probe LSH, 1-bit multiprobe, learned IVF lists) scored
+    against the EXACT top-{k} graph over a deterministic source sample
+    (src % {m} == 0) — the standing yardstick that says what the bucket
+    knobs actually buy. The x10000 recall is an integer division
+    (order-independent, engine-exact); edge sets join on (src, dst).
+
+    Scale: exact ground truth costs sample × corpus dot products (the
+    s_retrieval_eval recipe — production pins an ABSOLUTE sample size so
+    eval cost stays flat as the corpus grows); each variant's graph is
+    the build already benched, filtered to sampled sources (the filter
+    is on the rank window's partition key, so it prunes BEFORE the
+    window). The exact edge list is checkpointed once — it feeds both
+    the per-variant hit join (broadcast: sample-bounded) and the
+    denominator count."""
+    n = _emb_double(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    )
+    probes = n.filter(F.col("vec_id") % _RECALL_MOD == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("nrm") * F.col("pnrm"))
+    wx = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    exact = (
+        n.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("src"))
+        .select("src", F.col("vec_id").alias("dst"), cos.alias("cos_raw"))
+        .withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= _K_GRAPH)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # feeds the hit join AND the count
+    )
+    ex_cnt = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    variants = [
+        ("lsh", s_knn_graph(spark, sf_dir)),
+        ("multiprobe", s_knn_graph_multiprobe(spark, sf_dir)),
+        ("ivf", s_knn_graph_ivf(spark, sf_dir)),
+    ]
+    tagged = None
+    for name, g in variants:
+        part = g.filter(F.col("src") % _RECALL_MOD == 0).select(
+            F.lit(name).alias("variant"), "src", "dst"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    hits = (
+        tagged.join(F.broadcast(exact), ["src", "dst"])
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return hits.crossJoin(F.broadcast(ex_cnt)).select(
+        "variant",
+        "n_exact",
+        "n_hit",
+        F.expr("CAST((10000 * n_hit) div n_exact AS BIGINT)").alias(
+            "recall_x10000"
+        ),
+    )
+
+
+s_graph_recall.__doc__ = s_graph_recall.__doc__.format(
+    k=_K_GRAPH, m=_RECALL_MOD
 )

@@ -75,6 +75,10 @@ ALLOWED_BNLJ = {
     "s_ann_ivf_kmeans": 1,
     "s_ann_lsh_multiprobe": 1,
     "s_ann_pq": 1,
+    "s_graph_recall": 1,  # 1-row n_exact scalar aggregate cross-joined
+                          # onto the 3-row per-variant hit counts (the
+                          # probes×corpus cross join is behind the exact
+                          # edge list's checkpoint, not in this plan)
     "s_hybrid_search": 2,
     "s_knn_batch": 1,
     "s_knn_bruteforce": 1,

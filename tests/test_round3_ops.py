@@ -312,3 +312,97 @@ def test_knn_graph_broadcast_hint_respects_static_bound(spark):
     assert "SortMergeJoin" in p_big
     # results are knob-shaped but both forms still rank correctly
     assert all(r["rank"] <= _K_GRAPH for r in big.collect())
+
+
+def test_knn_graph_merge_equals_rebuild_when_cap_unbound(spark, sf_dir):
+    """The exactness contract of incremental maintenance: while the
+    bucket cap does not bind, merging the new batch into the old graph
+    reproduces the full rebuild EXACTLY (any rebuild top-k neighbor of
+    an old source is either new — generated by the batch joins — or
+    old and already in the old graph; see knn_graph_merge docstring).
+    Cap 10_000 > corpus size, so no bucket ever truncates."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        knn_graph_merge,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    is_new = F.col("vec_id") % 8 == 0
+    rebuild = {
+        (r["src"], r["dst"], r["cos_sim"], r["rank"])
+        for r in knn_graph(emb, bucket_cap=10_000).collect()
+    }
+    merged = {
+        (r["src"], r["dst"], r["cos_sim"], r["rank"])
+        for r in knn_graph_merge(emb, is_new, bucket_cap=10_000).collect()
+    }
+    assert merged == rebuild
+
+
+def test_knn_graph_merge_accepts_stored_old_graph(spark, sf_dir):
+    """The production path — the old graph comes from storage instead of
+    being rebuilt in-plan — must give the identical result to the
+    self-contained form (old_graph=None). Exercised by materializing
+    the old-side raw edges exactly as a previous build would have
+    persisted them."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _GRAPH_BUCKET_CAP,
+        _N_PLANES,
+        _bucketed_corpus,
+        _capped_targets,
+        _graph_probes,
+        _pair_edges,
+        _target_bound,
+        _topk_raw,
+        knn_graph_merge,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    is_new = F.col("vec_id") % 8 == 0
+    old_n = _bucketed_corpus(emb.filter(~is_new), _N_PLANES)
+    stored = _topk_raw(
+        _pair_edges(
+            _graph_probes(old_n, _N_PLANES, False),
+            _capped_targets(old_n, _GRAPH_BUCKET_CAP),
+            _target_bound(_N_PLANES, _GRAPH_BUCKET_CAP),
+        ),
+        _K_GRAPH,
+    ).select("src", "dst", "cos_raw")
+    self_contained = {
+        tuple(r) for r in knn_graph_merge(emb, is_new).collect()
+    }
+    from_storage = {
+        tuple(r)
+        for r in knn_graph_merge(emb, is_new, old_graph=stored).collect()
+    }
+    assert from_storage == self_contained
+
+
+def test_graph_recall_orders_variants(spark, sf_dir):
+    """The registered recall yardstick must agree with the pinned
+    recall relationships (ivf >= multiprobe >= lsh) and its denominator
+    must be exactly sampled-sources x k."""
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _RECALL_MOD,
+        s_graph_recall,
+    )
+
+    rows = {r["variant"]: r for r in s_graph_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "multiprobe", "ivf"}
+    n_src = (
+        _emb_double(spark, sf_dir)
+        .filter(F.col("vec_id") % _RECALL_MOD == 0)
+        .count()
+    )
+    for r in rows.values():
+        assert r["n_exact"] == n_src * _K_GRAPH
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert r["recall_x10000"] == 10000 * r["n_hit"] // r["n_exact"]
+    assert (
+        rows["ivf"]["recall_x10000"]
+        >= rows["multiprobe"]["recall_x10000"]
+        >= rows["lsh"]["recall_x10000"]
+    )
