@@ -39,19 +39,21 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      s_list_stats, and d_dup_clusters_star are newly registered (the
 #      multiprobe kNN graph, the learned-inverted-list kNN graph + its
 #      occupancy diagnostic, and the large-star/small-star CC scale
-#      path); s_knn_graph_incr (incremental graph maintenance) and
-#      s_graph_recall (the variant-vs-exact recall yardstick) are newly
-#      registered late in the round;
+#      path); s_knn_graph_incr (incremental graph maintenance),
+#      s_graph_recall (the variant-vs-exact recall yardstick), and
+#      s_ann_ivfpq (the composed IVF+PQ index) are newly registered
+#      late in the round;
 #   2. the pre-generated oldest-first r7 rotation from the COVERAGE.md
 #      freshness ledger (r2-stale textstats/dedup/events, multimodal,
 #      validation, the r2-stale tpch slice, then r3 residue) — minus
 #      d_embedding_neardup (already in group 1) and minus the last 10
 #      ledger entries (t_chunk_split, t_ngram_freq, t_pii_scrub,
 #      t_unigram_commonness, t_chunk_overlap, d_simhash_wide,
-#      d_contamination, d_minhash_estimate, then t_corpus_prep and
-#      t_idf displaced by the two late registrations), displaced by the
-#      changed-plan group and rolled to the front of the r8 rotation.
-# Prefix math (driver audits 50): 11 + 39 = exactly 50. Everything
+#      d_contamination, d_minhash_estimate, then t_corpus_prep, t_idf,
+#      and t_balanced_sample displaced by the three late
+#      registrations), displaced by the changed-plan group and rolled
+#      to the front of the r8 rotation.
+# Prefix math (driver audits 50): 12 + 38 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 CHANGED_PLANS_R7 = [
@@ -66,6 +68,7 @@ CHANGED_PLANS_R7 = [
     "d_dup_clusters_star",
     "s_knn_graph_incr",
     "s_graph_recall",
+    "s_ann_ivfpq",
 ]
 STALE_LEDGER_R7 = [
     # r2-stale textstats
@@ -109,11 +112,11 @@ STALE_LEDGER_R7 = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q12_priority_shipping",
-    # r3 textstats residue (t_corpus_prep / t_idf rolled to the r8
-    # front, displaced by the two late-round registrations)
+    # r3 textstats residue (t_corpus_prep / t_idf / t_balanced_sample
+    # rolled to the r8 front, displaced by the three late-round
+    # registrations)
     "t_gopher_quality",
     "t_source_mix",
-    "t_balanced_sample",
 ]
 AUDIT_PREFIX = CHANGED_PLANS_R7 + STALE_LEDGER_R7
 

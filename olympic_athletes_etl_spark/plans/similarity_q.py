@@ -752,21 +752,16 @@ def _pq_fit(n: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
     return books
 
 
-def _pq_oracle() -> str:
-    """Unrolled per-subspace training + ADC + exact re-rank as CTEs."""
-    parts = [
-        f"""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), nq2 AS (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnrm,
-             list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)) AS vq,
-             sqrt(list_dot_product(
-               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)),
-               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)))) AS qnrm
-      FROM e
-    )"""
-    ]
+def _pq_train_ctes(base: str) -> str:
+    """Unrolled per-subspace PQ training as DuckDB CTEs over ``base`` (a
+    CTE exposing ``vec_id, vq``): emits, for each subspace j, the
+    ``sub{{j}}`` slices, ``cent{{j}}_*`` codebook iterations, final
+    ``codes{{j}}`` assignments, the probe subvector ``probe{{j}}``, and
+    the per-subspace ADC partials ``part{{j}}(vec_id, num, cn2)``.
+    Shared by _pq_oracle and _ivfpq_oracle so the codebook training
+    definition can't desynchronize between them (the _km_train_ctes
+    pattern)."""
+    parts = []
     assign = (
         "(SELECT c.c_id FROM {cent} c"
         " ORDER BY list_dot_product(s.sq, c.cv)"
@@ -781,7 +776,7 @@ def _pq_oracle() -> str:
       SELECT vec_id, list_slice(vq, {lo}, {hi}) AS sq,
              sqrt(list_dot_product(list_slice(vq, {lo}, {hi}),
                                    list_slice(vq, {lo}, {hi}))) AS sqn
-      FROM nq2
+      FROM {base}
     ), cent{j}_0 AS (
       SELECT vec_id AS c_id, sq AS cv FROM sub{j} WHERE vec_id < {_PQ_KSUB}
     )"""
@@ -815,16 +810,36 @@ def _pq_oracle() -> str:
       CROSS JOIN probe{j} p
     )"""
         )
-    joins = " ".join(f"JOIN part{j} USING (vec_id)" for j in range(1, _PQ_M))
-    nums = " + ".join(f"part{j}.num" for j in range(_PQ_M))
-    cn2s = " + ".join(f"part{j}.cn2" for j in range(_PQ_M))
-    parts.append(
-        f""", pn AS (
+    return "".join(parts)
+
+
+_PQ_ADC_JOINS = " ".join(f"JOIN part{j} USING (vec_id)" for j in range(1, _PQ_M))
+_PQ_ADC_NUMS = " + ".join(f"part{j}.num" for j in range(_PQ_M))
+_PQ_ADC_CN2S = " + ".join(f"part{j}.cn2" for j in range(_PQ_M))
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace training + ADC + exact re-rank as CTEs."""
+    header = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nq2 AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnrm,
+             list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)) AS vq,
+             sqrt(list_dot_product(
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)),
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)))) AS qnrm
+      FROM e
+    )"""
+    return (
+        header
+        + _pq_train_ctes("nq2")
+        + f""", pn AS (
       SELECT qnrm AS pqnrm, v AS pv, vnrm AS pnrm FROM nq2
       WHERE vec_id = {_QUERY_VEC_ID}
     ), adc AS (
-      SELECT part0.vec_id, ({nums}) / (pn.pqnrm * sqrt({cn2s})) AS score
-      FROM part0 {joins} CROSS JOIN pn
+      SELECT part0.vec_id, ({_PQ_ADC_NUMS}) / (pn.pqnrm * sqrt({_PQ_ADC_CN2S})) AS score
+      FROM part0 {_PQ_ADC_JOINS} CROSS JOIN pn
       WHERE part0.vec_id != {_QUERY_VEC_ID}
     ), shortlist AS (
       SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC
@@ -840,7 +855,43 @@ def _pq_oracle() -> str:
     FROM rescored
     QUALIFY rank <= {_K}"""
     )
-    return "".join(parts)
+
+
+def _pq_adc_exprs(
+    books: dict[int, list[tuple[int, list[int]]]], probe_q: list[int]
+) -> tuple[dict[str, F.Column], F.Column, F.Column]:
+    """Per-subspace code columns plus the ADC accumulators for a collected
+    integer probe vector: returns ``(code_cols, num_expr, cn2_expr)``.
+    The pdot/cn2 lookup tables are exact Python-int arithmetic folded into
+    literal maps (bounded: _PQ_KSUB entries per subspace), so the scored
+    scan touches only the code columns — shared by s_ann_pq (full-corpus
+    ADC) and s_ann_ivfpq (probed-lists ADC)."""
+    code_cols: dict[str, F.Column] = {}
+    num_expr: F.Column = F.lit(0.0)
+    cn2_expr: F.Column = F.lit(0.0)
+    for j, cents in sorted(books.items()):
+        psub = probe_q[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
+        pdot_map = F.create_map(
+            *[
+                x
+                for c_id, comps in cents
+                for x in (
+                    F.lit(c_id),
+                    F.lit(float(sum(p * c for p, c in zip(psub, comps)))),
+                )
+            ]
+        )
+        cn2_map = F.create_map(
+            *[
+                x
+                for c_id, comps in cents
+                for x in (F.lit(c_id), F.lit(float(sum(c * c for c in comps))))
+            ]
+        )
+        code_cols[f"code{j}"] = _pq_code_col(cents, j)
+        num_expr = num_expr + F.element_at(pdot_map, F.col(f"code{j}"))
+        cn2_expr = cn2_expr + F.element_at(cn2_map, F.col(f"code{j}"))
+    return code_cols, num_expr, cn2_expr
 
 
 @query("s_ann_pq", oracle=_pq_oracle())
@@ -864,31 +915,8 @@ def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["vq"]
     ]
 
-    scored = n
-    num_expr: F.Column = F.lit(0.0)
-    cn2_expr: F.Column = F.lit(0.0)
-    for j, cents in sorted(books.items()):
-        psub = probe_q[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
-        pdot_map = F.create_map(
-            *[
-                x
-                for c_id, comps in cents
-                for x in (
-                    F.lit(c_id),
-                    F.lit(float(sum(p * c for p, c in zip(psub, comps)))),
-                )
-            ]
-        )
-        cn2_map = F.create_map(
-            *[
-                x
-                for c_id, comps in cents
-                for x in (F.lit(c_id), F.lit(float(sum(c * c for c in comps))))
-            ]
-        )
-        scored = scored.withColumn(f"code{j}", _pq_code_col(cents, j))
-        num_expr = num_expr + F.element_at(pdot_map, F.col(f"code{j}"))
-        cn2_expr = cn2_expr + F.element_at(cn2_map, F.col(f"code{j}"))
+    code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
+    scored = n.withColumns(code_cols)
 
     # ADC cosine denominator: PROBE's quantized norm (a constant — exact
     # Python int arithmetic under the sqrt) × the reconstructed-candidate
@@ -896,6 +924,123 @@ def s_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it reweights every score by a per-candidate factor and only matched
     # the oracle because the shipped embeddings are unit-normalized
     # (caught by the round-3 self-review; the oracle always had it right).
+    probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
+    adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
+    shortlist = (
+        scored.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "v", "vnrm", adc.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    probe = n.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("pv"), F.col("vnrm").alias("pnrm")
+    )
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("vnrm") * F.col("pnrm"))
+    rescored = shortlist.crossJoin(F.broadcast(probe)).select(
+        "vec_id", cos.alias("cos_raw")
+    )
+    topk = rescored.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # Unpartitioned window over exactly K rows (post-limit); the logged
+    # "No Partition Defined" warning is accepted — see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ composed (the deployed-at-scale ANN architecture)
+# --------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    """Coarse k-means lists (shared _km_train_ctes) + per-subspace PQ
+    codebooks (shared _pq_train_ctes over the SAME quantized base) +
+    list-restricted ADC + exact re-rank."""
+    km_ctes, cent = _km_train_ctes()
+    return (
+        km_ctes
+        + _pq_train_ctes("nq")
+        + f""", pn AS (
+      SELECT qnrm AS pqnrm, v AS pv, vnrm AS pnrm, vq AS pvq FROM nq
+      WHERE vec_id = {_QUERY_VEC_ID}
+    ), probe_lists AS (
+      SELECT c.c_id FROM {cent} c CROSS JOIN pn
+      ORDER BY list_dot_product(pn.pvq, c.cv)
+               / (pn.pqnrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC
+      LIMIT {_N_PROBE}
+    ), adc AS (
+      SELECT part0.vec_id, ({_PQ_ADC_NUMS}) / (pn.pqnrm * sqrt({_PQ_ADC_CN2S})) AS score
+      FROM part0 {_PQ_ADC_JOINS}
+      JOIN asgF a ON a.vec_id = part0.vec_id
+      CROSS JOIN pn
+      WHERE part0.vec_id != {_QUERY_VEC_ID}
+        AND a.list_id IN (SELECT c_id FROM probe_lists)
+    ), shortlist AS (
+      SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC
+      LIMIT {_PQ_SHORTLIST}
+    ), rescored AS (
+      SELECT n.vec_id,
+             list_dot_product(n.v, pn.pv) / (n.vnrm * pn.pnrm) AS cos_raw
+      FROM nq n CROSS JOIN pn
+      WHERE n.vec_id IN (SELECT vec_id FROM shortlist)
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos_sim,
+           row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+    FROM rescored
+    QUALIFY rank <= {_K}"""
+    )
+
+
+@query("s_ann_ivfpq", oracle=_ivfpq_oracle())
+def s_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the index you'd actually deploy for ANN at
+    100 TB (FAISS's IndexIVFPQ with by_residual=false, the standard form
+    for cosine/inner-product metrics; Jégou et al., TPAMI 2011, §V
+    "IVFADC"). Composition of the two existing pieces at their exact
+    shared training definitions:
+
+    - COARSE: deterministic spherical k-means lists (same _km_fit as
+      s_ann_ivf_kmeans) assign every vector a ``list_id``; the probe
+      searches its _N_PROBE nearest lists only. At 100 TB the table is
+      written partitioned BY list_id, so this step is partition pruning —
+      the scan never touches the other lists' files.
+    - FINE: per-subspace PQ codebooks (same _pq_fit as s_ann_pq) score
+      the pruned scan from 8-byte codes via literal ADC lookup maps — no
+      raw vectors read until the final _PQ_SHORTLIST re-rank.
+
+    Against s_ann_pq the scored scan shrinks from the whole corpus to
+    nprobe/k_lists of it; against s_ann_ivf_kmeans the scored bytes drop
+    ~32x (codes vs raw doubles). Candidates surviving both filters
+    re-rank exactly. Plan: one broadcast semi-join (probe lists), in-row
+    encode + map lookups, TakeOrderedAndProject shortlist, broadcast
+    re-rank — zero shuffles before the bounded top-k merges."""
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    books = _pq_fit(n)
+    entries = _km_entries(cents)
+    assigned = n.withColumn(
+        "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
+    )
+    probe_lists = (
+        assigned.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.explode(F.slice(_sim_desc_sorted(entries), 1, _N_PROBE)).alias("e"))
+        .select(F.col("e.c_id").alias("probe_list"))
+    )
+    probe_q = [
+        int(x)
+        for x in n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("vq")
+        .collect()[0]["vq"]
+    ]
+    code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
+    # Restrict BEFORE encoding: only probed-list rows pay the in-row code
+    # assignment (at 100 TB both the codes and list_id are precomputed
+    # columns and this is pure partition pruning + a narrow scan).
+    scored = assigned.join(
+        F.broadcast(probe_lists),
+        F.col("list_id") == F.col("probe_list"),
+        "left_semi",
+    ).withColumns(code_cols)
     probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
     adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
     shortlist = (
