@@ -75,6 +75,7 @@ EXTENDED_QUERIES = [
     "s_knn_graph_multiprobe",
     "s_knn_graph_ivf",
     "s_knn_graph_incr",
+    "s_ann_ivfpq",
     "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",
