@@ -75,11 +75,59 @@ EXTENDED_QUERIES = [
     "s_knn_graph_multiprobe",
     "s_knn_graph_ivf",
     "s_knn_graph_incr",
+    "s_knn_graph_stored",
     "s_ann_ivfpq",
     "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",
 ]
+
+
+def ann_phase_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Train-vs-serve split for the learned-index ANN queries.
+
+    The registered forms re-fit their quantizers per run, so their
+    extended-section numbers are TRAINING-dominated (~_KM_ITERS coarse +
+    _PQ_M×_PQ_ITERS codebook full-corpus passes before a sub-second
+    search) — a serving-path regression would be invisible under that
+    noise. This section times each phase through the same factored
+    helpers the queries call: the fits once (they're one-per-index-build
+    at deployment; IVFPQ's training is km+pq, reported as the sum), then
+    each serving path against the pre-fitted parameters. Serve timings
+    include DataFrame construction (the graph build's eager checkpoint
+    IS its work) and end in a noop sink like the extended section."""
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _ivfpq_search,
+        _km_ann_search,
+        _km_base,
+        _km_fit,
+        _knn_graph_ivf_build,
+        _pq_ann_search,
+        _pq_fit,
+    )
+
+    out: dict[str, float] = {}
+    n = _km_base(spark, sf_dir)
+    t0 = time.perf_counter()
+    cents = _km_fit(n)
+    t_km = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    books = _pq_fit(n)
+    t_pq = time.perf_counter() - t0
+    out["train:km_fit"] = round(t_km, 3)
+    out["train:pq_fit"] = round(t_pq, 3)
+    out["train:ivfpq"] = round(t_km + t_pq, 3)
+    serves = [
+        ("serve:s_ann_ivf_kmeans", lambda: _km_ann_search(n, cents)),
+        ("serve:s_ann_pq", lambda: _pq_ann_search(n, books)),
+        ("serve:s_ann_ivfpq", lambda: _ivfpq_search(n, cents, books)),
+        ("serve:s_knn_graph_ivf", lambda: _knn_graph_ivf_build(n, cents)),
+    ]
+    for key, build in serves:
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        out[key] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def _load1() -> float | None:
@@ -152,6 +200,7 @@ def main() -> None:
     if extended:
         out["extended"] = extended
         out["extended_total"] = round(sum(extended.values()), 3)
+        out["ann_phases"] = ann_phase_timings(spark, sf_dir)
     print(json.dumps(out))
     spark.stop()
 

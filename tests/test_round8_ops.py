@@ -1,0 +1,177 @@
+"""Round-8 operators: merge-compatible kNN-graph persistence
+(knn_graph raw_scores / knn_graph_store / knn_graph_load) and the
+sampled-training knob on the k-means / PQ fits (_train_sample).
+
+The persistence tests pin the production incremental path END-TO-END —
+build → store (parquet) → load → merge batch — not just the in-plan
+form the registered s_knn_graph_incr uses; the rounded-score hazard
+(near-tie rank flips on re-merge) is pinned by the store-time
+rejection. The sampled-training tests pin determinism and the measured
+recall floors (uniform random embeddings are the worst case — no
+cluster structure for the quantizers to exploit; real distributions do
+better), in test_pq_recall style.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans import oracle_sql
+from olympic_athletes_etl_spark.plans.similarity_q import (
+    _K,
+    _N_CENTROIDS,
+    _PQ_KSUB,
+    _PQ_M,
+    _emb_double,
+    _km_ann_search,
+    _km_base,
+    _km_fit,
+    _pq_ann_search,
+    _pq_fit,
+    knn_graph,
+    knn_graph_load,
+    knn_graph_merge,
+    knn_graph_store,
+)
+
+
+# --------------------------------------------------------------------------
+# Merge-compatible graph persistence
+# --------------------------------------------------------------------------
+def test_knn_graph_store_roundtrip_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """The full production loop: build the old-side graph raw, persist
+    to parquet, load, merge the new batch against the STORED graph —
+    equals the from-scratch full rebuild exactly (cap 10_000 > corpus,
+    so the merge exactness precondition holds; parquet round-trips
+    doubles losslessly, so storage adds no drift)."""
+    path = str(tmp_path / "graph")
+    emb = _emb_double(spark, sf_dir)
+    is_new = F.col("vec_id") % 8 == 0
+    old_raw = knn_graph(emb.filter(~is_new), bucket_cap=10_000, raw_scores=True)
+    knn_graph_store(old_raw, path)
+    merged = {
+        tuple(r)
+        for r in knn_graph_merge(
+            emb, is_new, old_graph=knn_graph_load(spark, path), bucket_cap=10_000
+        ).collect()
+    }
+    rebuild = {tuple(r) for r in knn_graph(emb, bucket_cap=10_000).collect()}
+    assert merged == rebuild
+
+
+def test_knn_graph_raw_scores_rounds_to_default(spark, sf_dir):
+    """raw_scores=True is the same graph — identical (src, dst, rank)
+    triples, and rounding its cos_raw reproduces the default cos_sim."""
+    emb = _emb_double(spark, sf_dir)
+    raw = {
+        (r["src"], r["dst"], round(r["cos_raw"], 4), r["rank"])
+        for r in knn_graph(emb, raw_scores=True).collect()
+    }
+    rounded = {tuple(r) for r in knn_graph(emb).collect()}
+    assert raw == rounded
+
+
+def test_knn_graph_store_rejects_rounded_graph(spark, sf_dir, tmp_path):
+    """Storing the rounded default output is the silent-corruption path
+    (merge would re-rank quantized scores) — must fail loudly."""
+    emb = _emb_double(spark, sf_dir)
+    with pytest.raises(ValueError, match="raw_scores=True"):
+        knn_graph_store(knn_graph(emb), str(tmp_path / "bad"))
+
+
+def test_knn_graph_load_rejects_foreign_parquet(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "not_a_graph")
+    _emb_double(spark, sf_dir).select("vec_id").write.parquet(path)
+    with pytest.raises(ValueError, match="knn_graph_store"):
+        knn_graph_load(spark, path)
+
+
+def test_stored_query_matches_incr_oracle(spark, sf_dir):
+    """The registered store→load→merge query shares s_knn_graph_incr's
+    oracle — sanity-check the share is real at this SF (the driver gate
+    re-proves it at sf0.01)."""
+    from olympic_athletes_etl_spark.plans import queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(con.sql(oracle_sql()["s_knn_graph_stored"]).fetchall())
+    got = sorted(
+        tuple(r) for r in queries()["s_knn_graph_stored"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# Sampled-training knob
+# --------------------------------------------------------------------------
+def test_train_mod_validation(spark, sf_dir):
+    n = _km_base(spark, sf_dir)
+    with pytest.raises(ValueError, match="train_mod"):
+        _km_fit(n, train_mod=0)
+    with pytest.raises(ValueError, match="train_mod"):
+        _pq_fit(n, train_mod=-1)
+
+
+def test_km_sampled_fit_is_deterministic_and_distinct(spark, sf_dir):
+    """Same sample → bit-identical centroids (integer-exact iteration is
+    mod-independent); the sampled fit actually trains on the sample
+    (init ids are the sample's lowest vec_ids, not 0..k-1)."""
+    n = _km_base(spark, sf_dir)
+    a = _km_fit(n, train_mod=4)
+    b = _km_fit(n, train_mod=4)
+    assert a == b
+    assert len(a) == _N_CENTROIDS
+    assert all(c % 4 == 0 for c, _ in a)  # ids drawn from the sample
+
+
+def test_pq_sampled_fit_shape_and_determinism(spark, sf_dir):
+    books = _pq_fit(_km_base(spark, sf_dir), train_mod=4)
+    assert set(books) == set(range(_PQ_M))
+    for cents in books.values():
+        assert 1 <= len(cents) <= _PQ_KSUB
+        assert all(c % 4 == 0 for c, _ in cents)
+
+
+def _exact_topk_ids(sf_dir: str) -> set[int]:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return {r[0] for r in con.sql(oracle_sql()["s_knn_bruteforce"]).fetchall()}
+
+
+def test_km_sampled_training_recall_meets_measured_floor(spark, sf_dir):
+    """IVF search with mod-4-sampled centroids, through the SAME serving
+    path as the gated query. Measured: 0.8 at sf0.001 (== full fit),
+    0.6 at sf0.01 (full fit 1.0 — with 16 centroids / nprobe 2 over
+    uniform random data the Voronoi partition is seed-sensitive; the
+    production trade is sample-training cost vs exactly this recall)."""
+    exact = _exact_topk_ids(sf_dir)
+    n = _km_base(spark, sf_dir)
+    got = {
+        r["vec_id"]
+        for r in _km_ann_search(n, _km_fit(n, train_mod=4)).collect()
+    }
+    assert len(got) == _K
+    assert len(exact & got) / _K >= 0.6
+
+
+def test_pq_sampled_training_recall_meets_measured_floor(spark, sf_dir):
+    """PQ ADC search with mod-4-sampled codebooks: measured 0.8 at
+    sf0.001 and 1.0 at sf0.01 — the 16 subspace codebooks average out
+    single-subspace quantization error, so sampling costs no recall at
+    either test SF."""
+    exact = _exact_topk_ids(sf_dir)
+    n = _km_base(spark, sf_dir)
+    got = {
+        r["vec_id"]
+        for r in _pq_ann_search(n, _pq_fit(n, train_mod=4)).collect()
+    }
+    assert len(got) == _K
+    assert len(exact & got) / _K >= 0.8
