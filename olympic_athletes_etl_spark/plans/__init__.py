@@ -29,28 +29,42 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 # FRESH driver row this round (round 8 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
 # live there and in git history):
-#   1. the one NEW query this round: s_knn_graph_stored — the
+#   1. the three NEW queries this round (the stored-index family):
+#      s_knn_graph_stored — the
 #      stored-graph incremental path (build raw → knn_graph_store
 #      parquet → knn_graph_load → merge the batch), gated on
 #      s_knn_graph_incr's oracle so the store/load round trip is proven
-#      lossless by the hash itself (round-8 work: the merge-compatible
-#      persistence contract; the train/serve refactors of
-#      s_ann_ivf_kmeans / s_ann_pq / s_ann_ivfpq / s_knn_graph_ivf are
-#      pure factorings — same plan, same output — and need no re-audit,
-#      though the first three sit in the ledger rotation anyway);
+#      lossless by the hash itself — and s_ann_ivfpq_stored — the
+#      DEPLOYED IVFPQ shape (encode once into a list_id-partitioned
+#      parquet index; serve via driver-side coarse quantization →
+#      literal partition filter → ADC from stored codes → exact
+#      re-rank), gated on s_ann_ivfpq's oracle so the whole
+#      build→store→serve loop is hash-proven — and d_neardup_stored —
+#      near-dup screening of an incoming batch against PERSISTED
+#      band-partitioned MinHash postings (the batch re-shingles only
+#      itself; the corpus side is a narrow columnar read), gated on an
+#      oracle that recomputes the split band join from text. (The
+#      train/serve
+#      refactors of s_ann_ivf_kmeans / s_ann_pq / s_ann_ivfpq /
+#      s_knn_graph_ivf are pure factorings — same plan, same output —
+#      and need no re-audit, though the first two sit in the ledger
+#      rotation anyway);
 #   2. the pre-generated oldest-first r8 rotation from the COVERAGE.md
 #      freshness ledger (the r3-stale textstats/dedup slots rolled from
 #      r7, s_ann_ivf_kmeans / s_kmeans_clusters / s_ann_pq /
 #      s_dim_profile, the r3-stale events queries, r_scd2_intervals,
 #      m_resize_plan / m_payload_dedup, the six tpch_close queries, the
 #      r3-stale relational/f_* slots, then r4 residue) — minus its last
-#      entry (d_dup_rate_by_source, displaced by the new registration
-#      and rolled to the front of the r9 rotation).
-# Prefix math (driver audits 50): 1 + 49 = exactly 50. Everything
+#      three entries (d_jaccard_histogram, d_containment_pairs,
+#      d_dup_rate_by_source — displaced by the new registrations and
+#      rolled to the front of the r9 rotation).
+# Prefix math (driver audits 50): 3 + 47 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R8 = [
     "s_knn_graph_stored",
+    "s_ann_ivfpq_stored",
+    "d_neardup_stored",
 ]
 STALE_LEDGER_R8 = [
     # r3-stale textstats (rolled from the r7 rotation)
@@ -107,12 +121,11 @@ STALE_LEDGER_R8 = [
     "a_intersect_keys",
     "j_salted_enrich",
     "w_ntile_deciles",
-    # r4 residue (d_dup_rate_by_source rolled to the r9 front,
-    # displaced by the round's new registration)
+    # r4 residue (d_jaccard_histogram + d_containment_pairs +
+    # d_dup_rate_by_source rolled to the r9 front, displaced by the
+    # round's three new registrations)
     "t_quality_funnel",
     "t_sequence_pack",
-    "d_jaccard_histogram",
-    "d_containment_pairs",
 ]
 AUDIT_PREFIX = NEW_PLANS_R8 + STALE_LEDGER_R8
 

@@ -12,6 +12,10 @@ Training-data-pipeline dedup, each as a correctness-gated query:
 - composed pipeline  — LSH → exact-Jaccard verify → connected components
                        (d_neardup_pipeline); cluster ids (d_dup_clusters)
 - decontamination    — train×eval shingle overlap (d_contamination)
+- stored postings    — batch-vs-persisted-corpus near-dup screening
+                       (d_neardup_stored; lsh_postings_store/load —
+                       the per-ingestion-batch form: the corpus is a
+                       band-partitioned postings read, never re-hashed)
 
 Scale notes: everything is expressed as explode → hash-aggregate → equi-join,
 so the shuffles key on (shingle) or (band, signature) — exactly the keys
@@ -26,6 +30,9 @@ so every query here has a full value-hash oracle.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -215,11 +222,12 @@ def _minhash_values_sql() -> str:
     return f"(VALUES {rows}) AS perm(k, a, b)"
 
 
-def _minhash_cand_ctes() -> str:
-    """Shared signature→bands→candidate CTE chain (expects a ``hashed``
-    CTE in scope; yields ``cand(doc_a, doc_b)``). Single source of truth
-    for BOTH the d_minhash_lsh oracle and the d_neardup_pipeline oracle's
-    candidate stage — a parameter/banding edit can't desynchronize them."""
+def _minhash_band_ctes() -> str:
+    """Signature→bands CTE chain (expects a ``hashed`` CTE in scope;
+    yields ``bands(doc_id, band, sig0, sig1)``). Single source of truth
+    for every minhash-banded oracle — d_minhash_lsh / d_neardup_pipeline
+    (via _minhash_cand_ctes) and d_neardup_stored's batch-vs-corpus
+    probe — so a parameter/banding edit can't desynchronize them."""
     return f"""mh AS (
       SELECT doc_id, k, min((a * h + b) % {_P}) AS mh
       FROM hashed CROSS JOIN {_minhash_values_sql()}
@@ -230,13 +238,53 @@ def _minhash_cand_ctes() -> str:
              min(CASE WHEN k % 2 = 0 THEN mh END) AS sig0,
              min(CASE WHEN k % 2 = 1 THEN mh END) AS sig1
       FROM mh GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _minhash_cand_ctes() -> str:
+    """Band chain + the self-join candidate stage (yields
+    ``cand(doc_a, doc_b)``) — see _minhash_band_ctes."""
+    return f"""{_minhash_band_ctes()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
        AND a.doc_id < b.doc_id
     )"""
+
+
+def _minhash_bands(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, sig0, sig1) — the banded minhash signature rows,
+    factored for d_minhash_lsh (self-join) and the stored-postings path
+    (d_neardup_stored). One shuffle: all 8 permutation-mins as aggregate
+    columns (map-side partial mins), instead of exploding 8× rows per
+    shingle.
+
+    MEASURED REJECTION (sf0.1, median-of-3): the tempting "shuffle-free"
+    per-row form — array_min(transform(hs, h -> (a·h+b)%P)) over the
+    bigram ARRAY, no explode, no groupBy — runs 54.8 s vs 1.03 s here
+    (identical 157 998 output pairs). Catalyst's projection collapse
+    inlines the whole shingle-construction expression into each of the
+    8 lambdas (no common-subexpression elimination across higher-order
+    functions), so tokenization+hashing runs 8× per row. The explode
+    materializes shingles ONCE and the groupBy's partial aggregation
+    keeps the shuffle tiny — at any scale this plan wins unless the
+    array form's input is pre-materialized, which costs the same
+    shuffle it saves."""
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{k}")
+            for k, a, b in _MINHASH_PARAMS
+        ]
+    )
+    n_bands = len(_MINHASH_PARAMS) // 2
+    stack_args = ", ".join(
+        f"{bnd}, mh{2 * bnd}, mh{2 * bnd + 1}" for bnd in range(n_bands)
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig0, sig1)"),
+    )
 
 
 @query(
@@ -253,34 +301,7 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (shingle) then (band, sig0, sig1); the band join only ever
     compares docs inside a bucket — the whole point of LSH at scale.
     Candidates feed d_ngram_jaccard-style verification in production."""
-    hashed = _doc_shingle_hashes(spark, sf_dir)
-    # One shuffle: all 8 permutation-mins as aggregate columns (map-side
-    # partial mins), instead of exploding 8× rows per shingle.
-    # MEASURED REJECTION (sf0.1, median-of-3): the tempting "shuffle-free"
-    # per-row form — array_min(transform(hs, h -> (a·h+b)%P)) over the
-    # bigram ARRAY, no explode, no groupBy — runs 54.8 s vs 1.03 s here
-    # (identical 157 998 output pairs). Catalyst's projection collapse
-    # inlines the whole shingle-construction expression into each of the
-    # 8 lambdas (no common-subexpression elimination across higher-order
-    # functions), so tokenization+hashing runs 8× per row. The explode
-    # materializes shingles ONCE and the groupBy's partial aggregation
-    # keeps the shuffle tiny — at any scale this plan wins unless the
-    # array form's input is pre-materialized, which costs the same
-    # shuffle it saves.
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _P).alias(f"mh{k}")
-            for k, a, b in _MINHASH_PARAMS
-        ]
-    )
-    n_bands = len(_MINHASH_PARAMS) // 2
-    stack_args = ", ".join(
-        f"{bnd}, mh{2 * bnd}, mh{2 * bnd + 1}" for bnd in range(n_bands)
-    )
-    bands = sig.select(
-        "doc_id",
-        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig0, sig1)"),
-    )
+    bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1731,4 +1752,99 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((10000 * n_shared) div least(na, nb) AS BIGINT)"
             ).alias("containment_x10000"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stored LSH postings — new batch vs a persisted near-dup index
+# --------------------------------------------------------------------------
+_LSH_POSTINGS_COLS = ("doc_id", "band", "sig0", "sig1")
+_STORED_SPLIT = 400  # corpus = doc_id < 400, batch = doc_id >= 400 (the
+                     # d_incremental_dedup split, reused so the two stored
+                     # paths screen the same batch)
+
+
+def lsh_postings_store(bands: DataFrame, path: str) -> None:
+    """Persist the banded minhash postings — (doc_id, band, sig0, sig1)
+    parquet, partitioned by band — the near-dup twin of the exact-hash
+    corpus store d_incremental_dedup's docstring describes. Integer
+    signatures round-trip parquet exactly, so a batch probed against the
+    stored postings produces the identical candidate set to an in-plan
+    rebuild (hash-proven by d_neardup_stored). Partitioning by band
+    bounds any one probe task's input to a single band's postings; at
+    100 TB the inner layout would additionally bucket by (sig0, sig1)
+    (sources/io.py:bucketed_write) so the probe join co-locates without
+    shuffling the corpus side."""
+    missing = [c for c in _LSH_POSTINGS_COLS if c not in bands.columns]
+    if missing:
+        raise ValueError(
+            f"lsh_postings_store: bands frame is missing {missing}; "
+            "build it with _minhash_bands (doc_id, band, sig0, sig1)"
+        )
+    bands.select(*_LSH_POSTINGS_COLS).write.partitionBy("band").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def lsh_postings_load(spark: SparkSession, path: str) -> DataFrame:
+    g = spark.read.parquet(path)
+    missing = [c for c in _LSH_POSTINGS_COLS if c not in g.columns]
+    if missing:
+        raise ValueError(
+            f"lsh_postings_load: {path} is missing {missing}; not a "
+            "lsh_postings_store output"
+        )
+    return g.select(*_LSH_POSTINGS_COLS)
+
+
+@query(
+    "d_neardup_stored",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_band_ctes()}
+    SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+    FROM bands n JOIN bands o
+      ON n.band = o.band AND n.sig0 = o.sig0 AND n.sig1 = o.sig1
+    WHERE n.doc_id >= {_STORED_SPLIT} AND o.doc_id < {_STORED_SPLIT}
+    """,
+)
+def d_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup screening of a new batch against a PERSISTED corpus
+    index — the per-ingestion-batch operation of a continuously-fed
+    training corpus (d_incremental_dedup is the exact-hash form; this is
+    the MinHash-LSH form for near-verbatim contamination): the corpus's
+    banded postings are stored once (lsh_postings_store), and each
+    incoming batch computes ONLY ITS OWN signatures, then probes the
+    stored postings with a (band, sig0, sig1) equi-join — candidate
+    pairs (doc_new, doc_old) for downstream jaccard verification.
+
+    Cost shape at 100 TB: the batch pays shingle→minhash over ITS rows
+    only; the corpus side is a columnar read of 4 narrow postings rows
+    per document — never re-shingled, never re-hashed (the in-plan
+    equivalent re-pays the whole corpus's signature computation every
+    batch). Both join inputs key on (band, sig0, sig1) — the uniform
+    LSH bucket key — and the oracle proves the stored probe equals the
+    in-plan split-join exactly (integer signatures, lossless parquet).
+    Shares d_incremental_dedup's batch split; per-call temp dir for
+    re-entrancy like the other stored-index queries."""
+    bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir))
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="d_neardup_stored_"), "postings"
+    )
+    lsh_postings_store(bands.filter(F.col("doc_id") < _STORED_SPLIT), path)
+    stored = lsh_postings_load(spark, path)
+    batch = bands.filter(F.col("doc_id") >= _STORED_SPLIT)
+    n, o = batch.alias("n"), stored.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig0") == F.col("o.sig0"))
+            & (F.col("n.sig1") == F.col("o.sig1")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_old"),
+        )
+        .dropDuplicates()
     )

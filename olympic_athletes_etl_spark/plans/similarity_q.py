@@ -1143,6 +1143,163 @@ def _ivfpq_search(
 
 
 # --------------------------------------------------------------------------
+# IVFPQ stored index — the serving shape the in-plan query documents
+# --------------------------------------------------------------------------
+_IVFPQ_INDEX_COLS = ("vec_id", "v", "vnrm") + tuple(
+    f"code{j}" for j in range(_PQ_M)
+)
+
+
+def ivfpq_index_build(
+    n: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: dict[int, list[tuple[int, list[int]]]],
+) -> DataFrame:
+    """One index row per vector: (vec_id, v, vnrm, code0..code{M-1},
+    list_id) — the encode pass a 100 TB deployment runs ONCE at ingest
+    so that serving never pays it. ``v``/``vnrm`` ride along for the
+    exact re-rank; columnar storage means the ADC scan still reads only
+    the 1-byte code columns (column pruning), and the raw vectors are
+    fetched for shortlist rows alone."""
+    entries = _km_entries(cents)
+    code_cols = {f"code{j}": _pq_code_col(books[j], j) for j in range(_PQ_M)}
+    return (
+        n.withColumn("list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"])
+        .withColumns(code_cols)
+        .select(*_IVFPQ_INDEX_COLS, "list_id")
+    )
+
+
+def ivfpq_index_store(index: DataFrame, path: str) -> None:
+    """Write the index PARTITIONED BY list_id — the physical layout that
+    turns the probe-list restriction into partition pruning: a query
+    that probes nprobe of k lists opens nprobe/k of the files and the
+    other lists' data is never read (the in-plan s_ann_ivfpq can only
+    document this; the stored form exhibits it — PartitionFilters on
+    the scan, pinned in test_round8_ops)."""
+    missing = [c for c in (*_IVFPQ_INDEX_COLS, "list_id") if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"ivfpq_index_store: index is missing {missing}; build it "
+            "with ivfpq_index_build"
+        )
+    index.write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+
+def ivfpq_index_load(spark: SparkSession, path: str) -> DataFrame:
+    idx = spark.read.parquet(path)
+    missing = [c for c in (*_IVFPQ_INDEX_COLS, "list_id") if c not in idx.columns]
+    if missing:
+        raise ValueError(
+            f"ivfpq_index_load: {path} is missing {missing}; not an "
+            "ivfpq_index_store output"
+        )
+    return idx
+
+
+def _km_probe_lists(
+    probe_q: list[int], cents: list[tuple[int, list[int]]], nprobe: int
+) -> list[int]:
+    """Coarse-quantize the query driver-side: nearest ``nprobe`` list
+    ids by (cosine DESC, c_id ASC) — the step a deployed ANN service
+    runs on the client/driver so the scan can be a LITERAL partition
+    filter. Bit-identical to the in-plan/oracle assignment: every dot
+    product here is integer-exact (quantized components and centroid
+    sums stay far below 2^53, so no addend ever rounds), sqrt/division
+    are single IEEE ops on identical operands, and the tie-break
+    matches _sim_desc_sorted."""
+    import math
+
+    qn = math.sqrt(float(sum(x * x for x in probe_q)))
+    entries = []
+    for c_id, comps in cents:
+        num = 0.0
+        for x, c in zip(probe_q, comps):
+            num += float(x) * float(c)
+        cn = math.sqrt(float(sum(c * c for c in comps)))
+        entries.append((num / (qn * cn), c_id))
+    entries.sort(key=lambda t: (-t[0], t[1]))
+    return [c_id for _, c_id in entries[:nprobe]]
+
+
+def _ivfpq_search_stored(
+    idx: DataFrame,
+    books: dict[int, list[tuple[int, list[int]]]],
+    probe_q: list[int],
+    probe_v: list[float],
+    probe_nrm: float,
+    probe_lists: list[int],
+) -> DataFrame:
+    """IVFADC serving against the STORED index: literal list_id filter
+    (partition pruning — zero non-probed bytes read), ADC from the
+    stored code columns (no in-row encode — the expensive
+    codebook-argmax projection of the in-plan form is gone), shortlist,
+    exact re-rank against the stored raw vectors with the probe shipped
+    as literals. Zero joins, zero shuffles before the bounded top-ks."""
+    _code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
+    probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
+    adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
+    shortlist = (
+        idx.filter(F.col("list_id").isin(probe_lists))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "v", "vnrm", adc.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    pv = F.array(*[F.lit(float(x)) for x in probe_v])
+    cos = F.expr(_DOT.format(a="v", b="pv")) / (
+        F.col("vnrm") * F.lit(probe_nrm)
+    )
+    rescored = shortlist.withColumn("pv", pv).select(
+        "vec_id", cos.alias("cos_raw")
+    )
+    topk = rescored.orderBy(F.desc("cos_raw"), F.asc("vec_id")).limit(_K)
+    # Unpartitioned window over exactly K rows (post-limit); accepted —
+    # see s_knn_bruteforce.
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+@query("s_ann_ivfpq_stored", oracle=_ivfpq_oracle())
+def s_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_ann_ivfpq in its DEPLOYED shape: train, encode ONCE into a
+    list_id-partitioned parquet index (ivfpq_index_build/store), then
+    serve entirely from storage — driver-side coarse quantization of
+    the query (_km_probe_lists), a literal partition filter standing in
+    for the in-plan broadcast semi-join, ADC from the STORED 1-byte
+    code columns (the in-row encode is gone from the serving plan), and
+    the exact re-rank against stored vectors with the probe as
+    literals. Shares s_ann_ivfpq's oracle: training is deterministic,
+    codes/assignments round-trip parquet exactly, and every arithmetic
+    step is either integer-exact or an identical-operand IEEE fold —
+    so stored serving must equal in-plan serving bit-for-bit, and the
+    hash gate proves the whole build→store→serve loop. Per-call temp
+    dir for re-entrancy, like s_knn_graph_stored."""
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    books = _pq_fit(n)
+    path = os.path.join(tempfile.mkdtemp(prefix="s_ann_ivfpq_stored_"), "index")
+    ivfpq_index_store(ivfpq_index_build(n, cents, books), path)
+    probe = (
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("v", "vnrm", "vq")
+        .collect()[0]
+    )
+    probe_q = [int(x) for x in probe["vq"]]
+    return _ivfpq_search_stored(
+        ivfpq_index_load(spark, path),
+        books,
+        probe_q,
+        [float(x) for x in probe["v"]],
+        float(probe["vnrm"]),
+        _km_probe_lists(probe_q, cents, _N_PROBE),
+    )
+
+
+# --------------------------------------------------------------------------
 # KNN-graph construction — top-k neighbors for EVERY vector
 # --------------------------------------------------------------------------
 _K_GRAPH = 3

@@ -1,5 +1,7 @@
 """Round-8 operators: merge-compatible kNN-graph persistence
-(knn_graph raw_scores / knn_graph_store / knn_graph_load) and the
+(knn_graph raw_scores / knn_graph_store / knn_graph_load), the stored
+IVFPQ index (ivfpq_index_build/store/load + _ivfpq_search_stored — the
+deployed serving shape, with real partition pruning), and the
 sampled-training knob on the k-means / PQ fits (_train_sample).
 
 The persistence tests pin the production incremental path END-TO-END —
@@ -13,6 +15,8 @@ better), in test_pq_recall style.
 """
 
 from __future__ import annotations
+
+import re
 
 import duckdb
 import pytest
@@ -104,6 +108,154 @@ def test_stored_query_matches_incr_oracle(spark, sf_dir):
         tuple(r) for r in queries()["s_knn_graph_stored"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# IVFPQ stored index (the deployed serving shape)
+# --------------------------------------------------------------------------
+def test_ivfpq_stored_equals_in_plan(spark, sf_dir):
+    """Serving from the stored index must equal the in-plan query
+    bit-for-bit: codes/assignments round-trip parquet exactly and the
+    driver-side coarse quantization is integer-exact (see
+    _km_probe_lists) — both queries share one oracle, this pins the
+    pair against each other locally too."""
+    from olympic_athletes_etl_spark.plans import queries
+
+    got = sorted(
+        tuple(r) for r in queries()["s_ann_ivfpq_stored"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in queries()["s_ann_ivfpq"](spark, sf_dir).collect()
+    )
+    assert got == want
+    assert len(got) == _K
+
+
+def test_ivfpq_stored_serving_plan_partition_prunes(spark, sf_dir):
+    """THE point of the stored layout: the probe-list restriction is a
+    PartitionFilter on the index scan — non-probed lists' files are
+    never opened (at 100 TB: nprobe/k_lists of the bytes) — and the
+    serving plan has zero joins (probe shipped as literals, restriction
+    as a literal filter; the in-plan form needs two broadcasts)."""
+    from olympic_athletes_etl_spark.plans import queries
+
+    df = queries()["s_ann_ivfpq_stored"](spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[list_id#\d+ IN \(", txt), txt[:2000]
+    for join in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"):
+        assert join not in txt, f"stored serving plan contains {join}"
+
+
+def test_ivfpq_index_store_rejects_non_index(spark, sf_dir, tmp_path):
+    from olympic_athletes_etl_spark.plans.similarity_q import ivfpq_index_store
+
+    with pytest.raises(ValueError, match="ivfpq_index_build"):
+        ivfpq_index_store(_emb_double(spark, sf_dir), str(tmp_path / "bad"))
+
+
+def test_ivfpq_index_load_rejects_foreign_parquet(spark, sf_dir, tmp_path):
+    from olympic_athletes_etl_spark.plans.similarity_q import ivfpq_index_load
+
+    path = str(tmp_path / "not_an_index")
+    _emb_double(spark, sf_dir).select("vec_id").write.parquet(path)
+    with pytest.raises(ValueError, match="ivfpq_index_store"):
+        ivfpq_index_load(spark, path)
+
+
+def test_km_probe_lists_matches_in_plan_assignment(spark, sf_dir):
+    """The driver-side coarse quantizer must agree with the in-plan
+    argmax (same integer-exact dots, same (sim DESC, c_id ASC)
+    tie-break) — checked for the probe vector across nprobe=ALL lists,
+    i.e. the full preference order, not just the top-2."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _km_entries,
+        _km_probe_lists,
+        _QUERY_VEC_ID,
+        _sim_desc_sorted,
+    )
+
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    probe_q = [
+        int(x)
+        for x in n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("vq")
+        .collect()[0]["vq"]
+    ]
+    in_plan = [
+        r["c_id"]
+        for r in n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(
+            F.explode(_sim_desc_sorted(_km_entries(cents))).alias("e")
+        )
+        .select("e.c_id")
+        .collect()
+    ]
+    assert _km_probe_lists(probe_q, cents, len(cents)) == in_plan
+
+
+# --------------------------------------------------------------------------
+# Stored LSH postings (batch-vs-corpus near-dup screening)
+# --------------------------------------------------------------------------
+def test_neardup_stored_matches_oracle(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans import queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(con.sql(oracle_sql()["d_neardup_stored"]).fetchall())
+    got = sorted(
+        tuple(r) for r in queries()["d_neardup_stored"](spark, sf_dir).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the split actually straddles near-dup pairs
+
+
+def test_neardup_stored_equals_lsh_pairs_across_split(spark, sf_dir):
+    """Consistency with the self-join form: the stored-probe candidates
+    are EXACTLY d_minhash_lsh's pairs that straddle the corpus/batch
+    split (old < 400 <= new, and lsh emits doc_a < doc_b) — the stored
+    index changes where the corpus signatures come from, never which
+    collisions exist."""
+    from olympic_athletes_etl_spark.plans import queries
+    from olympic_athletes_etl_spark.plans.dedup_q import _STORED_SPLIT
+
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries()["d_minhash_lsh"](spark, sf_dir).collect()
+    }
+    straddle = {
+        (a, b) for a, b in lsh if a < _STORED_SPLIT <= b
+    }
+    stored = {
+        (r["doc_old"], r["doc_new"])
+        for r in queries()["d_neardup_stored"](spark, sf_dir).collect()
+    }
+    assert stored == straddle
+
+
+def test_lsh_postings_store_rejects_non_bands(spark, sf_dir, tmp_path):
+    from olympic_athletes_etl_spark.plans.dedup_q import lsh_postings_store
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    with pytest.raises(ValueError, match="_minhash_bands"):
+        lsh_postings_store(
+            load(spark, sf_dir, "documents"), str(tmp_path / "bad")
+        )
+
+
+def test_lsh_postings_load_rejects_foreign_parquet(spark, sf_dir, tmp_path):
+    from olympic_athletes_etl_spark.plans.dedup_q import lsh_postings_load
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    path = str(tmp_path / "not_postings")
+    load(spark, sf_dir, "documents").select("doc_id").write.parquet(path)
+    with pytest.raises(ValueError, match="lsh_postings_store"):
+        lsh_postings_load(spark, path)
 
 
 # --------------------------------------------------------------------------
