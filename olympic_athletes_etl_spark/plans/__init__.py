@@ -44,6 +44,10 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      band-partitioned MinHash postings (the batch re-shingles only
 #      itself; the corpus side is a narrow columnar read), gated on an
 #      oracle that recomputes the split band join from text. (The
+#      train/serve — plus s_ann_ivf_sampled, the sampled-training
+#      demonstration (fit on vec_id % 4 == 0, assign + search over
+#      everything), gated on its own mod-4 unrolled oracle so the
+#      sampled fit's cross-engine bit-identity is driver-proven. (The
 #      train/serve
 #      refactors of s_ann_ivf_kmeans / s_ann_pq / s_ann_ivfpq /
 #      s_knn_graph_ivf are pure factorings — same plan, same output —
@@ -55,16 +59,17 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      s_dim_profile, the r3-stale events queries, r_scd2_intervals,
 #      m_resize_plan / m_payload_dedup, the six tpch_close queries, the
 #      r3-stale relational/f_* slots, then r4 residue) — minus its last
-#      three entries (d_jaccard_histogram, d_containment_pairs,
-#      d_dup_rate_by_source — displaced by the new registrations and
-#      rolled to the front of the r9 rotation).
-# Prefix math (driver audits 50): 3 + 47 = exactly 50. Everything
+#      four entries (t_sequence_pack, d_jaccard_histogram,
+#      d_containment_pairs, d_dup_rate_by_source — displaced by the
+#      new registrations and rolled to the front of the r9 rotation).
+# Prefix math (driver audits 50): 4 + 46 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R8 = [
     "s_knn_graph_stored",
     "s_ann_ivfpq_stored",
     "d_neardup_stored",
+    "s_ann_ivf_sampled",
 ]
 STALE_LEDGER_R8 = [
     # r3-stale textstats (rolled from the r7 rotation)
@@ -121,11 +126,10 @@ STALE_LEDGER_R8 = [
     "a_intersect_keys",
     "j_salted_enrich",
     "w_ntile_deciles",
-    # r4 residue (d_jaccard_histogram + d_containment_pairs +
-    # d_dup_rate_by_source rolled to the r9 front, displaced by the
-    # round's three new registrations)
+    # r4 residue (t_sequence_pack + d_jaccard_histogram +
+    # d_containment_pairs + d_dup_rate_by_source rolled to the r9
+    # front, displaced by the round's four new registrations)
     "t_quality_funnel",
-    "t_sequence_pack",
 ]
 AUDIT_PREFIX = NEW_PLANS_R8 + STALE_LEDGER_R8
 

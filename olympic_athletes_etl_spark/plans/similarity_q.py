@@ -393,15 +393,21 @@ def _sim_desc_sorted(entries: F.Column) -> F.Column:
     )
 
 
-def _km_train_ctes() -> tuple[str, str]:
+def _km_train_ctes(train_mod: int = 1) -> tuple[str, str]:
     """Unrolled Lloyd iterations as DuckDB CTEs (mirrors the Spark loop).
 
     Returns ``(ctes, final_cent)``: a WITH-clause body ending in the
     final-assignment CTE ``asgF(vec_id, v, vnrm, list_id)``, and the name
     of the final centroid CTE. Shared by every kmeans-backed oracle so the
-    training definition can't desynchronize between them."""
-    parts = [
-        f"""
+    training definition can't desynchronize between them.
+
+    ``train_mod`` mirrors _km_fit's sampled-training knob: the Lloyd
+    iterations (init + assignment/sum passes) run over the vec_id-modulus
+    sample ``tr`` while the FINAL assignment ``asgF`` still covers every
+    row — exactly what the Spark path does. The default emits the
+    original full-fit SQL byte-for-byte, so the existing oracles are
+    untouched."""
+    base = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), nq AS (
@@ -411,21 +417,37 @@ def _km_train_ctes() -> tuple[str, str]:
                list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)),
                list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)))) AS qnrm
       FROM e
-    ), cent0 AS (
+    )"""
+    if train_mod == 1:
+        t = "nq"
+        parts = [
+            base
+            + f""", cent0 AS (
       SELECT vec_id AS c_id, vq AS cv FROM nq WHERE vec_id < {_N_CENTROIDS}
     )"""
-    ]
+        ]
+    else:
+        t = "tr"
+        parts = [
+            base
+            + f""", tr AS (
+      SELECT * FROM nq WHERE vec_id % {train_mod} = 0
+    ), cent0 AS (
+      SELECT vec_id AS c_id, vq AS cv FROM tr
+      ORDER BY vec_id LIMIT {_N_CENTROIDS}
+    )"""
+        ]
     prev = "cent0"
     assign = (
         "(SELECT c.c_id FROM {prev} c"
-        " ORDER BY list_dot_product(nq.vq, c.cv)"
-        " / (nq.qnrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC"
+        " ORDER BY list_dot_product({t}.vq, c.cv)"
+        " / ({t}.qnrm * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id ASC"
         " LIMIT 1)"
     )
     for it in range(_KM_ITERS):
         parts.append(
             f""", asg{it} AS (
-      SELECT nq.*, {assign.format(prev=prev)} AS list_id FROM nq
+      SELECT {t}.*, {assign.format(prev=prev, t=t)} AS list_id FROM {t}
     ), sum{it} AS (
       SELECT list_id, d, CAST(sum(vq[d]) AS BIGINT) AS s
       FROM asg{it} CROSS JOIN range(1, {_DIM + 1}) t(d)
@@ -438,15 +460,15 @@ def _km_train_ctes() -> tuple[str, str]:
         prev = f"cent{it + 1}"
     parts.append(
         f""", asgF AS (
-      SELECT nq.vec_id, nq.v, nq.vnrm, {assign.format(prev=prev)} AS list_id
+      SELECT nq.vec_id, nq.v, nq.vnrm, {assign.format(prev=prev, t="nq")} AS list_id
       FROM nq
     )"""
     )
     return "".join(parts), prev
 
 
-def _km_ann_oracle() -> str:
-    ctes, cent = _km_train_ctes()
+def _km_ann_oracle(train_mod: int = 1) -> str:
+    ctes, cent = _km_train_ctes(train_mod)
     return f"""{ctes}, probe AS (
       SELECT vq, qnrm, v AS pv, vnrm AS pnrm FROM nq
       WHERE vec_id = {_QUERY_VEC_ID}
@@ -580,6 +602,31 @@ def _km_ann_search(
         topk.withColumn("rank", F.row_number().over(w))
         .select("vec_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+# The registered sampled-training demonstration: fit on every 4th
+# vector (a 25% deterministic sample), assign + search over everything.
+_TRAIN_MOD_DEMO = 4
+
+
+@query("s_ann_ivf_sampled", oracle=_km_ann_oracle(_TRAIN_MOD_DEMO))
+def s_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_ann_ivf_kmeans with SAMPLED quantizer training — the index-build
+    cost knob production uses at 100 TB (the full fit pays _KM_ITERS
+    whole-corpus scans; the sampled fit scans vec_id % {m} == 0 rows
+    only, while the final assignment and the search still cover every
+    vector). Gated on its own mod-{m} unrolled oracle, so the claim the
+    knob rests on — the sampled fit is bit-identical cross-engine
+    (integer-exact Lloyd arithmetic is sample-independent; init = the
+    sample's lowest-vec_id k rows on both engines) — is driver-proven,
+    not just asserted. Recall floors for this exact configuration are
+    pinned in test_round8_ops; serving plan identical to
+    s_ann_ivf_kmeans (the centroids are literals either way)."""
+    n = _km_base(spark, sf_dir)
+    return _km_ann_search(n, _km_fit(n, train_mod=_TRAIN_MOD_DEMO))
+
+
+s_ann_ivf_sampled.__doc__ = s_ann_ivf_sampled.__doc__.format(m=_TRAIN_MOD_DEMO)
 
 
 def _km_clusters_oracle() -> str:

@@ -73,6 +73,7 @@ ALLOWED_BNLJ = {
     "q_skyline_parts": 1,
     "s_ann_ivf": 1,
     "s_ann_ivf_kmeans": 1,
+    "s_ann_ivf_sampled": 1,
     "s_ann_ivfpq": 1,
     "s_ann_lsh_multiprobe": 1,
     "s_ann_pq": 1,
@@ -142,6 +143,7 @@ ALLOWED_UNPART_WINDOW = {
     "q_skyline_parts": 2,        # brand-aggregate skyline rank
     "s_ann_ivf": 1,              # top-k after probe-bucket narrowing
     "s_ann_ivf_kmeans": 1,       # same, k-means codebook variant
+    "s_ann_ivf_sampled": 1,      # same, sampled-training variant
     "s_ann_ivfpq": 1,            # rank over post-limit K rows
     "s_ann_ivfpq_stored": 1,     # same rank; serving from the stored index
     "s_ann_lsh": 1,              # top-k within probed buckets

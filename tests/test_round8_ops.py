@@ -289,6 +289,44 @@ def test_pq_sampled_fit_shape_and_determinism(spark, sf_dir):
         assert all(c % 4 == 0 for c, _ in cents)
 
 
+def test_sampled_query_matches_its_oracle(spark, sf_dir):
+    """s_ann_ivf_sampled against its own mod-4 unrolled oracle — the
+    cross-engine bit-identity of the SAMPLED fit (the driver gate
+    re-proves at sf0.01)."""
+    from olympic_athletes_etl_spark.plans import queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(con.sql(oracle_sql()["s_ann_ivf_sampled"]).fetchall())
+    got = sorted(
+        tuple(r) for r in queries()["s_ann_ivf_sampled"](spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_full_fit_oracles_unchanged_by_train_mod_plumbing():
+    """The train_mod parameterization must leave the DEFAULT oracles
+    byte-identical: the existing full-fit queries (s_ann_ivf_kmeans,
+    s_kmeans_clusters, s_ann_ivfpq, ...) keep the literal
+    ``vec_id < k`` init and gain no sampling CTE."""
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _km_ann_oracle,
+        _km_train_ctes,
+        _N_CENTROIDS,
+    )
+
+    default_sql, _ = _km_train_ctes()
+    assert default_sql == _km_train_ctes(1)[0]
+    assert f"WHERE vec_id < {_N_CENTROIDS}" in default_sql
+    assert "tr AS" not in default_sql
+    sampled_sql, _ = _km_train_ctes(4)
+    assert "vec_id % 4 = 0" in sampled_sql
+    assert oracle_sql()["s_ann_ivf_kmeans"] == _km_ann_oracle()
+
+
 def _exact_topk_ids(sf_dir: str) -> set[int]:
     con = duckdb.connect()
     con.execute(
