@@ -1786,6 +1786,26 @@ def lsh_postings_store(bands: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def lsh_postings_append(bands: DataFrame, path: str) -> None:
+    """Append a screened batch's postings to the store so the NEXT
+    batch probes old ∪ batch — the step that closes the ingest loop
+    (screen → keep survivors → append their postings → repeat).
+    Parquet append under the same band partitioning; signatures are
+    integers, so the appended store is exactly the union (chain pinned
+    across two batches in test_round8_ops). At 100 TB, periodic
+    compaction of the appended files rides the existing compaction sink
+    (sources/io.py:compacted_write)."""
+    missing = [c for c in _LSH_POSTINGS_COLS if c not in bands.columns]
+    if missing:
+        raise ValueError(
+            f"lsh_postings_append: bands frame is missing {missing}; "
+            "build it with _minhash_bands (doc_id, band, sig0, sig1)"
+        )
+    bands.select(*_LSH_POSTINGS_COLS).write.partitionBy("band").mode(
+        "append"
+    ).parquet(path)
+
+
 def lsh_postings_load(spark: SparkSession, path: str) -> DataFrame:
     g = spark.read.parquet(path)
     missing = [c for c in _LSH_POSTINGS_COLS if c not in g.columns]

@@ -1529,6 +1529,7 @@ def knn_graph_merge(
     k: int = _K_GRAPH,
     n_planes: int = _N_PLANES,
     bucket_cap: int = _GRAPH_BUCKET_CAP,
+    raw_scores: bool = False,
 ) -> DataFrame:
     """INCREMENTAL kNN-graph maintenance: merge a NEW vector batch into
     an existing graph without re-running the old×old candidate join —
@@ -1565,7 +1566,13 @@ def knn_graph_merge(
     Plan shape: one checkpointed bucket map over the corpus, the two
     batch joins (capped sides conditionally broadcast — _target_bound),
     one (src, dst) dedup aggregate, one per-src rank — every shuffle
-    keyed on bucket or src exactly like the full build."""
+    keyed on bucket or src exactly like the full build.
+
+    ``raw_scores=True`` emits (src, dst, cos_raw, rank) — the form
+    ``knn_graph_store`` accepts, which is what lets the ingest loop
+    COMPOSE: store → merge batch → store → merge next batch, each
+    iteration equal to the full rebuild while the cap doesn't bind
+    (two-batch chain pinned in test_round8_ops)."""
     if bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     if k < 1:
@@ -1598,9 +1605,18 @@ def knn_graph_merge(
         .groupBy("src", "dst")
         .agg(F.max("cos_raw").alias("cos_raw"))
     )
-    return (
-        _topk_raw(merged, k)
-        .select("src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    ranked = _topk_raw(merged, k)
+    if raw_scores:
+        # Merge-compatible output — REQUIRED for the loop to compose:
+        # the next ingest batch stores THIS graph and merges against it
+        # (store → merge → store → merge ... equals the full rebuild
+        # while the cap doesn't bind; pinned across two batches in
+        # test_round8_ops). Without it the rounded output dead-ends the
+        # chain after one batch — the same near-tie hazard
+        # knn_graph_store rejects.
+        return ranked.select("src", "dst", "cos_raw", "rank")
+    return ranked.select(
+        "src", "dst", F.round("cos_raw", 4).alias("cos_sim"), "rank"
     )
 
 

@@ -110,6 +110,94 @@ def test_stored_query_matches_incr_oracle(spark, sf_dir):
     assert got == want
 
 
+def test_knn_graph_store_merge_chain_two_batches(spark, sf_dir, tmp_path):
+    """The ingest loop COMPOSES: build(old) → store → merge batch1 (raw)
+    → store → merge batch2 → equals the one-shot full rebuild over
+    everything (cap unbound). This is what knn_graph_merge's raw_scores
+    output exists for — without it the chain dead-ends after one batch
+    behind the rounded cos_sim."""
+    emb = _emb_double(spark, sf_dir)
+    b1 = F.col("vec_id") % 8 == 0
+    b2 = F.col("vec_id") % 8 == 1
+    cap = 10_000
+    p0, p1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    base = emb.filter(~b1 & ~b2)
+    knn_graph_store(knn_graph(base, bucket_cap=cap, raw_scores=True), p0)
+    g1 = knn_graph_merge(
+        emb.filter(~b2),
+        b1,
+        old_graph=knn_graph_load(spark, p0),
+        bucket_cap=cap,
+        raw_scores=True,
+    )
+    knn_graph_store(g1, p1)
+    final = {
+        tuple(r)
+        for r in knn_graph_merge(
+            emb, b2, old_graph=knn_graph_load(spark, p1), bucket_cap=cap
+        ).collect()
+    }
+    rebuild = {tuple(r) for r in knn_graph(emb, bucket_cap=cap).collect()}
+    assert final == rebuild
+
+
+def test_lsh_postings_append_closes_ingest_loop(spark, sf_dir, tmp_path):
+    """Dedup-side loop composition: store corpus postings, screen
+    batch1, APPEND batch1's postings, screen batch2 — batch2's
+    candidates must equal the in-plan band join against corpus ∪
+    batch1 (integer signatures, append is exact union)."""
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _doc_shingle_hashes,
+        _minhash_bands,
+        lsh_postings_append,
+        lsh_postings_load,
+        lsh_postings_store,
+    )
+
+    bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir))
+    path = str(tmp_path / "postings")
+    corpus = F.col("doc_id") < 300
+    batch1 = (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    batch2 = F.col("doc_id") >= 400
+    lsh_postings_store(bands.filter(corpus), path)
+    lsh_postings_append(bands.filter(batch1), path)
+    stored = lsh_postings_load(spark, path).alias("o")
+    n = bands.filter(batch2).alias("n")
+    got = {
+        (r["doc_new"], r["doc_old"])
+        for r in n.join(
+            stored,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig0") == F.col("o.sig0"))
+            & (F.col("n.sig1") == F.col("o.sig1")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_old"),
+        )
+        .dropDuplicates()
+        .collect()
+    }
+    inplan = bands.filter(corpus | batch1).alias("o")
+    want = {
+        (r["doc_new"], r["doc_old"])
+        for r in n.join(
+            inplan,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig0") == F.col("o.sig0"))
+            & (F.col("n.sig1") == F.col("o.sig1")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_old"),
+        )
+        .dropDuplicates()
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 # --------------------------------------------------------------------------
 # IVFPQ stored index (the deployed serving shape)
 # --------------------------------------------------------------------------
