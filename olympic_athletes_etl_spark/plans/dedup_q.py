@@ -72,12 +72,19 @@ _TOKHASH_DUCK = (
 )
 
 
-def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) — distinct hashed word bigrams per document."""
-    docs = load(spark, sf_dir, "documents")
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) — distinct hashed word bigrams per document, from any
+    frame with (doc_id, text). Frame-based so streaming micro-batches
+    (streaming/pipeline.py:stream_neardup_screen) reuse the exact
+    signature definition the batch queries and oracles pin."""
     return docs.select(
         "doc_id", F.expr(_TOKHASH_SPARK).alias("th")
     ).select("doc_id", F.explode(F.expr(_BIGRAM_H_SPARK)).alias("h"))
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) over the ``documents`` table — see shingle_hashes."""
+    return shingle_hashes(load(spark, sf_dir, "documents"))
 
 
 _SHINGLE_HASHES_DUCK = f"""
@@ -1817,6 +1824,28 @@ def lsh_postings_load(spark: SparkSession, path: str) -> DataFrame:
     return g.select(*_LSH_POSTINGS_COLS)
 
 
+def lsh_probe(batch_bands: DataFrame, stored_bands: DataFrame) -> DataFrame:
+    """DISTINCT (doc_new, doc_old) collisions of a batch's band rows
+    against a postings frame — the probe join shared by the registered
+    d_neardup_stored and the streaming screen
+    (streaming/pipeline.py:stream_neardup_screen), keyed on the uniform
+    (band, sig0, sig1) bucket key."""
+    n, o = batch_bands.alias("n"), stored_bands.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig0") == F.col("o.sig0"))
+            & (F.col("n.sig1") == F.col("o.sig1")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_old"),
+        )
+        .dropDuplicates()
+    )
+
+
 @query(
     "d_neardup_stored",
     oracle=f"""
@@ -1852,19 +1881,7 @@ def d_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="d_neardup_stored_"), "postings"
     )
     lsh_postings_store(bands.filter(F.col("doc_id") < _STORED_SPLIT), path)
-    stored = lsh_postings_load(spark, path)
-    batch = bands.filter(F.col("doc_id") >= _STORED_SPLIT)
-    n, o = batch.alias("n"), stored.alias("o")
-    return (
-        n.join(
-            o,
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.sig0") == F.col("o.sig0"))
-            & (F.col("n.sig1") == F.col("o.sig1")),
-        )
-        .select(
-            F.col("n.doc_id").alias("doc_new"),
-            F.col("o.doc_id").alias("doc_old"),
-        )
-        .dropDuplicates()
+    return lsh_probe(
+        bands.filter(F.col("doc_id") >= _STORED_SPLIT),
+        lsh_postings_load(spark, path),
     )

@@ -1244,6 +1244,27 @@ def ivfpq_index_load(spark: SparkSession, path: str) -> DataFrame:
     return idx
 
 
+def ivfpq_index_append(
+    n_batch: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    books: dict[int, list[tuple[int, list[int]]]],
+    path: str,
+) -> None:
+    """Encode a NEW vector batch with the EXISTING quantizers and append
+    it to the stored index — the standard inverted-file add() path: the
+    coarse centroids and PQ codebooks are fit once per index generation
+    (re-trained only on distribution drift), while ingestion batches
+    pay exactly one encode projection each and land in their list_id
+    partitions. Serving needs no change — the literal partition filter
+    sees old ∪ new files (appended-store serve pinned equal to a
+    rebuilt-store serve with the same quantizers in test_round8_ops).
+    Parquet append under the list_id partitioning; compaction of
+    appended files rides sources/io.py:compacted_write."""
+    ivfpq_index_build(n_batch, cents, books).write.partitionBy(
+        "list_id"
+    ).mode("append").parquet(path)
+
+
 def _km_probe_lists(
     probe_q: list[int], cents: list[tuple[int, list[int]]], nprobe: int
 ) -> list[int]:

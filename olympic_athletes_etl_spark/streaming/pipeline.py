@@ -325,6 +325,64 @@ def stream_merge_into_parquet(
     )
 
 
+def stream_neardup_screen(
+    docs: DataFrame,
+    postings_path: str,
+    flags_path: str,
+    checkpoint_dir: str,
+    append_postings: bool = True,
+):
+    """Streaming NEAR-dup screening against the stored LSH postings —
+    the always-on form of the d_neardup_stored / lsh_postings_append
+    ingest loop: each micro-batch of (doc_id, text) computes ITS OWN
+    banded MinHash signatures (the exact definition the batch oracles
+    pin — shared shingle_hashes/_minhash_bands code), probes the
+    persisted postings for collisions, appends the flagged
+    (doc_new, doc_old, batch_id) pairs to ``flags_path``, then appends
+    the batch's own postings so LATER batches screen against
+    corpus ∪ earlier-batches.
+
+    Ordering is load-bearing: the candidate join is materialized (the
+    bands frame is checkpointed, the flags are written) BEFORE the
+    postings append — appending first would let the lazily-resolved
+    probe scan see the batch's own files and flag every doc against
+    itself. Exactly-once caveat (same class as stream_merge_into_parquet
+    but NOT idempotent): a replayed batch re-appends flags and postings;
+    duplicate postings only create duplicate candidates (removed by the
+    probe's DISTINCT downstream of any re-screen), duplicate flag rows
+    carry the same batch_id, so a reader dedupes on
+    (doc_new, doc_old, batch_id). Delta/Iceberg would make both appends
+    transactional."""
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _minhash_bands,
+        lsh_postings_append,
+        lsh_postings_load,
+        lsh_probe,
+        shingle_hashes,
+    )
+
+    def screen_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # eager checkpoint: bands feeds BOTH the probe join and the
+        # postings append — and pins the signatures computed BEFORE the
+        # append mutates the store this plan reads.
+        bands = _minhash_bands(shingle_hashes(batch)).localCheckpoint(
+            eager=True
+        )
+        lsh_probe(bands, lsh_postings_load(spark, postings_path)).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(flags_path)
+        if append_postings:
+            lsh_postings_append(bands, postings_path)
+
+    return (
+        docs.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | None = None,

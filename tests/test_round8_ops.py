@@ -234,6 +234,65 @@ def test_ivfpq_stored_serving_plan_partition_prunes(spark, sf_dir):
         assert join not in txt, f"stored serving plan contains {join}"
 
 
+def test_ivfpq_index_append_serves_identically(spark, sf_dir, tmp_path):
+    """The add() path: quantizers fit once, batch encoded with them and
+    APPENDED — serving from (stored A + appended B) must equal serving
+    from a one-shot store of A ∪ B under the same quantizers (encode is
+    deterministic per row; append is file-level union; the scan's
+    partition filter is layout-agnostic)."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _ivfpq_search_stored,
+        _km_probe_lists,
+        _N_PROBE,
+        _QUERY_VEC_ID,
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_load,
+        ivfpq_index_store,
+    )
+
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    books = _pq_fit(n)
+    is_new = F.col("vec_id") % 5 == 3
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    ivfpq_index_store(
+        ivfpq_index_build(n.filter(~is_new), cents, books), p_inc
+    )
+    ivfpq_index_append(n.filter(is_new), cents, books, p_inc)
+    ivfpq_index_store(ivfpq_index_build(n, cents, books), p_full)
+    probe = (
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("v", "vnrm", "vq")
+        .collect()[0]
+    )
+    probe_q = [int(x) for x in probe["vq"]]
+    args = (
+        books,
+        probe_q,
+        [float(x) for x in probe["v"]],
+        float(probe["vnrm"]),
+        _km_probe_lists(probe_q, cents, _N_PROBE),
+    )
+    inc = sorted(
+        tuple(r)
+        for r in _ivfpq_search_stored(
+            ivfpq_index_load(spark, p_inc), *args
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in _ivfpq_search_stored(
+            ivfpq_index_load(spark, p_full), *args
+        ).collect()
+    )
+    assert inc == full
+    assert len(inc) == _K
+
+
 def test_ivfpq_index_store_rejects_non_index(spark, sf_dir, tmp_path):
     from olympic_athletes_etl_spark.plans.similarity_q import ivfpq_index_store
 

@@ -370,3 +370,75 @@ def test_sessionize_with_state_emits_on_close_and_timeout(spark, tmp_path):
         (2, mins(70), mins(70), 1),
     }
     assert got <= true_sessions
+
+
+def test_stream_neardup_screen_matches_batch_loop(spark, sf_dir, tmp_path):
+    """The streaming ingest-screen equals the batch stored-postings
+    loop: two micro-batches of documents (driven as two availableNow
+    runs over one checkpoint — deterministic order + a checkpoint-resume
+    exercise in one), each screened against corpus ∪ earlier batches.
+    Expected sets computed with the same frame-based helpers the batch
+    query gates."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _minhash_bands,
+        lsh_postings_store,
+        lsh_probe,
+        shingle_hashes,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        stream_neardup_screen,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bands_all = _minhash_bands(shingle_hashes(docs)).localCheckpoint(True)
+    corpus = F.col("doc_id") < 300
+    b1 = (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    b2 = F.col("doc_id") >= 400
+
+    postings = str(tmp_path / "postings")
+    flags = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    stream_src = str(tmp_path / "docs_stream")
+    lsh_postings_store(bands_all.filter(corpus), postings)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def run_batch(pred):
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(stream_src)
+        stream = spark.readStream.schema(schema).parquet(stream_src)
+        q = stream_neardup_screen(stream, postings, flags, ckpt)
+        q.awaitTermination(120)
+
+    run_batch(b1)  # screens vs corpus, then appends its postings
+    run_batch(b2)  # screens vs corpus ∪ b1
+
+    got = {
+        (r["doc_new"], r["doc_old"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    want_b1 = {
+        (r["doc_new"], r["doc_old"])
+        for r in lsh_probe(
+            bands_all.filter(b1), bands_all.filter(corpus)
+        ).collect()
+    }
+    want_b2 = {
+        (r["doc_new"], r["doc_old"])
+        for r in lsh_probe(
+            bands_all.filter(b2), bands_all.filter(corpus | b1)
+        ).collect()
+    }
+    assert got == want_b1 | want_b2
+    # the append loop mattered: batch2 collided with BATCH1 docs, which
+    # only the appended postings could have surfaced
+    assert any(300 <= old < 400 for _new, old in want_b2)
