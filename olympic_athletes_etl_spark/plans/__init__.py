@@ -47,7 +47,13 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      train/serve — plus s_ann_ivf_sampled, the sampled-training
 #      demonstration (fit on vec_id % 4 == 0, assign + search over
 #      everything), gated on its own mod-4 unrolled oracle so the
-#      sampled fit's cross-engine bit-identity is driver-proven. (The
+#      sampled fit's cross-engine bit-identity is driver-proven — and
+#      t_char_pair_freq, BPE's iteration-0 statistic (corpus-weighted
+#      adjacent char-pair counts), which hash-gates the distributed
+#      word-count + pair-explode machinery under the new
+#      bpe_learn_merges tokenizer trainer (the merge LOOP itself has
+#      data-dependent literals, so it is pinned by exact equality with
+#      a pure-Python reference in test_round8_ops instead). (The
 #      train/serve
 #      refactors of s_ann_ivf_kmeans / s_ann_pq / s_ann_ivfpq /
 #      s_knn_graph_ivf are pure factorings — same plan, same output —
@@ -59,10 +65,11 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      s_dim_profile, the r3-stale events queries, r_scd2_intervals,
 #      m_resize_plan / m_payload_dedup, the six tpch_close queries, the
 #      r3-stale relational/f_* slots, then r4 residue) — minus its last
-#      four entries (t_sequence_pack, d_jaccard_histogram,
-#      d_containment_pairs, d_dup_rate_by_source — displaced by the
-#      new registrations and rolled to the front of the r9 rotation).
-# Prefix math (driver audits 50): 4 + 46 = exactly 50. Everything
+#      five entries (t_quality_funnel, t_sequence_pack,
+#      d_jaccard_histogram, d_containment_pairs, d_dup_rate_by_source —
+#      displaced by the new registrations and rolled to the front of
+#      the r9 rotation).
+# Prefix math (driver audits 50): 5 + 45 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R8 = [
@@ -70,6 +77,7 @@ NEW_PLANS_R8 = [
     "s_ann_ivfpq_stored",
     "d_neardup_stored",
     "s_ann_ivf_sampled",
+    "t_char_pair_freq",
 ]
 STALE_LEDGER_R8 = [
     # r3-stale textstats (rolled from the r7 rotation)
@@ -126,10 +134,10 @@ STALE_LEDGER_R8 = [
     "a_intersect_keys",
     "j_salted_enrich",
     "w_ntile_deciles",
-    # r4 residue (t_sequence_pack + d_jaccard_histogram +
-    # d_containment_pairs + d_dup_rate_by_source rolled to the r9
-    # front, displaced by the round's four new registrations)
-    "t_quality_funnel",
+    # r4 residue (t_quality_funnel + t_sequence_pack +
+    # d_jaccard_histogram + d_containment_pairs + d_dup_rate_by_source
+    # rolled to the r9 front, displaced by the round's five new
+    # registrations)
 ]
 AUDIT_PREFIX = NEW_PLANS_R8 + STALE_LEDGER_R8
 

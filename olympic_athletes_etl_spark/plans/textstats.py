@@ -1612,3 +1612,172 @@ def t_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 t_keyword_extraction.__doc__ = t_keyword_extraction.__doc__.format(
     k=_KW_PER_DOC
 )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning — distributed tokenizer training
+# --------------------------------------------------------------------------
+def _word_freqs(docs: DataFrame) -> DataFrame:
+    """(w, freq) — whitespace word-frequency table. BPE iterates on THIS
+    table, not the corpus: pair statistics are identical either way
+    (each word contributes freq × its pairs), and at 100 TB the vocab
+    is orders of magnitude smaller than the text — one corpus scan +
+    one uniform hash shuffle, then every Lloyd-style iteration below
+    touches only vocab-cardinality rows. This is how every production
+    BPE trainer works (word-count first, merge loop on counts)."""
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms_col: str = "syms") -> F.Column:
+    # The size >= 2 guard is load-bearing: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (not empty), so an unguarded transform over a
+    # single-symbol word would fabricate pairs at indices 1 and 0 (and
+    # ANSI element_at(_, 0) raises). Same guard _BIGRAM_H_SPARK carries.
+    return F.expr(
+        f"CASE WHEN size({syms_col}) >= 2 THEN "
+        f"transform(sequence(1, size({syms_col}) - 1),"
+        f" i -> struct(element_at({syms_col}, i) AS a,"
+        f" element_at({syms_col}, i + 1) AS b))"
+        f" ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"
+    )
+
+
+def _apply_merge(a: str, b: str) -> F.Column:
+    """Left-to-right greedy merge of adjacent (a, b) → a||b over the
+    ``syms`` array, as a single fold — the exact semantics every BPE
+    implementation uses (a symbol consumed by a merge can't start the
+    next match). Literals go through F.lit so arbitrary text symbols
+    (quotes, backslashes) can't break out of the expression."""
+    return F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        # try_element_at: ANSI element_at raises on the empty-array
+        # index even behind a size(acc) > 0 conjunct (no short-circuit
+        # guarantee inside codegen); the try_ form yields NULL and the
+        # null-safe comparison then falls to otherwise().
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer training: learn ``n_merges`` merge
+    rules over (doc_id, text), returning [(left, right, pair_count)]
+    in merge order.
+
+    Construction per iteration (the classic word-count formulation —
+    Sennrich et al., ACL 2016, "Neural Machine Translation of Rare
+    Words with Subword Units"): adjacent symbol pairs of each vocab
+    word weighted by word frequency → one hash-aggregate (map-side
+    partial sums; keys are symbol pairs — uniform) → the argmax pair
+    collected to the driver (1 row; tie-break max count, then
+    lexicographic (a, b) — deterministic cross-run and vs the pure-
+    Python reference pinned in tests) → the merge applied to the vocab
+    as one narrow fold projection, re-checkpointed (superseded
+    checkpoints released — the graph-family discipline).
+
+    Scale shape: the corpus is scanned ONCE (word counts); all
+    iterations run on the vocab table (≤ distinct words, shrinking in
+    row width as symbols merge). Driver traffic is 1 row per merge.
+    Genuinely iterative with data-dependent literals, so there is no
+    static SQL oracle — correctness is pinned by exact equality with
+    an independent pure-Python implementation (test_round8_ops) and
+    the iteration-0 statistic is separately hash-gated
+    (t_char_pair_freq)."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    syms = (
+        _word_freqs(docs)
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            syms.select(F.explode(_adjacent_pairs()).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per merge
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        nxt = syms.select(_apply_merge(a, b).alias("syms"), "freq").localCheckpoint(
+            eager=True
+        )
+        _release_checkpoint(syms)
+        syms = nxt
+    _release_checkpoint(syms)
+    return merges
+
+
+@query(
+    "t_char_pair_freq",
+    oracle=r"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM w WHERE len(w) > 0 GROUP BY w),
+    -- range() rejects lateral column bounds; build the index list in
+    -- scalar context and unnest the two substr lists in LOCKSTEP
+    -- (DuckDB zips parallel unnests of equal length)
+    p AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+               i -> substr(w, CAST(i AS INT), 1))) AS a,
+             unnest(list_transform(range(1, len(w)),
+               i -> substr(w, CAST(i + 1 AS INT), 1))) AS b,
+             freq
+      FROM wf
+    )
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY a, b
+    """,
+)
+def t_char_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted adjacent character-pair frequencies — BPE's
+    iteration-0 statistic, hash-gated so the distributed word-count +
+    pair-explode machinery under bpe_learn_merges is oracle-proven
+    (the merge LOOP itself has data-dependent literals, hence no
+    static SQL twin — see bpe_learn_merges). Pair keys are uniform;
+    the vocab-table formulation means the corpus is scanned once
+    regardless of n_merges."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        _word_freqs(docs)
+        # single-char words contribute no pairs — and MUST be filtered:
+        # Spark's sequence(1, 0) is the descending [1, 0], which would
+        # fabricate ('c', '') and position-0 pairs (see _adjacent_pairs)
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substring(w, i, 1) AS a,"
+                    " substring(w, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    return pairs.select("a", "b", "cnt")

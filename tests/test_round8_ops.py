@@ -406,6 +406,63 @@ def test_lsh_postings_load_rejects_foreign_parquet(spark, sf_dir, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# BPE merge learning (distributed tokenizer training)
+# --------------------------------------------------------------------------
+def _bpe_reference(texts, n_merges):
+    """Independent pure-Python BPE (word-count formulation, max-count
+    then lexicographic tie-break, left-to-right greedy merge) — the
+    correctness yardstick for the distributed trainer, since the merge
+    loop's data-dependent literals admit no static SQL oracle."""
+    import re as _re
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in _re.split(r"\s+", t) if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w in vocab:
+            out = []
+            for x in vocab[w]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark, sf_dir):
+    """Exact merge-sequence equality (rules AND counts) with the
+    independent Python implementation — 6 rounds, so later iterations
+    exercise merges over already-merged multi-char symbols."""
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import bpe_learn_merges
+
+    docs = load(spark, sf_dir, "documents")
+    got = bpe_learn_merges(docs, n_merges=6)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == _bpe_reference(texts, 6)
+    assert len(got) == 6
+
+
+def test_bpe_learn_merges_validates(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import bpe_learn_merges
+
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_learn_merges(load(spark, sf_dir, "documents"), n_merges=0)
+
+
+# --------------------------------------------------------------------------
 # Sampled-training knob
 # --------------------------------------------------------------------------
 def test_train_mod_validation(spark, sf_dir):
