@@ -5,8 +5,12 @@
 ``olympic_athletes_etl_spark.plans`` — one named query per implemented
 operator from SURVEY.md §2 (plus the beyond-reference dedup/similarity/
 multimodal/text-analysis/event/validation extensions), each paired with
-a DuckDB oracle where the semantics are ANSI-SQL-expressible; the one
-deliberate exception is the procedural NOC UDF (rows-only check).
+a DuckDB oracle: since round 6 every registered query is hash-gated
+(the procedural NOC UDF was the last rows-only exception, promoted via
+the shared containment-filter oracle). Iterative operators whose
+literals are data-dependent (bpe_learn_merges) are exposed through a
+gated statistic query plus exact reference-implementation test pins
+rather than a rows-only registration.
 """
 
 from __future__ import annotations

@@ -77,6 +77,8 @@ EXTENDED_QUERIES = [
     "s_knn_graph_incr",
     "s_knn_graph_stored",
     "s_ann_ivfpq",
+    "s_ann_ivfpq_stored",
+    "d_neardup_stored",
     "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",
