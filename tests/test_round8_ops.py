@@ -454,6 +454,46 @@ def test_bpe_learn_merges_matches_reference(spark, sf_dir):
     assert len(got) == 6
 
 
+def test_bpe_apply_merge_exhaustive_small_cases(spark):
+    """Exhaustive left-to-right-greedy pin for the merge fold: EVERY
+    symbol sequence of length 0..5 over {a, b} under merges (a, b) and
+    (a, a) — 126 sequences x 2 rules in one DataFrame — equals the
+    Python fold. Catches exactly the overlap semantics corpus text may
+    never exercise (aaa under (a,a) must give [aa, a], abab must give
+    [ab, ab], a merged symbol must not re-match as its left half)."""
+    import itertools
+
+    from olympic_athletes_etl_spark.plans.textstats import _apply_merge
+
+    seqs = [
+        list(t)
+        for n in range(6)
+        for t in itertools.product("ab", repeat=n)
+    ]
+
+    def py_fold(s, a, b):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    for a, b in [("a", "b"), ("a", "a")]:
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "id long, syms array<string>"
+        )
+        got = {
+            r["id"]: list(r["merged"])
+            for r in df.select(
+                "id", _apply_merge(a, b).alias("merged")
+            ).collect()
+        }
+        want = {i: py_fold(s, a, b) for i, s in enumerate(seqs)}
+        assert got == want
+
+
 def test_bpe_learn_merges_validates(spark, sf_dir):
     from olympic_athletes_etl_spark.plans.tables import load
     from olympic_athletes_etl_spark.plans.textstats import bpe_learn_merges
