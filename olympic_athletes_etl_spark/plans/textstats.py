@@ -1781,3 +1781,38 @@ def t_char_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").cast("long").alias("cnt"))
     )
     return pairs.select("a", "b", "cnt")
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, tokens) — tokenize every document with an already-learned
+    merge list: per word, start from characters and apply the merges IN
+    LEARNED ORDER as chained fold projections (each merge is one narrow
+    map over the token arrays — no shuffle; the whole encode is a single
+    scan however many merges there are, since Catalyst collapses the
+    chained projections). This is the serving half of bpe_learn_merges:
+    train once on the word-count table, encode any corpus with the
+    frozen rules — at 100 TB the encode is scan-bound and embarrassingly
+    parallel. Exactness vs the reference Python encoder is pinned in
+    test_round8_ops (same fold semantics as _apply_merge, per word)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 0)
+        ).alias("pos", "w"),
+    ).select("doc_id", "pos", F.split("w", "").alias("syms"))
+    for m in merges:
+        a, b = m[0], m[1]
+        toks = toks.withColumn("syms", _apply_merge(a, b))
+    # collect_list is order-nondeterministic across partitions — the
+    # carried word position restores the document order (struct
+    # array_sort compares field-by-field, so pos leads).
+    return toks.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                lambda s: s["syms"],
+            )
+        ).alias("tokens")
+    )

@@ -494,6 +494,46 @@ def test_bpe_apply_merge_exhaustive_small_cases(spark):
         assert got == want
 
 
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """The serving half: encode every document with the learned rules —
+    token sequences equal the Python encoder's (same per-word fold, in
+    learned merge order, document order restored after the shuffle)."""
+    import re as _re
+
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=4)
+    enc = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+
+    def apply(s, a, b):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    for r in docs.select("doc_id", "text").collect():
+        toks = []
+        for w in _re.split(r"\s+", r["text"]):
+            if not w:
+                continue
+            s = list(w)
+            for a, b, _cnt in merges:
+                s = apply(s, a, b)
+            toks.extend(s)
+        assert enc[r["doc_id"]] == toks
+
+
 def test_bpe_learn_merges_validates(spark, sf_dir):
     from olympic_athletes_etl_spark.plans.tables import load
     from olympic_athletes_etl_spark.plans.textstats import bpe_learn_merges
