@@ -1551,6 +1551,7 @@ def knn_graph_merge(
     n_planes: int = _N_PLANES,
     bucket_cap: int = _GRAPH_BUCKET_CAP,
     raw_scores: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """INCREMENTAL kNN-graph maintenance: merge a NEW vector batch into
     an existing graph without re-running the old×old candidate join —
@@ -1593,7 +1594,19 @@ def knn_graph_merge(
     ``knn_graph_store`` accepts, which is what lets the ingest loop
     COMPOSE: store → merge batch → store → merge next batch, each
     iteration equal to the full rebuild while the cap doesn't bind
-    (two-batch chain pinned in test_round8_ops)."""
+    (two-batch chain pinned in test_round8_ops).
+
+    ``multiprobe`` must match the policy the OLD graph was built with —
+    a graph built at multiprobe recall cannot be maintained by
+    single-probe merges (batch edges reachable only through hamming-1
+    buckets would be silently missed, degrading recall batch over
+    batch). With matching policies the merge-equals-rebuild exactness
+    argument holds per (probe-bucket, target) pair, so the contract
+    carries over unchanged (pinned in test_round8_ops). Within one leg
+    a (src, dst) still can't repeat (a target lives in one bucket and
+    the probe masks are distinct — the knn_graph argument); across the
+    two batch legs the existing max(cos_raw) dedup already absorbs the
+    overlap either way."""
     if bucket_cap < 1:
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     if k < 1:
@@ -1604,18 +1617,18 @@ def knn_graph_merge(
     if old_graph is None:
         old_n = n.filter(~is_new)
         old_pairs = _pair_edges(
-            _graph_probes(old_n, n_planes, False),
+            _graph_probes(old_n, n_planes, multiprobe),
             _capped_targets(old_n, bucket_cap),
             t_bound,
         )
         old_graph = _topk_raw(old_pairs, k).select("src", "dst", "cos_raw")
     cand_new_dst = _pair_edges(
-        _graph_probes(n, n_planes, False),
+        _graph_probes(n, n_planes, multiprobe),
         _capped_targets(new_n, bucket_cap),
         t_bound,
     )
     cand_new_src = _pair_edges(
-        _graph_probes(new_n, n_planes, False),
+        _graph_probes(new_n, n_planes, multiprobe),
         _capped_targets(n, bucket_cap),
         t_bound,
     )

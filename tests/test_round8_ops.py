@@ -110,6 +110,34 @@ def test_stored_query_matches_incr_oracle(spark, sf_dir):
     assert got == want
 
 
+def test_knn_graph_merge_multiprobe_equals_rebuild(spark, sf_dir):
+    """Policy-matched incremental maintenance at MULTIPROBE recall:
+    merging with multiprobe=True (old graph rebuilt in-plan at the same
+    policy) equals the one-shot multiprobe rebuild while the cap is
+    unbound — the exactness contract carries over per (probe-bucket,
+    target) pair. Without the knob, a multiprobe-built graph silently
+    degrades under single-probe merges."""
+    emb = _emb_double(spark, sf_dir)
+    is_new = F.col("vec_id") % 8 == 0
+    merged = {
+        tuple(r)
+        for r in knn_graph_merge(
+            emb, is_new, bucket_cap=10_000, multiprobe=True
+        ).collect()
+    }
+    rebuild = {
+        tuple(r)
+        for r in knn_graph(emb, bucket_cap=10_000, multiprobe=True).collect()
+    }
+    assert merged == rebuild
+    # and the policies genuinely differ: single-probe merge misses edges
+    single = {
+        tuple(r)
+        for r in knn_graph_merge(emb, is_new, bucket_cap=10_000).collect()
+    }
+    assert single != rebuild
+
+
 def test_knn_graph_store_merge_chain_two_batches(spark, sf_dir, tmp_path):
     """The ingest loop COMPOSES: build(old) → store → merge batch1 (raw)
     → store → merge batch2 → equals the one-shot full rebuild over
