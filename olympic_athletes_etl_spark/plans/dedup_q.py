@@ -1846,6 +1846,20 @@ def lsh_probe(batch_bands: DataFrame, stored_bands: DataFrame) -> DataFrame:
     )
 
 
+def lsh_probe_within(bands: DataFrame) -> DataFrame:
+    """DISTINCT (doc_new, doc_old) collisions WITHIN one batch's own band
+    rows — the self-probe that closes the ingest screen's intra-batch
+    blind spot: ``lsh_probe(batch, stored)`` only sees pairs that span
+    the store, so two near-duplicates arriving in the SAME micro-batch
+    would each miss the other and both be admitted. ``doc_new >
+    doc_old`` orients every within-batch pair exactly once (the later
+    id flags against the earlier — the d_incremental_dedup convention),
+    and drops the trivial self-collisions the self-join necessarily
+    produces. Same uniform (band, sig0, sig1) join key as lsh_probe;
+    candidate volume is batch-sized on both sides."""
+    return lsh_probe(bands, bands).filter(F.col("doc_new") > F.col("doc_old"))
+
+
 @query(
     "d_neardup_stored",
     oracle=f"""
@@ -1875,7 +1889,13 @@ def d_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket key — and the oracle proves the stored probe equals the
     in-plan split-join exactly (integer signatures, lossless parquet).
     Shares d_incremental_dedup's batch split; per-call temp dir for
-    re-entrancy like the other stored-index queries."""
+    re-entrancy like the other stored-index queries.
+
+    CONTRACT: this probe screens batch-vs-STORE only — two near-dups
+    inside the same batch are invisible to it by construction. Callers
+    screening a raw ingest batch compose it with lsh_probe_within
+    (the batch self-probe), exactly as the always-on form does
+    (streaming/pipeline.py:stream_neardup_screen)."""
     bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir))
     path = os.path.join(
         tempfile.mkdtemp(prefix="d_neardup_stored_"), "postings"

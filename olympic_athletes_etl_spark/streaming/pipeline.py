@@ -337,7 +337,10 @@ def stream_neardup_screen(
     ingest loop: each micro-batch of (doc_id, text) computes ITS OWN
     banded MinHash signatures (the exact definition the batch oracles
     pin — shared shingle_hashes/_minhash_bands code), probes the
-    persisted postings for collisions, appends the flagged
+    persisted postings for collisions AND probes itself for
+    within-batch collisions (lsh_probe_within — two near-dups arriving
+    in the same micro-batch flag each other, later id against earlier;
+    without the self-probe both would be admitted), appends the flagged
     (doc_new, doc_old, batch_id) pairs to ``flags_path``, then appends
     the batch's own postings so LATER batches screen against
     corpus ∪ earlier-batches.
@@ -358,18 +361,24 @@ def stream_neardup_screen(
         lsh_postings_append,
         lsh_postings_load,
         lsh_probe,
+        lsh_probe_within,
         shingle_hashes,
     )
 
     def screen_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # eager checkpoint: bands feeds BOTH the probe join and the
-        # postings append — and pins the signatures computed BEFORE the
-        # append mutates the store this plan reads.
+        # eager checkpoint: bands feeds the store probe, the self-probe,
+        # and the postings append — and pins the signatures computed
+        # BEFORE the append mutates the store this plan reads.
         bands = _minhash_bands(shingle_hashes(batch)).localCheckpoint(
             eager=True
         )
-        lsh_probe(bands, lsh_postings_load(spark, postings_path)).withColumn(
+        # store probe ∪ self-probe: doc_old sets are disjoint (store ids
+        # vs batch ids) outside the documented replay pathology, so the
+        # union adds no duplicates to dedupe.
+        lsh_probe(bands, lsh_postings_load(spark, postings_path)).unionByName(
+            lsh_probe_within(bands)
+        ).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(flags_path)
         if append_postings:

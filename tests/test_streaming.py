@@ -390,6 +390,7 @@ def test_stream_neardup_screen_matches_batch_loop(spark, sf_dir, tmp_path):
         _minhash_bands,
         lsh_postings_store,
         lsh_probe,
+        lsh_probe_within,
         shingle_hashes,
     )
     from olympic_athletes_etl_spark.plans.tables import load
@@ -431,14 +432,79 @@ def test_stream_neardup_screen_matches_batch_loop(spark, sf_dir, tmp_path):
         for r in lsh_probe(
             bands_all.filter(b1), bands_all.filter(corpus)
         ).collect()
+    } | {
+        (r["doc_new"], r["doc_old"])
+        for r in lsh_probe_within(bands_all.filter(b1)).collect()
     }
     want_b2 = {
         (r["doc_new"], r["doc_old"])
         for r in lsh_probe(
             bands_all.filter(b2), bands_all.filter(corpus | b1)
         ).collect()
+    } | {
+        (r["doc_new"], r["doc_old"])
+        for r in lsh_probe_within(bands_all.filter(b2)).collect()
     }
     assert got == want_b1 | want_b2
     # the append loop mattered: batch2 collided with BATCH1 docs, which
     # only the appended postings could have surfaced
     assert any(300 <= old < 400 for _new, old in want_b2)
+
+
+def test_stream_neardup_screen_flags_within_batch(spark, sf_dir, tmp_path):
+    """Two near-duplicate documents arriving in the SAME micro-batch:
+    exactly one survives. The store probe alone cannot see this pair
+    (neither doc is in the postings yet) — before the lsh_probe_within
+    composition both were admitted. The later id flags against the
+    earlier, the earlier is the survivor, and the pair does NOT collide
+    with the corpus (asserted), so the flag can only have come from the
+    self-probe."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _minhash_bands,
+        lsh_postings_store,
+        shingle_hashes,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        stream_neardup_screen,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    lsh_postings_store(
+        _minhash_bands(shingle_hashes(docs.filter(F.col("doc_id") < 100))),
+        str(tmp_path / "postings"),
+    )
+    # identical text ⇒ identical signatures ⇒ collision in every band;
+    # the vocabulary is disjoint from the corpus's, so no store hits.
+    twin_text = "zebra quartz vortex nymph glyph jumbo walnut fjord onyx"
+    batch = spark.createDataFrame(
+        [(900, twin_text), (901, twin_text)],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    src = str(tmp_path / "docs_stream")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = stream_neardup_screen(
+        stream,
+        str(tmp_path / "postings"),
+        str(tmp_path / "flags"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    flagged = {
+        (r["doc_new"], r["doc_old"])
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    assert flagged == {(901, 900)}  # later vs earlier, once, no corpus hit
+    survivors = {900, 901} - {new for new, _old in flagged}
+    assert survivors == {900}
