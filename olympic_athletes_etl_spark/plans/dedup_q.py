@@ -1799,9 +1799,9 @@ def lsh_postings_append(bands: DataFrame, path: str) -> None:
     (screen → keep survivors → append their postings → repeat).
     Parquet append under the same band partitioning; signatures are
     integers, so the appended store is exactly the union (chain pinned
-    across two batches in test_round8_ops). At 100 TB, periodic
-    compaction of the appended files rides the existing compaction sink
-    (sources/io.py:compacted_write)."""
+    across two batches in test_round8_ops). Each append lands one file
+    set per batch — run lsh_postings_compact on a cadence to fold them
+    back to one file per band (probe-invariant, pinned)."""
     missing = [c for c in _LSH_POSTINGS_COLS if c not in bands.columns]
     if missing:
         raise ValueError(
@@ -1822,6 +1822,32 @@ def lsh_postings_load(spark: SparkSession, path: str) -> DataFrame:
             "lsh_postings_store output"
         )
     return g.select(*_LSH_POSTINGS_COLS)
+
+
+def lsh_postings_compact(spark: SparkSession, path: str) -> None:
+    """Rewrite the postings store as one compact file set per band —
+    the maintenance pass the append loop needs: every
+    lsh_postings_append lands one file set per batch, and after N
+    batches a probe opens O(N) small files per band (the classic
+    small-files tax). Compaction repartitions by the partition key so
+    each band's rows land in ONE task → one file per band directory,
+    then overwrites in place. Content is untouched: a probe against the
+    compacted store equals the pre-compaction probe exactly (pinned in
+    test_round9_ops). Plain parquet can't overwrite a path while
+    reading it, so the read is staged through a local checkpoint —
+    Delta/Iceberg make this rewrite atomic (their OPTIMIZE/rewrite);
+    at 100 TB repartition(n_files_per_band, "band", ...) sizes files
+    to ~512 MB–1 GB instead of one-per-band (the compacted_write
+    guidance, sources/io.py)."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    staged = (
+        lsh_postings_load(spark, path)
+        .repartition("band")
+        .localCheckpoint(eager=True)
+    )
+    staged.write.partitionBy("band").mode("overwrite").parquet(path)
+    _release_checkpoint(staged)
 
 
 def lsh_probe(batch_bands: DataFrame, stored_bands: DataFrame) -> DataFrame:

@@ -1258,11 +1258,35 @@ def ivfpq_index_append(
     partitions. Serving needs no change — the literal partition filter
     sees old ∪ new files (appended-store serve pinned equal to a
     rebuilt-store serve with the same quantizers in test_round8_ops).
-    Parquet append under the list_id partitioning; compaction of
-    appended files rides sources/io.py:compacted_write."""
+    Parquet append under the list_id partitioning; each append lands
+    one file set per batch — run ivfpq_index_compact on a cadence to
+    fold them back to one file per list (serve-invariant, pinned)."""
     ivfpq_index_build(n_batch, cents, books).write.partitionBy(
         "list_id"
     ).mode("append").parquet(path)
+
+
+def ivfpq_index_compact(spark: SparkSession, path: str) -> None:
+    """Rewrite the stored IVFPQ index as one compact file set per
+    list_id partition — the maintenance twin of lsh_postings_compact
+    for the other append store: each ivfpq_index_append lands a file
+    set per batch, and serving latency degrades with file count inside
+    the probed partitions (footer opens dominate tiny reads). The
+    repartition keys on list_id so every list lands in one task → one
+    file per list directory; content is untouched, so a stored serve
+    after compaction equals the pre-compaction serve exactly (pinned
+    in test_round9_ops) and the literal PartitionFilters pruning is
+    unchanged. Same in-place-overwrite staging caveat and 100 TB
+    file-sizing note as lsh_postings_compact."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    staged = (
+        ivfpq_index_load(spark, path)
+        .repartition("list_id")
+        .localCheckpoint(eager=True)
+    )
+    staged.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    _release_checkpoint(staged)
 
 
 def _km_probe_lists(

@@ -1,0 +1,146 @@
+"""Round-9 operators: store compaction for the two append-path indexes
+(lsh_postings_compact / ivfpq_index_compact — probe/serve-invariant,
+small-file count actually reduced), the driver-local BPE merge loop +
+mapInPandas encoder (production merge counts without per-merge Spark
+jobs), the fixed-merge-list encode query, and the IVFPQ quantization-
+error drift diagnostic for the frozen-quantizer append path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.plans.similarity_q import (
+    _K,
+    _N_PROBE,
+    _QUERY_VEC_ID,
+    _ivfpq_search_stored,
+    _km_base,
+    _km_fit,
+    _km_probe_lists,
+    _pq_fit,
+    ivfpq_index_append,
+    ivfpq_index_build,
+    ivfpq_index_compact,
+    ivfpq_index_load,
+    ivfpq_index_store,
+)
+
+
+def _parquet_files_by_dir(path: str) -> dict[str, int]:
+    """{partition-dir name: parquet file count} under a partitioned store."""
+    out: dict[str, int] = {}
+    for f in glob.glob(os.path.join(path, "*", "*.parquet")):
+        out[os.path.basename(os.path.dirname(f))] = (
+            out.get(os.path.basename(os.path.dirname(f)), 0) + 1
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Store compaction — append-path maintenance
+# --------------------------------------------------------------------------
+def test_lsh_postings_compact_is_probe_invariant(spark, sf_dir, tmp_path):
+    """store + 2 appends → >1 file per band; compact → exactly 1 file
+    per band and the probe result is unchanged (content-invariant
+    rewrite)."""
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _doc_shingle_hashes,
+        _minhash_bands,
+        lsh_postings_append,
+        lsh_postings_compact,
+        lsh_postings_load,
+        lsh_postings_store,
+        lsh_probe,
+    )
+
+    bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    path = str(tmp_path / "postings")
+    lsh_postings_store(bands.filter(F.col("doc_id") < 300), path)
+    lsh_postings_append(
+        bands.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)), path
+    )
+    lsh_postings_append(
+        bands.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 400)), path
+    )
+    probe_batch = bands.filter(F.col("doc_id") >= 400)
+    pre = {
+        (r["doc_new"], r["doc_old"])
+        for r in lsh_probe(probe_batch, lsh_postings_load(spark, path)).collect()
+    }
+    before = _parquet_files_by_dir(path)
+    assert any(n > 1 for n in before.values()), before  # appends fragmented
+
+    lsh_postings_compact(spark, path)
+
+    after = _parquet_files_by_dir(path)
+    assert set(after) == set(before)  # no partition lost
+    assert all(n == 1 for n in after.values()), after
+    post = {
+        (r["doc_new"], r["doc_old"])
+        for r in lsh_probe(probe_batch, lsh_postings_load(spark, path)).collect()
+    }
+    assert post == pre
+    assert len(post) > 0
+
+
+def test_ivfpq_index_compact_serves_identically(spark, sf_dir, tmp_path):
+    """store + append (frozen quantizers) → fragmented lists; compact →
+    one file per list partition, stored serve unchanged, and the loaded
+    row multiset (vec_id, list_id) identical."""
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    books = _pq_fit(n)
+    path = str(tmp_path / "index")
+    is_new = F.col("vec_id") % 5 == 3
+    ivfpq_index_store(ivfpq_index_build(n.filter(~is_new), cents, books), path)
+    ivfpq_index_append(n.filter(is_new), cents, books, path)
+
+    probe = (
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("v", "vnrm", "vq")
+        .collect()[0]
+    )
+    probe_q = [int(x) for x in probe["vq"]]
+    args = (
+        books,
+        probe_q,
+        [float(x) for x in probe["v"]],
+        float(probe["vnrm"]),
+        _km_probe_lists(probe_q, cents, _N_PROBE),
+    )
+
+    def serve():
+        return sorted(
+            tuple(r)
+            for r in _ivfpq_search_stored(
+                ivfpq_index_load(spark, path), *args
+            ).collect()
+        )
+
+    def rows():
+        return sorted(
+            (r["vec_id"], r["list_id"])
+            for r in ivfpq_index_load(spark, path)
+            .select("vec_id", "list_id")
+            .collect()
+        )
+
+    pre_serve, pre_rows = serve(), rows()
+    before = _parquet_files_by_dir(path)
+    assert any(c > 1 for c in before.values()), before
+
+    ivfpq_index_compact(spark, path)
+
+    after = _parquet_files_by_dir(path)
+    assert set(after) == set(before)
+    assert all(c == 1 for c in after.values()), after
+    assert serve() == pre_serve
+    assert rows() == pre_rows
+    assert len(pre_serve) == _K
