@@ -1692,7 +1692,11 @@ def bpe_learn_merges(
 
     Scale shape: the corpus is scanned ONCE (word counts); all
     iterations run on the vocab table (≤ distinct words, shrinking in
-    row width as symbols merge). Driver traffic is 1 row per merge.
+    row width as symbols merge). Driver traffic is 1 row per merge —
+    but each merge is one Spark job + checkpoint, so at production
+    vocab sizes (30k–50k merges) use bpe_learn_merges_local: same one
+    corpus scan, merge loop driver-local over the collected word table,
+    pinned bit-identical (the crossover is measured in SCALE.md).
     Genuinely iterative with data-dependent literals, so there is no
     static SQL oracle — correctness is pinned by exact equality with
     an independent pure-Python implementation (test_round8_ops) and
@@ -1728,6 +1732,166 @@ def bpe_learn_merges(
         syms = nxt
     _release_checkpoint(syms)
     return merges
+
+
+def _bpe_merges_from_word_freqs(
+    wf: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-local BPE merge loop over a word-frequency table — the
+    incremental-pair-count formulation every production trainer uses
+    (Sennrich's learn_bpe.py, HuggingFace tokenizers): pair counts are
+    built once, then each merge touches only the words that contain the
+    merged pair, updating counts by delta; the argmax comes from a
+    max-heap with lazy invalidation (an entry is valid iff its count
+    still matches the live table — stale entries from superseded pushes
+    are skipped on pop). Tie-break identical to the distributed loop
+    and the pure-Python reference: max count, then lexicographic
+    (a, b) — the heap key (-count, a, b) encodes exactly that.
+
+    A later merge can re-create an already-merged pair by string value
+    (two different merges can produce equal symbol strings); the delta
+    bookkeeping re-inserts its count and heap entry, so the loop stays
+    exactly equivalent to recount-from-scratch — pinned against both
+    the distributed trainer and the independent reference in
+    test_round9_ops."""
+    import heapq
+
+    vocab = {w: list(w) for w in wf}
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, f in wf.items():
+        s = vocab[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(w)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negc, a, b = heapq.heappop(heap)
+        cur = pair_counts.get((a, b), 0)
+        if cur != -negc or cur <= 0:
+            continue  # lazy invalidation: count changed since this push
+        merges.append((a, b, cur))
+        touched: dict[tuple[str, str], int] = {}
+        # pop the member set: the merge consumes every live occurrence;
+        # if a later merge re-creates the pair, setdefault rebuilds it
+        for w in pair_words.pop((a, b), ()):
+            s = vocab[w]
+            new: list[str] = []
+            for x in s:
+                if new and new[-1] == a and x == b:
+                    new[-1] = a + b
+                else:
+                    new.append(x)
+            if new == s:
+                continue  # stale member (pair left this word earlier)
+            f = wf[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                touched[p] = touched.get(p, 0) - f
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                touched[p] = touched.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(w)
+            vocab[w] = new
+        for p, d in touched.items():
+            if d == 0:
+                continue
+            c2 = pair_counts.get(p, 0) + d
+            if c2 > 0:
+                pair_counts[p] = c2
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+    return merges
+
+
+def bpe_learn_merges_local(
+    docs: DataFrame, n_merges: int = 8, min_freq: int = 1
+) -> list[tuple[str, str, int]]:
+    """bpe_learn_merges at PRODUCTION merge counts: one distributed
+    corpus scan builds the word-frequency table (the only part that
+    sees the 100 TB), the table is collected, and the merge loop runs
+    driver-local — so n_merges=30k costs one Spark job instead of 30k
+    sequential job+checkpoint round trips (the distributed loop's
+    documented ceiling; see bpe_learn_merges).
+
+    The collect is vocab-cardinality, not corpus-cardinality: distinct
+    whitespace words — tens of millions of short rows at web scale,
+    i.e. driver-RAM-sized, which is why every production BPE trainer
+    (Sennrich, SentencePiece, HF tokenizers) trains exactly this way.
+    ``min_freq`` is the standard vocabulary bound when even that is too
+    big: words below the floor are dropped BEFORE the collect (a
+    distributed filter), trading exactness for a hard cap — the default
+    1 keeps the result bit-identical to bpe_learn_merges (pinned in
+    test_round9_ops, plus the measured crossover note in SCALE.md)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    wfd = _word_freqs(docs)
+    if min_freq > 1:
+        wfd = wfd.filter(F.col("freq") >= min_freq)
+    wf = {r["w"]: int(r["freq"]) for r in wfd.collect()}
+    return _bpe_merges_from_word_freqs(wf, n_merges)
+
+
+def bpe_encode_pandas(
+    docs: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+) -> DataFrame:
+    """bpe_encode at PRODUCTION merge counts: the fold encoder chains
+    one projection per merge, which is scan-bound and shuffle-free but
+    grows the Catalyst expression tree linearly in n_merges — analysis/
+    codegen cost passes the Arrow-batched Python cost well before
+    real-vocab sizes (measured crossover in SCALE.md). This form ships
+    the frozen rules into an Arrow-batched mapInPandas worker instead:
+    constant-size plan however many merges, same embarrassingly
+    parallel scan shape, zero shuffles.
+
+    Per-batch word memoization makes the Python loop pay per DISTINCT
+    word, not per token — the corpus's Zipf repetition is the whole
+    speedup. Fold semantics are byte-identical to _apply_merge (rules
+    in learned order, left-to-right greedy, a consumed symbol can't
+    start the next match) — pinned equal to bpe_encode in
+    test_round9_ops. The worker closure is self-contained (nested
+    function, imports inside), so no pickle-by-value registration is
+    needed."""
+    rules = [(str(m[0]), str(m[1])) for m in merges]
+
+    def encode_batches(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                s = list(w)
+                for a, b in rules:
+                    out: list[str] = []
+                    for x in s:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    s = out
+                memo[w] = got = s
+            return got
+
+        for pdf in batches:
+            toks = [
+                [t for w in _re.split(r"\s+", txt) if w for t in enc_word(w)]
+                for txt in pdf["text"]
+            ]
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, "doc_id long, tokens array<string>"
+    )
 
 
 @query(
@@ -1795,7 +1959,11 @@ def bpe_encode(
     train once on the word-count table, encode any corpus with the
     frozen rules — at 100 TB the encode is scan-bound and embarrassingly
     parallel. Exactness vs the reference Python encoder is pinned in
-    test_round8_ops (same fold semantics as _apply_merge, per word)."""
+    test_round8_ops (same fold semantics as _apply_merge, per word).
+    The chained projections grow the Catalyst tree linearly in
+    n_merges — past the measured crossover (SCALE.md) use
+    bpe_encode_pandas, the constant-plan-size Arrow-batched twin
+    (pinned equal in test_round9_ops)."""
     toks = docs.select(
         "doc_id",
         F.posexplode(

@@ -144,3 +144,122 @@ def test_ivfpq_index_compact_serves_identically(spark, sf_dir, tmp_path):
     assert serve() == pre_serve
     assert rows() == pre_rows
     assert len(pre_serve) == _K
+
+
+# --------------------------------------------------------------------------
+# BPE at production merge counts — local trainer + mapInPandas encoder
+# --------------------------------------------------------------------------
+def test_bpe_local_trainer_equals_distributed(spark, sf_dir):
+    """The driver-local merge loop (one distributed word-count scan,
+    then incremental pair counts + lazy-invalidation heap) must emit
+    the EXACT merge sequence — rules and counts — of the distributed
+    per-merge loop. 8 merges so later iterations merge multi-char
+    symbols through the incremental delta path."""
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        bpe_learn_merges,
+        bpe_learn_merges_local,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    assert bpe_learn_merges_local(docs, n_merges=8) == bpe_learn_merges(
+        docs, n_merges=8
+    )
+
+
+def test_bpe_local_trainer_handles_recreated_pairs():
+    """A later merge can re-create an earlier merged pair BY STRING
+    VALUE ((x, yz) and (xy, z) both make 'xyz'); the incremental loop
+    must re-insert its count instead of treating it as consumed — the
+    recount-from-scratch reference is the yardstick. Crafted vocab
+    where the incremental bookkeeping diverges if the pop-and-rebuild
+    path is wrong."""
+    from collections import Counter
+
+    from olympic_athletes_etl_spark.plans.textstats import (
+        _bpe_merges_from_word_freqs,
+    )
+
+    def recount_reference(wf, n_merges):
+        vocab = {w: list(w) for w in wf}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, f in wf.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, cnt))
+            for w in vocab:
+                out = []
+                for x in vocab[w]:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                vocab[w] = out
+        return merges
+
+    cases = [
+        # 'ab' learned first; later (a, b)-shaped adjacency re-created
+        # by a different merge producing the same string
+        {"abab": 10, "aabb": 6, "abba": 4, "bab": 3, "aa": 2},
+        {"xyz": 9, "xy": 8, "yz": 7, "xyzxyz": 5, "zyx": 4},
+        {"aaaa": 7, "aaa": 6, "aa": 5, "a": 4},
+        {"the": 5, "then": 4, "them": 3, "he": 6, "hen": 2},
+    ]
+    for wf in cases:
+        for n in (1, 3, 6, 12):
+            assert _bpe_merges_from_word_freqs(dict(wf), n) == recount_reference(
+                dict(wf), n
+            ), (wf, n)
+
+
+def test_bpe_local_trainer_min_freq_floor(spark, sf_dir):
+    """min_freq drops sub-floor words BEFORE the collect — the result
+    must equal training on the filtered word table (the documented
+    exactness trade), and min_freq=1 is the bit-identical default."""
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        _bpe_merges_from_word_freqs,
+        _word_freqs,
+        bpe_learn_merges_local,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wf_all = {r["w"]: int(r["freq"]) for r in _word_freqs(docs).collect()}
+    floor = sorted(wf_all.values())[len(wf_all) // 2]  # median: drops some
+    wf_kept = {w: f for w, f in wf_all.items() if f >= floor}
+    assert len(wf_kept) < len(wf_all)
+    assert bpe_learn_merges_local(
+        docs, n_merges=6, min_freq=floor
+    ) == _bpe_merges_from_word_freqs(wf_kept, 6)
+    with pytest.raises(ValueError, match="min_freq"):
+        bpe_learn_merges_local(docs, n_merges=2, min_freq=0)
+
+
+def test_bpe_encode_pandas_equals_fold_encoder(spark, sf_dir):
+    """The Arrow-batched encoder must produce byte-identical token
+    sequences to the chained-fold encoder for the same learned rules
+    (per-doc, in document order)."""
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        bpe_encode,
+        bpe_encode_pandas,
+        bpe_learn_merges_local,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_learn_merges_local(docs, n_merges=6)
+    fold = {
+        r["doc_id"]: list(r["tokens"]) for r in bpe_encode(docs, merges).collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_pandas(docs, merges).collect()
+    }
+    assert arrow == fold
+    assert len(arrow) == docs.count()
