@@ -1266,6 +1266,126 @@ def ivfpq_index_append(
     ).mode("append").parquet(path)
 
 
+def ivfpq_drift_stats(
+    idx: DataFrame, books: dict[int, list[tuple[int, list[int]]]]
+) -> DataFrame:
+    """Per-batch quantization-error profile of a stored IVFPQ index —
+    the re-train signal the frozen-quantizer add() path
+    (ivfpq_index_append) otherwise lacks: s_list_stats sees occupancy
+    drift, but a distribution shift that the codebooks no longer fit
+    shows up FIRST as growing reconstruction error on new batches.
+    Per vector: for each subspace, the angular residual between the
+    subvector and its STORED code's centroid, as the exact integer
+    ``10000 - floor(10000 * cos(sq, cv_code))`` (identical-operand
+    IEEE ops on both engines, so the floor is cross-engine stable —
+    the s_ann_* determinism argument); summed over the 16 subspaces
+    into one BIGINT per vector, then mean (integer div) and max per
+    batch — integer aggregates, no float-sum order sensitivity.
+
+    Reads only (vec_id, v, code0..15) from the index — at 100 TB this
+    is a narrow columnar scan of the probed batches' partitions, one
+    map-side-combinable aggregate, no joins (codebooks are literal
+    expressions). An operator watches mean_err_x10000 of appended
+    batches against the training batch's own value: the training
+    residual is the noise floor, and a sustained climb (we flag ≥ ~2×
+    in SCALE.md) says re-train the quantizers and re-encode."""
+    d = idx.withColumn(
+        "vq",
+        F.expr(f"transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE))"),
+    )
+    err: F.Column = F.lit(0).cast("long")
+    for j, cents in sorted(books.items()):
+        sq = _pq_sub_sql(j)
+        sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
+        entries = _pq_entries(cents, sq, sqn)
+        # the stored code picks its own entry; the array always has
+        # exactly one match (codes were assigned from these books), so
+        # a plain element_at fails LOUDLY on a books/index mismatch
+        sim = F.element_at(
+            F.filter(entries, lambda e: e["c_id"] == F.col(f"code{j}")), 1
+        )["sim"]
+        err = err + (F.lit(10000).cast("long") - F.floor(F.lit(10000.0) * sim))
+    return (
+        d.select((F.col("vec_id") % 2).cast("long").alias("batch"), err.alias("err"))
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("CAST(sum(err) div count(1) AS BIGINT)").alias(
+                "mean_err_x10000"
+            ),
+            F.max("err").cast("long").alias("max_err_x10000"),
+        )
+    )
+
+
+def _ivfpq_drift_oracle() -> str:
+    """Shared PQ training CTEs + per-subspace residual of each vector's
+    ASSIGNED centroid (the same (sim DESC, c_id) argmax the codes CTE
+    uses), totalled and grouped by the vec_id%2 batch split."""
+    header = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nq2 AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vnrm,
+             list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)) AS vq,
+             sqrt(list_dot_product(
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)),
+               list_transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE)))) AS qnrm
+      FROM e
+    )"""
+    parts = [header, _pq_train_ctes("nq2")]
+    for j in range(_PQ_M):
+        parts.append(
+            f""", drift{j} AS (
+      SELECT k.vec_id,
+             CAST(10000 - CAST(floor(10000 * (list_dot_product(s.sq, c.cv)
+               / (s.sqn * sqrt(list_dot_product(c.cv, c.cv))))) AS BIGINT)
+               AS BIGINT) AS err
+      FROM codes{j} k
+      JOIN sub{j} s USING (vec_id)
+      JOIN cent{j}_{_PQ_ITERS} c ON c.c_id = k.code
+    )"""
+        )
+    joins = " ".join(f"JOIN drift{j} USING (vec_id)" for j in range(1, _PQ_M))
+    total = " + ".join(f"drift{j}.err" for j in range(_PQ_M))
+    parts.append(
+        f""", dt AS (
+      SELECT drift0.vec_id, ({total}) AS err
+      FROM drift0 {joins}
+    )
+    SELECT CAST(vec_id % 2 AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(sum(err) AS BIGINT) // count(*) AS BIGINT) AS mean_err_x10000,
+           CAST(max(err) AS BIGINT) AS max_err_x10000
+    FROM dt GROUP BY batch"""
+    )
+    return "".join(parts)
+
+
+@query("s_ivfpq_drift", oracle=_ivfpq_drift_oracle())
+def s_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift diagnostic run the way an operator would: quantizers
+    trained once, the corpus half stored (ivfpq_index_store), a second
+    half APPENDED with the frozen quantizers (ivfpq_index_append — the
+    add() path), then ivfpq_drift_stats over the LOADED index, stats
+    per batch. The vec_id%2 split stands in for ingestion batches; on
+    this stationary corpus the two batches' mean errors agree, which
+    is exactly the healthy baseline reading (the test asserts the
+    ratio bound, the oracle the exact integers). Gated end-to-end:
+    the hash proves codes round-trip storage and the residual
+    arithmetic is cross-engine exact through train→encode→store→
+    append→load→diagnose. Per-call temp dir for re-entrancy like the
+    other stored-index queries."""
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    books = _pq_fit(n)
+    path = os.path.join(tempfile.mkdtemp(prefix="s_ivfpq_drift_"), "index")
+    is_new = F.col("vec_id") % 2 == 1
+    ivfpq_index_store(ivfpq_index_build(n.filter(~is_new), cents, books), path)
+    ivfpq_index_append(n.filter(is_new), cents, books, path)
+    return ivfpq_drift_stats(ivfpq_index_load(spark, path), books)
+
+
 def ivfpq_index_compact(spark: SparkSession, path: str) -> None:
     """Rewrite the stored IVFPQ index as one compact file set per
     list_id partition — the maintenance twin of lsh_postings_compact

@@ -1734,6 +1734,83 @@ def bpe_learn_merges(
     return merges
 
 
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("a", "t"),
+    ("d", "at"),
+    ("dat", "a"),
+    ("s", "t"),
+]
+
+
+def _bpe_fixed_oracle() -> str:
+    """Greedy left-to-right BPE merging as pure ANSI-ish SQL, by an
+    INDEPENDENT mechanism from the Spark fold: each word becomes a
+    delimiter-doubled symbol string (chr(31) around every symbol, so
+    adjacent symbols share a DOUBLED delimiter: D a DD b D), and each
+    merge is one non-overlapping left-to-right ``replace`` of
+    ``D a DD b D`` with ``D ab D`` — the single-delimiter overlap
+    between consecutive matches is exactly what makes plain replace
+    reproduce the fold's consumed-symbol rule (aaa under (a,a) gives
+    [aa, a]; abab under (a,b) gives [ab, ab]). chr(31) never occurs in
+    the corpus text (lowercase words + spaces), so the delimiter is
+    unambiguous."""
+    d = "chr(31)"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    enc = (
+        f"{d} || array_to_string(list_transform(range(1, len(w) + 1),"
+        f" i -> substr(w, CAST(i AS INT), 1)), {d} || {d}) || {d}"
+    )
+    for a, b in _BPE_FIXED_MERGES:
+        enc = (
+            f"replace({enc}, ({d} || {lit(a)} || {d} || {d} || {lit(b)}"
+            f" || {d}), ({d} || {lit(a + b)} || {d}))"
+        )
+    return rf"""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(ws) AS w,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM wl
+    ), enc AS (
+      SELECT doc_id, pos,
+             array_to_string(list_filter(string_split({enc}, {d}),
+                             x -> len(x) > 0), ' ') AS toks
+      FROM words
+    )
+    SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS encoded
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query("t_bpe_encode_fixed", oracle=_bpe_fixed_oracle())
+def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, encoded) — every document tokenized with a FROZEN
+    literal merge list, space-joined in document order. This is the
+    static-oracle gate for the fold encoder's semantics, the way
+    t_char_pair_freq gates the trainer's iteration-0 statistic: with
+    the merge list fixed, the encode is fully SQL-expressible, and the
+    DuckDB twin implements greedy left-to-right merging via a
+    completely different mechanism (delimiter-doubled string rewrite —
+    see _bpe_fixed_oracle), so any drift in the fold's overlap or
+    consumed-symbol semantics hash-mismatches. The list exercises the
+    hard cases: a three-step cascade builds 'data' ((a,t) → (d,at) →
+    (dat,a) — later rules consume earlier rules' outputs) plus an
+    independent (s,t) rule. Same scan-bound chained-fold plan as
+    bpe_encode; document order restored by the carried word position
+    on both sides."""
+    docs = load(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_FIXED_MERGES).select(
+        "doc_id", F.array_join("tokens", " ").alias("encoded")
+    )
+
+
 def _bpe_merges_from_word_freqs(
     wf: dict[str, int], n_merges: int
 ) -> list[tuple[str, str, int]]:

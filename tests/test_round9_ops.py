@@ -263,3 +263,62 @@ def test_bpe_encode_pandas_equals_fold_encoder(spark, sf_dir):
     }
     assert arrow == fold
     assert len(arrow) == docs.count()
+
+
+# --------------------------------------------------------------------------
+# IVFPQ drift diagnostic — the frozen-quantizer re-train signal
+# --------------------------------------------------------------------------
+def test_ivfpq_drift_healthy_baseline(spark, sf_dir):
+    """The registered query's vec_id%2 split draws both batches from
+    the SAME distribution, so the appended batch's mean residual must
+    sit at the training batch's noise floor (well under the ~2x
+    re-train flag documented in SCALE.md)."""
+    from olympic_athletes_etl_spark.plans import queries
+
+    rows = {
+        r["batch"]: r for r in queries()["s_ivfpq_drift"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1}
+    m0, m1 = rows[0]["mean_err_x10000"], rows[1]["mean_err_x10000"]
+    assert 0 < m0 and 0 < m1
+    assert max(m0, m1) / min(m0, m1) < 1.2, (m0, m1)
+    assert rows[0]["n_vecs"] + rows[1]["n_vecs"] > 0
+
+
+def test_ivfpq_drift_detects_distribution_shift(spark, sf_dir):
+    """A genuinely shifted append batch (axis-spiked directions — the
+    corpus embeddings are ~iid-uniform, so per-subspace directions
+    cluster where the codebooks tiled them; axis-aligned spikes do
+    not) must read STRICTLY higher mean residual than the in-
+    distribution batch under the SAME frozen quantizers — the signal
+    an operator acts on."""
+    from olympic_athletes_etl_spark.plans.similarity_q import (
+        _DOT,
+        _KM_SCALE,
+        _emb_double,
+        ivfpq_drift_stats,
+    )
+
+    n = _km_base(spark, sf_dir)
+    cents, books = _km_fit(n), _pq_fit(n)
+    pert = (
+        _emb_double(spark, sf_dir)
+        .select(
+            (F.col("vec_id") * 2 + 1).alias("vec_id"),
+            F.expr(
+                "transform(v, (x, i) -> CAST(CASE WHEN i % 4 = 0"
+                " THEN x + 0.5 ELSE x / 100 END AS DOUBLE))"
+            ).alias("v"),
+        )
+        .withColumn("vnrm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+        .withColumn(
+            "vq",
+            F.expr(f"transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE))"),
+        )
+        .withColumn("qnrm", F.sqrt(F.expr(_DOT.format(a="vq", b="vq"))))
+    )
+    idx = ivfpq_index_build(
+        n.withColumn("vec_id", F.col("vec_id") * 2), cents, books
+    ).unionByName(ivfpq_index_build(pert, cents, books))
+    rows = {r["batch"]: r["mean_err_x10000"] for r in ivfpq_drift_stats(idx, books).collect()}
+    assert rows[1] > rows[0], rows
