@@ -26,121 +26,93 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
-# FRESH driver row this round (round 8 — the rotation recorded in
+# FRESH driver row this round (round 9 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
 # live there and in git history):
-#   1. the three NEW queries this round (the stored-index family):
-#      s_knn_graph_stored — the
-#      stored-graph incremental path (build raw → knn_graph_store
-#      parquet → knn_graph_load → merge the batch), gated on
-#      s_knn_graph_incr's oracle so the store/load round trip is proven
-#      lossless by the hash itself — and s_ann_ivfpq_stored — the
-#      DEPLOYED IVFPQ shape (encode once into a list_id-partitioned
-#      parquet index; serve via driver-side coarse quantization →
-#      literal partition filter → ADC from stored codes → exact
-#      re-rank), gated on s_ann_ivfpq's oracle so the whole
-#      build→store→serve loop is hash-proven — and d_neardup_stored —
-#      near-dup screening of an incoming batch against PERSISTED
-#      band-partitioned MinHash postings (the batch re-shingles only
-#      itself; the corpus side is a narrow columnar read), gated on an
-#      oracle that recomputes the split band join from text. (The
-#      train/serve — plus s_ann_ivf_sampled, the sampled-training
-#      demonstration (fit on vec_id % 4 == 0, assign + search over
-#      everything), gated on its own mod-4 unrolled oracle so the
-#      sampled fit's cross-engine bit-identity is driver-proven — and
-#      t_char_pair_freq, BPE's iteration-0 statistic (corpus-weighted
-#      adjacent char-pair counts), which hash-gates the distributed
-#      word-count + pair-explode machinery under the new
-#      bpe_learn_merges tokenizer trainer (the merge LOOP itself has
-#      data-dependent literals, so it is pinned by exact equality with
-#      a pure-Python reference in test_round8_ops instead). (The
-#      train/serve
-#      refactors of s_ann_ivf_kmeans / s_ann_pq / s_ann_ivfpq /
-#      s_knn_graph_ivf are pure factorings — same plan, same output —
-#      and need no re-audit, though the first two sit in the ledger
-#      rotation anyway);
-#   2. the pre-generated oldest-first r8 rotation from the COVERAGE.md
-#      freshness ledger (the r3-stale textstats/dedup slots rolled from
-#      r7, s_ann_ivf_kmeans / s_kmeans_clusters / s_ann_pq /
-#      s_dim_profile, the r3-stale events queries, r_scd2_intervals,
-#      m_resize_plan / m_payload_dedup, the six tpch_close queries, the
-#      r3-stale relational/f_* slots, then r4 residue) — minus its last
-#      five entries (t_quality_funnel, t_sequence_pack,
-#      d_jaccard_histogram, d_containment_pairs, d_dup_rate_by_source —
+#   1. the two NEW queries this round: t_bpe_encode_fixed — the fold
+#      encoder's semantics gated cross-engine with a FROZEN literal
+#      merge list (the DuckDB twin rebuilds greedy left-to-right
+#      merging from delimiter-doubled strings + non-overlapping
+#      replace — an independent mechanism, so overlap/consumed-symbol
+#      drift hash-mismatches) — and s_ivfpq_drift — the quantization-
+#      error drift diagnostic for the frozen-quantizer append path,
+#      gated through the full train→encode→store→append→load→diagnose
+#      loop (exact integer residuals from STORED codes, so the hash
+#      also re-proves the code round trip);
+#   2. the pre-generated oldest-first r9 rotation from the COVERAGE.md
+#      freshness ledger (the r4-stale tranche: the five dedup slots
+#      displaced from r8, events, multimodal decodes, u_noc_df, the
+#      q_* business tranche, sketches/graph, then r5 residue) — minus
+#      its last two entries (t_keyword_extraction, d_minhash_lsh —
 #      displaced by the new registrations and rolled to the front of
-#      the r9 rotation).
-# Prefix math (driver audits 50): 5 + 45 = exactly 50. Everything
+#      the r10 rotation).
+# Prefix math (driver audits 50): 2 + 48 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
-NEW_PLANS_R8 = [
-    "s_knn_graph_stored",
-    "s_ann_ivfpq_stored",
-    "d_neardup_stored",
-    "s_ann_ivf_sampled",
-    "t_char_pair_freq",
+NEW_PLANS_R9 = [
+    "t_bpe_encode_fixed",
+    "s_ivfpq_drift",
 ]
-STALE_LEDGER_R8 = [
-    # r3-stale textstats (rolled from the r7 rotation)
-    "t_balanced_sample",
-    "t_corpus_prep",
-    "t_idf",
-    "t_chunk_split",
-    "t_ngram_freq",
-    "t_pii_scrub",
-    "t_unigram_commonness",
-    "t_chunk_overlap",
-    # r3-stale dedup
-    "d_simhash_wide",
-    "d_contamination",
-    "d_minhash_estimate",
-    "d_substring_dup",
-    "d_incremental_dedup",
-    "d_cluster_canonical",
-    # r3-stale similarity (s_ann_ivf_kmeans / s_ann_pq additionally
-    # carry this round's train/serve factoring — fresh rows re-prove
-    # the refactor changed nothing)
-    "s_ann_ivf_kmeans",
-    "s_kmeans_clusters",
-    "s_ann_pq",
-    "s_dim_profile",
-    # r3-stale events
-    "e_sessionize",
-    "e_rolling_1h",
-    "e_transition_matrix",
-    "e_value_histogram",
-    "e_gap_days",
-    "e_late_arrivals",
-    "e_dow_hour_profile",
-    # r3-stale relational/multimodal
-    "r_scd2_intervals",
-    "m_resize_plan",
-    "m_payload_dedup",
-    # r3-stale tpch_close
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_part_supplier_count",
-    "q20_excess_stock",
-    "q21_waiting_suppliers",
-    # r3-stale relational core / f_* slots
-    "f_project_rename",
-    "f_notnull_filter",
-    "f_neq_null_semantics",
-    "f_anti_join_resume",
-    "a_grouping_sets",
-    "r_unpivot_metrics",
-    "a_table_profile",
-    "j_full_outer_recon",
-    "a_intersect_keys",
-    "j_salted_enrich",
-    "w_ntile_deciles",
-    # r4 residue (t_quality_funnel + t_sequence_pack +
-    # d_jaccard_histogram + d_containment_pairs + d_dup_rate_by_source
-    # rolled to the r9 front, displaced by the round's five new
-    # registrations)
+STALE_LEDGER_R9 = [
+    # r4-stale textstats + the dedup diagnostics displaced from r8
+    "t_quality_funnel",
+    "t_sequence_pack",
+    "d_jaccard_histogram",
+    "d_containment_pairs",
+    "d_dup_rate_by_source",
+    "d_novelty_by_doc",
+    "d_shingle_df_histogram",
+    "d_fuzzy_block_join",
+    "d_fuzzy_dedup",
+    "s_knn_batch",
+    "s_centroid_outliers",
+    "d_semantic_dedup",
+    # r4-stale events tranche
+    "e_weekly_active_users",
+    "e_user_pareto",
+    "e_inter_event_time",
+    "e_burst_minutes",
+    "e_peak_concurrency",
+    "e_session_durations",
+    "e_user_growth",
+    "e_type_mix_daily",
+    "e_bot_suspects",
+    "e_retention_cohorts",
+    "e_funnel_conversion",
+    "e_anomaly_days",
+    "e_ohlc_bars",
+    # r4-stale multimodal decodes + validation + UDF twin
+    "m_image_decode",
+    "m_audio_decode",
+    "v_histogram_drift",
+    "u_noc_df",
+    # r4-stale q_* business tranche
+    "q_revenue_trend_mom",
+    "q_order_lifecycle",
+    "q_supplier_hhi",
+    "q_nation_trade_balance",
+    "q_copurchase_pairs",
+    "r_dim_bridge",
+    "v_fk_integrity",
+    "j_range_band_join",
+    # r5 residue: sketches, stats, layout, graph, text
+    "a_cardinality_sketch",
+    "t_heavy_hitters",
+    "a_histogram_median",
+    "a_corr_regression",
+    "r_zorder_layout",
+    "d_bloom_prefilter",
+    "a_hll_estimate",
+    "g_degree_histogram",
+    "g_triangle_count",
+    "g_pagerank",
+    "t_feature_hashing",
+    # t_keyword_extraction + d_minhash_lsh rolled to the r10 front,
+    # displaced by the round's two new registrations
 ]
-AUDIT_PREFIX = NEW_PLANS_R8 + STALE_LEDGER_R8
+AUDIT_PREFIX = NEW_PLANS_R9 + STALE_LEDGER_R9
 
 _promote(AUDIT_PREFIX)
 
 __all__ = ["queries", "oracle_sql", "query", "AUDIT_PREFIX"]
+
