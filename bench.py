@@ -78,10 +78,12 @@ EXTENDED_QUERIES = [
     "s_knn_graph_stored",
     "s_ann_ivfpq",
     "s_ann_ivfpq_stored",
+    "s_ivfpq_drift",
     "d_neardup_stored",
     "d_dup_clusters_star",
     "g_triangle_count",
     "t_corpus_prep",
+    "t_bpe_encode_fixed",
 ]
 
 
@@ -163,6 +165,55 @@ def ann_phase_timings(spark, sf_dir: str) -> dict[str, float]:
         _km_probe_lists(probe_q, cents, _N_PROBE),
     ).write.format("noop").mode("overwrite").save()
     out["serve:s_ann_ivfpq_stored"] = round(time.perf_counter() - t0, 3)
+    # The drift diagnostic as it rides along an ingest batch: residual
+    # stats from the STORED codes of the index written above — a narrow
+    # columnar scan + one integer aggregate, no re-training, no joins.
+    from olympic_athletes_etl_spark.plans.similarity_q import ivfpq_drift_stats
+
+    t0 = time.perf_counter()
+    ivfpq_drift_stats(ivfpq_index_load(spark, path), books).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["diagnose:ivfpq_drift"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bpe_phase_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Train/encode split for the BPE tokenizer's production forms
+    (SCALE.md round-9): the local trainer pays one distributed
+    word-count scan plus a driver-local merge loop (merge count barely
+    moves it — the synthetic vocab saturates well under the requested
+    2000), and the pandas encoder's plan is constant-size in the rule
+    count. The fold encoder is timed at the registered 4-rule form
+    only (plan cost grows per rule; measured crossover n≈16). The
+    registered-query twin of the fold number is t_bpe_encode_fixed in
+    the extended section; ``train:bpe_distributed`` is deliberately
+    absent — it is one Spark job per merge and exists as the oracle
+    twin, not the production path."""
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        _BPE_FIXED_MERGES,
+        bpe_encode,
+        bpe_encode_pandas,
+        bpe_learn_merges_local,
+    )
+
+    out: dict[str, float] = {}
+    docs = load(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    merges = bpe_learn_merges_local(docs, n_merges=2000)
+    out["train:bpe_local"] = round(time.perf_counter() - t0, 3)
+    out["bpe_learned_merges"] = float(len(merges))
+    t0 = time.perf_counter()
+    bpe_encode(docs, _BPE_FIXED_MERGES).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["encode:bpe_fold_fixed"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    bpe_encode_pandas(docs, merges).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["encode:bpe_pandas_learned"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -237,6 +288,7 @@ def main() -> None:
         out["extended"] = extended
         out["extended_total"] = round(sum(extended.values()), 3)
         out["ann_phases"] = ann_phase_timings(spark, sf_dir)
+        out["bpe_phases"] = bpe_phase_timings(spark, sf_dir)
     print(json.dumps(out))
     spark.stop()
 

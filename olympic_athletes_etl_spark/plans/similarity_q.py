@@ -1297,13 +1297,29 @@ def ivfpq_drift_stats(
     for j, cents in sorted(books.items()):
         sq = _pq_sub_sql(j)
         sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
-        entries = _pq_entries(cents, sq, sqn)
-        # the stored code picks its own entry; the array always has
-        # exactly one match (codes were assigned from these books), so
-        # a plain element_at fails LOUDLY on a books/index mismatch
-        sim = F.element_at(
-            F.filter(entries, lambda e: e["c_id"] == F.col(f"code{j}")), 1
-        )["sim"]
+        # CASE on the STORED code, one arm per codebook entry: codegen
+        # evaluates only the matching arm, so each ROW pays one 4-dim
+        # dot per subspace instead of the full 16-entry re-encode an
+        # _pq_entries+filter formulation pays (that per-row 16x is what
+        # matters at 100 TB; at bench scale both forms are dominated by
+        # the ~4 s constant codegen compile of the 16x16 literal tree —
+        # the same toy-scale-only cost class as the stored-serving ADC
+        # maps). Each arm's expression is string-identical to
+        # _pq_entries' sim, so the IEEE sequence — and the cross-engine
+        # floor — is unchanged.
+        sim: F.Column | None = None
+        for c_id, comps in cents:
+            arr = f"array({', '.join(f'CAST({int(c)} AS DOUBLE)' for c in comps)})"
+            cos_c = F.expr(
+                f"(({_DOT.format(a=sq, b=arr)})"
+                f" / (({sqn}) * sqrt({_DOT.format(a=arr, b=arr)})))"
+            )
+            cond = F.col(f"code{j}") == F.lit(c_id)
+            sim = F.when(cond, cos_c) if sim is None else sim.when(cond, cos_c)
+        # no otherwise(): an unknown code (books/index mismatch) yields
+        # NULL, which nulls the row's err and flips n_vecs vs sum(err)
+        # consistency — caught by the hash gate and the tests' exact
+        # integer pins rather than silently scoring 0.
         err = err + (F.lit(10000).cast("long") - F.floor(F.lit(10000.0) * sim))
     return (
         d.select((F.col("vec_id") % 2).cast("long").alias("batch"), err.alias("err"))
