@@ -29,29 +29,37 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 # FRESH driver row this round (round 9 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
 # live there and in git history):
-#   1. the two NEW queries this round: t_bpe_encode_fixed — the fold
+#   1. the four NEW queries this round: t_bpe_encode_fixed — the fold
 #      encoder's semantics gated cross-engine with a FROZEN literal
 #      merge list (the DuckDB twin rebuilds greedy left-to-right
 #      merging from delimiter-doubled strings + non-overlapping
 #      replace — an independent mechanism, so overlap/consumed-symbol
-#      drift hash-mismatches) — and s_ivfpq_drift — the quantization-
-#      error drift diagnostic for the frozen-quantizer append path,
-#      gated through the full train→encode→store→append→load→diagnose
-#      loop (exact integer residuals from STORED codes, so the hash
-#      also re-proves the code round trip);
+#      drift hash-mismatches) — t_bpe_encode_arrow — the SAME frozen
+#      list through the production mapInPandas encoder, sharing that
+#      oracle verbatim, so the driver proves Spark fold == Arrow-worker
+#      Python fold == delimiter-rewrite SQL on the corpus —
+#      s_ivfpq_drift — the quantization-error drift diagnostic for the
+#      frozen-quantizer append path, gated through the full
+#      train→encode→store→append→load→diagnose loop (exact integer
+#      residuals from STORED codes, so the hash also re-proves the code
+#      round trip) — and d_neardup_within_batch — the batch self-probe
+#      that closes the ingest screen's intra-batch blind spot, gated on
+#      the oriented band self-join;
 #   2. the pre-generated oldest-first r9 rotation from the COVERAGE.md
 #      freshness ledger (the r4-stale tranche: the five dedup slots
 #      displaced from r8, events, multimodal decodes, u_noc_df, the
 #      q_* business tranche, sketches/graph, then r5 residue) — minus
-#      its last two entries (t_keyword_extraction, d_minhash_lsh —
-#      displaced by the new registrations and rolled to the front of
-#      the r10 rotation).
-# Prefix math (driver audits 50): 2 + 48 = exactly 50. Everything
+#      its last four entries (t_keyword_extraction, d_minhash_lsh,
+#      g_pagerank, t_feature_hashing — displaced by the new
+#      registrations and rolled to the front of the r10 rotation).
+# Prefix math (driver audits 50): 4 + 46 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R9 = [
     "t_bpe_encode_fixed",
+    "t_bpe_encode_arrow",
     "s_ivfpq_drift",
+    "d_neardup_within_batch",
 ]
 STALE_LEDGER_R9 = [
     # r4-stale textstats + the dedup diagnostics displaced from r8
@@ -105,10 +113,9 @@ STALE_LEDGER_R9 = [
     "a_hll_estimate",
     "g_degree_histogram",
     "g_triangle_count",
-    "g_pagerank",
-    "t_feature_hashing",
-    # t_keyword_extraction + d_minhash_lsh rolled to the r10 front,
-    # displaced by the round's two new registrations
+    # g_pagerank + t_feature_hashing + t_keyword_extraction +
+    # d_minhash_lsh rolled to the r10 front, displaced by the round's
+    # four new registrations
 ]
 AUDIT_PREFIX = NEW_PLANS_R9 + STALE_LEDGER_R9
 

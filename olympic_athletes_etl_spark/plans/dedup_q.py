@@ -1887,6 +1887,31 @@ def lsh_probe_within(bands: DataFrame) -> DataFrame:
 
 
 @query(
+    "d_neardup_within_batch",
+    oracle=f"""
+    WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
+    {_minhash_band_ctes()}
+    SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+    FROM bands n JOIN bands o
+      ON n.band = o.band AND n.sig0 = o.sig0 AND n.sig1 = o.sig1
+    WHERE n.doc_id >= {_STORED_SPLIT} AND o.doc_id >= {_STORED_SPLIT}
+      AND n.doc_id > o.doc_id
+    """,
+)
+def d_neardup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch SELF-probe, driver-gated: within-batch near-dup
+    candidates for the same ingest batch d_neardup_stored screens
+    against the corpus — together they are the complete per-batch
+    screen (the composition the streaming form runs; see
+    stream_neardup_screen). Same uniform (band, sig0, sig1) bucket
+    key; doc_new > doc_old orients each pair once, later id flagged
+    against the earlier. Cost at 100 TB is batch-sized on both sides —
+    the corpus never enters this join."""
+    bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir))
+    return lsh_probe_within(bands.filter(F.col("doc_id") >= _STORED_SPLIT))
+
+
+@query(
     "d_neardup_stored",
     oracle=f"""
     WITH hashed AS ({_SHINGLE_HASHES_DUCK}),

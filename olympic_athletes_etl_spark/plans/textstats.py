@@ -1811,6 +1811,23 @@ def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("t_bpe_encode_arrow", oracle=_bpe_fixed_oracle())
+def t_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_bpe_encode_fixed through the PRODUCTION encoder: the same
+    frozen merge list applied by bpe_encode_pandas (Arrow-batched
+    mapInPandas, constant plan size — the form that survives real
+    vocab sizes; see SCALE.md round-9) instead of the chained fold.
+    Shares the fold query's DuckDB oracle verbatim, so the driver gate
+    proves all THREE implementations agree on the corpus: the Spark
+    fold, the Python fold in the Arrow worker, and the delimiter-
+    rewrite SQL — the strongest cross-implementation pin the encoder
+    family has."""
+    docs = load(spark, sf_dir, "documents")
+    return bpe_encode_pandas(docs, _BPE_FIXED_MERGES).select(
+        "doc_id", F.array_join("tokens", " ").alias("encoded")
+    )
+
+
 def _bpe_merges_from_word_freqs(
     wf: dict[str, int], n_merges: int
 ) -> list[tuple[str, str, int]]:
