@@ -10,7 +10,10 @@ a DuckDB oracle: since round 6 every registered query is hash-gated
 the shared containment-filter oracle). Iterative operators whose
 literals are data-dependent (bpe_learn_merges) are exposed through a
 gated statistic query plus exact reference-implementation test pins
-rather than a rows-only registration.
+rather than a rows-only registration — and their FIXED-parameter
+serving forms are fully gated (round 9: the frozen-merge-list encode
+through both the fold and the Arrow encoders, the IVFPQ drift
+diagnostic through the stored-index lifecycle).
 """
 
 from __future__ import annotations

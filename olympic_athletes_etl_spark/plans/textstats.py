@@ -1981,7 +1981,12 @@ def bpe_encode_pandas(
                 [t for w in _re.split(r"\s+", txt) if w for t in enc_word(w)]
                 for txt in pdf["text"]
             ]
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
+            out = _pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks})
+            # token-less docs (empty/whitespace-only text) are OMITTED,
+            # matching bpe_encode exactly: its posexplode produces no
+            # rows for them, so they vanish from the groupBy — without
+            # this filter the two encoders disagree on such corpora.
+            yield out[out["tokens"].map(len) > 0]
 
     return docs.select("doc_id", "text").mapInPandas(
         encode_batches, "doc_id long, tokens array<string>"

@@ -322,3 +322,26 @@ def test_ivfpq_drift_detects_distribution_shift(spark, sf_dir):
     ).unionByName(ivfpq_index_build(pert, cents, books))
     rows = {r["batch"]: r["mean_err_x10000"] for r in ivfpq_drift_stats(idx, books).collect()}
     assert rows[1] > rows[0], rows
+
+
+def test_bpe_encoders_agree_on_tokenless_docs(spark):
+    """Empty/whitespace-only documents must be OMITTED by both encoders
+    (the fold's posexplode yields no rows for them): a corpus with such
+    docs is where the mapInPandas twin could silently diverge by
+    emitting empty token arrays instead."""
+    from olympic_athletes_etl_spark.plans.textstats import (
+        bpe_encode,
+        bpe_encode_pandas,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab a b"), (2, ""), (3, "   "), (4, "b ab")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "b")]
+    fold = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(docs, merges).collect()}
+    arrow = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_pandas(docs, merges).collect()
+    }
+    assert fold == arrow == {1: ["ab", "a", "b"], 4: ["b", "ab"]}
