@@ -42,17 +42,22 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      frozen-quantizer append path, gated through the full
 #      train→encode→store→append→load→diagnose loop (exact integer
 #      residuals from STORED codes, so the hash also re-proves the code
-#      round trip) — and d_neardup_within_batch — the batch self-probe
+#      round trip) — d_neardup_within_batch — the batch self-probe
 #      that closes the ingest screen's intra-batch blind spot, gated on
-#      the oriented band self-join;
+#      the oriented band self-join — and the two MAINTAINED-store
+#      lifecycles, d_neardup_compacted and s_ann_ivfpq_compacted —
+#      store → append → COMPACT → probe/serve, sharing the stored
+#      queries' oracles verbatim so the hash proves compaction is an
+#      exact rewrite inside the full deployed loop;
 #   2. the pre-generated oldest-first r9 rotation from the COVERAGE.md
 #      freshness ledger (the r4-stale tranche: the five dedup slots
 #      displaced from r8, events, multimodal decodes, u_noc_df, the
 #      q_* business tranche, sketches/graph, then r5 residue) — minus
-#      its last four entries (t_keyword_extraction, d_minhash_lsh,
-#      g_pagerank, t_feature_hashing — displaced by the new
-#      registrations and rolled to the front of the r10 rotation).
-# Prefix math (driver audits 50): 4 + 46 = exactly 50. Everything
+#      its last six entries (t_keyword_extraction, d_minhash_lsh,
+#      g_pagerank, t_feature_hashing, g_triangle_count,
+#      g_degree_histogram — displaced by the new registrations and
+#      rolled to the front of the r10 rotation).
+# Prefix math (driver audits 50): 6 + 44 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R9 = [
@@ -60,6 +65,8 @@ NEW_PLANS_R9 = [
     "t_bpe_encode_arrow",
     "s_ivfpq_drift",
     "d_neardup_within_batch",
+    "d_neardup_compacted",
+    "s_ann_ivfpq_compacted",
 ]
 STALE_LEDGER_R9 = [
     # r4-stale textstats + the dedup diagnostics displaced from r8
@@ -111,11 +118,9 @@ STALE_LEDGER_R9 = [
     "r_zorder_layout",
     "d_bloom_prefilter",
     "a_hll_estimate",
-    "g_degree_histogram",
-    "g_triangle_count",
-    # g_pagerank + t_feature_hashing + t_keyword_extraction +
-    # d_minhash_lsh rolled to the r10 front, displaced by the round's
-    # four new registrations
+    # g_degree_histogram + g_triangle_count + g_pagerank +
+    # t_feature_hashing + t_keyword_extraction + d_minhash_lsh rolled
+    # to the r10 front, displaced by the round's six new registrations
 ]
 AUDIT_PREFIX = NEW_PLANS_R9 + STALE_LEDGER_R9
 

@@ -1911,17 +1911,17 @@ def d_neardup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_within(bands.filter(F.col("doc_id") >= _STORED_SPLIT))
 
 
-@query(
-    "d_neardup_stored",
-    oracle=f"""
+_NEARDUP_STORED_ORACLE = f"""
     WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
     {_minhash_band_ctes()}
     SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
     FROM bands n JOIN bands o
       ON n.band = o.band AND n.sig0 = o.sig0 AND n.sig1 = o.sig1
     WHERE n.doc_id >= {_STORED_SPLIT} AND o.doc_id < {_STORED_SPLIT}
-    """,
-)
+    """
+
+
+@query("d_neardup_stored", oracle=_NEARDUP_STORED_ORACLE)
 def d_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup screening of a new batch against a PERSISTED corpus
     index — the per-ingestion-batch operation of a continuously-fed
@@ -1952,6 +1952,40 @@ def d_neardup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="d_neardup_stored_"), "postings"
     )
     lsh_postings_store(bands.filter(F.col("doc_id") < _STORED_SPLIT), path)
+    return lsh_probe(
+        bands.filter(F.col("doc_id") >= _STORED_SPLIT),
+        lsh_postings_load(spark, path),
+    )
+
+
+@query("d_neardup_compacted", oracle=_NEARDUP_STORED_ORACLE)
+def d_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d_neardup_stored through the MAINTAINED store — the full
+    ingest-loop lifecycle the streaming screen accumulates: the corpus
+    postings arrive as an initial store plus an APPEND (two ingest
+    batches, two file sets per band), the store is COMPACTED back to
+    one file per band (lsh_postings_compact — the in-place
+    checkpoint-staged rewrite), and only then does the new batch
+    probe. Shares d_neardup_stored's oracle verbatim: integer
+    signatures make append an exact union and compaction an exact
+    rewrite, so the maintained store MUST serve the identical
+    candidate set — the hash gates store→append→compact→probe
+    end-to-end (the compact helper's probe-invariance test pins the
+    same thing locally; this is its driver-facing form). Per-call
+    temp dir for re-entrancy."""
+    bands = _minhash_bands(_doc_shingle_hashes(spark, sf_dir))
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="d_neardup_compacted_"), "postings"
+    )
+    half = _STORED_SPLIT // 2
+    lsh_postings_store(bands.filter(F.col("doc_id") < half), path)
+    lsh_postings_append(
+        bands.filter(
+            (F.col("doc_id") >= half) & (F.col("doc_id") < _STORED_SPLIT)
+        ),
+        path,
+    )
+    lsh_postings_compact(spark, path)
     return lsh_probe(
         bands.filter(F.col("doc_id") >= _STORED_SPLIT),
         lsh_postings_load(spark, path),

@@ -1266,6 +1266,45 @@ def ivfpq_index_append(
     ).mode("append").parquet(path)
 
 
+@query("s_ann_ivfpq_compacted", oracle=_ivfpq_oracle())
+def s_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s_ann_ivfpq_stored through the MAINTAINED index — the add()-path
+    lifecycle end-to-end: half the corpus stored, the other half
+    APPENDED with the frozen quantizers (ivfpq_index_append), the
+    fragmented list partitions COMPACTED to one file each
+    (ivfpq_index_compact), then served purely from storage with the
+    literal partition filter. Shares s_ann_ivfpq's oracle verbatim:
+    encode is deterministic per row and append/compact are exact
+    file-level rewrites, so the maintained index must serve the
+    identical top-k — one hash gates
+    train→encode→store→append→compact→serve. Per-call temp dir for
+    re-entrancy."""
+    n = _km_base(spark, sf_dir)
+    cents = _km_fit(n)
+    books = _pq_fit(n)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="s_ann_ivfpq_compacted_"), "index"
+    )
+    is_new = F.col("vec_id") % 2 == 1
+    ivfpq_index_store(ivfpq_index_build(n.filter(~is_new), cents, books), path)
+    ivfpq_index_append(n.filter(is_new), cents, books, path)
+    ivfpq_index_compact(spark, path)
+    probe = (
+        n.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("v", "vnrm", "vq")
+        .collect()[0]
+    )
+    probe_q = [int(x) for x in probe["vq"]]
+    return _ivfpq_search_stored(
+        ivfpq_index_load(spark, path),
+        books,
+        probe_q,
+        [float(x) for x in probe["v"]],
+        float(probe["vnrm"]),
+        _km_probe_lists(probe_q, cents, _N_PROBE),
+    )
+
+
 def ivfpq_drift_stats(
     idx: DataFrame, books: dict[int, list[tuple[int, list[int]]]]
 ) -> DataFrame:

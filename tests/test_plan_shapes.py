@@ -146,6 +146,7 @@ ALLOWED_UNPART_WINDOW = {
     "s_ann_ivf_sampled": 1,      # same, sampled-training variant
     "s_ann_ivfpq": 1,            # rank over post-limit K rows
     "s_ann_ivfpq_stored": 1,     # same rank; serving from the stored index
+    "s_ann_ivfpq_compacted": 1,  # same rank; serving from the compacted index
     "s_ann_lsh": 1,              # top-k within probed buckets
     "s_ann_lsh_multiprobe": 1,   # same, multiprobe
     "s_ann_pq": 1,               # ADC re-rank of bounded candidates
