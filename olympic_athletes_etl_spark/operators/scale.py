@@ -125,3 +125,80 @@ def hive_partitioned_write(
         .format(fmt)
         .save(path)
     )
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_partitions: int,
+    id_col: str = "dense_id",
+) -> DataFrame:
+    """Fact-scale dense global ids (1..N in ``order_cols`` order) WITHOUT
+    a global-order window — the zipWithIndex-style two-phase id that
+    SCALE.md documents as the alternative to ``w_surrogate_key``'s
+    single-reducer ``Window.orderBy`` (acceptable only on tiny dims).
+
+    Three phases, none of which moves all rows to one partition:
+
+    1. ``repartitionByRange(order_cols) + sortWithinPartitions`` — ONE
+       range exchange (sampled bounds, no global sort), pinned with
+       ``localCheckpoint``: the two downstream jobs MUST see identical
+       partition bounds, and repartitionByRange re-SAMPLES its splits on
+       every lineage re-evaluation — without the pin, the count job and
+       the id job could disagree on which partition a boundary row
+       landed in, silently duplicating or skipping ids.
+    2. one tiny job counts rows per partition (groupBy on
+       ``spark_partition_id``); the driver turns the counts into
+       exclusive prefix offsets — the only collect, bounded by
+       ``num_partitions`` rows, corpus-size-independent.
+    3. ``mapInPandas`` emits ``offset[pid] + local running index``;
+       Arrow batches arrive in stored (sorted) order within a partition,
+       so a per-partition counter carried across batches is exact.
+
+    Ids are deterministic iff ``order_cols`` is a total order (unique
+    key) — equal keys get dense but arbitrary ids, same as any
+    ROW_NUMBER over a non-unique ORDER BY. The checkpoint blocks are
+    freed by Spark when the returned DataFrame is garbage-collected;
+    callers looping over many dense_ids calls should unpersist
+    explicitly (operators/graph.py:release discipline)."""
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sorted_df = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in sorted_df.groupBy(
+            F.spark_partition_id().alias("pid")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per partition, never per data row
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in range(sorted_df.rdd.getNumPartitions()):
+        offsets[pid] = running
+        running += counts.get(pid, 0)
+
+    out_schema = StructType(
+        sorted_df.schema.fields + [StructField(id_col, LongType(), False)]
+    )
+
+    def assign(batches):
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        base = offsets[pid]
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[id_col] = pd.RangeIndex(
+                base + seen + 1, base + seen + 1 + n, dtype="int64"
+            )
+            seen += n
+            yield pdf
+
+    return sorted_df.mapInPandas(assign, out_schema)

@@ -48,16 +48,21 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      lifecycles, d_neardup_compacted and s_ann_ivfpq_compacted —
 #      store → append → COMPACT → probe/serve, sharing the stored
 #      queries' oracles verbatim so the hash proves compaction is an
-#      exact rewrite inside the full deployed loop;
+#      exact rewrite inside the full deployed loop — and
+#      w_dense_id — the fact-scale two-phase dense-id path
+#      (operators/scale.py:dense_ids: range exchange + per-partition
+#      offsets + mapInPandas local index, never a global-order window),
+#      gated against the declarative ROW_NUMBER oracle so the driver
+#      hash proves the rewrite id-for-id;
 #   2. the pre-generated oldest-first r9 rotation from the COVERAGE.md
 #      freshness ledger (the r4-stale tranche: the five dedup slots
 #      displaced from r8, events, multimodal decodes, u_noc_df, the
 #      q_* business tranche, sketches/graph, then r5 residue) — minus
-#      its last six entries (t_keyword_extraction, d_minhash_lsh,
+#      its last seven entries (t_keyword_extraction, d_minhash_lsh,
 #      g_pagerank, t_feature_hashing, g_triangle_count,
-#      g_degree_histogram — displaced by the new registrations and
-#      rolled to the front of the r10 rotation).
-# Prefix math (driver audits 50): 6 + 44 = exactly 50. Everything
+#      g_degree_histogram, a_hll_estimate — displaced by the new
+#      registrations and rolled to the front of the r10 rotation).
+# Prefix math (driver audits 50): 7 + 43 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R9 = [
@@ -67,6 +72,7 @@ NEW_PLANS_R9 = [
     "d_neardup_within_batch",
     "d_neardup_compacted",
     "s_ann_ivfpq_compacted",
+    "w_dense_id",
 ]
 STALE_LEDGER_R9 = [
     # r4-stale textstats + the dedup diagnostics displaced from r8
@@ -117,10 +123,10 @@ STALE_LEDGER_R9 = [
     "a_corr_regression",
     "r_zorder_layout",
     "d_bloom_prefilter",
-    "a_hll_estimate",
-    # g_degree_histogram + g_triangle_count + g_pagerank +
-    # t_feature_hashing + t_keyword_extraction + d_minhash_lsh rolled
-    # to the r10 front, displaced by the round's six new registrations
+    # a_hll_estimate + g_degree_histogram + g_triangle_count +
+    # g_pagerank + t_feature_hashing + t_keyword_extraction +
+    # d_minhash_lsh rolled to the r10 front, displaced by the round's
+    # seven new registrations
 ]
 AUDIT_PREFIX = NEW_PLANS_R9 + STALE_LEDGER_R9
 

@@ -474,12 +474,42 @@ def w_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically_increasing_id at data_clean_glue.py:136 — nondeterministic,
     SURVEY §7 replaces it with row_number over an explicit order). Global
     window is acceptable ONLY on tiny dims (nation = 25 rows; the reference's
-    editions dim = 76). For fact-scale ids use zipWithIndex-style instead."""
+    editions dim = 76). For fact-scale ids use ``w_dense_id`` below (the
+    two-phase operators/scale.py:dense_ids — no global-order window)."""
     nation = load(spark, sf_dir, "nation")
     w = Window.orderBy(F.asc("n_name"), F.asc("n_nationkey"))
     return nation.select("n_nationkey", "n_name").withColumn(
         "nation_sk", F.row_number().over(w)
     )
+
+
+# --------------------------------------------------------------------------
+# W2 at fact scale — two-phase dense id (no global-order window)
+# --------------------------------------------------------------------------
+@query(
+    "w_dense_id",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) AS dense_id
+    FROM orders
+    """,
+)
+def w_dense_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT-SCALE dense ids: the global ROW_NUMBER semantics of
+    w_surrogate_key, produced by operators/scale.py:dense_ids — range
+    exchange + per-partition offsets + mapInPandas local index — instead
+    of a window whose ORDER BY (no PARTITION BY) would move every row to
+    ONE reducer. The oracle keeps the declarative ROW_NUMBER form, so
+    the driver hash proves the two-phase rewrite emits the identical
+    id assignment cross-engine. This is the id path a 100 TB fact table
+    actually uses (SCALE.md "Windows"); the plan's one data-proportional
+    exchange is the range repartition, and the only collect is one row
+    per partition. Python boundary: one mapInPandas projection —
+    Arrow-batched, append-a-column-per-batch, scan-bound."""
+    from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+    orders = load(spark, sf_dir, "orders")
+    return dense_ids(orders.select("o_orderkey"), ["o_orderkey"], num_partitions=32)
 
 
 # --------------------------------------------------------------------------

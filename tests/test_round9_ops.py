@@ -345,3 +345,81 @@ def test_bpe_encoders_agree_on_tokenless_docs(spark):
         for r in bpe_encode_pandas(docs, merges).collect()
     }
     assert fold == arrow == {1: ["ab", "a", "b"], 4: ["b", "ab"]}
+
+
+# --------------------------------------------------------------------------
+# dense_ids — fact-scale two-phase global id (w_dense_id's operator)
+# --------------------------------------------------------------------------
+class TestDenseIds:
+    def _df(self, spark, n=1000, parts=7):
+        # deliberately scrambled input order and a non-trivial payload col
+        rows = [((i * 7919) % n, f"p{i % 13}") for i in range(n)]
+        return spark.createDataFrame(rows, "k int, payload string").repartition(parts)
+
+    def test_matches_global_row_number(self, spark):
+        from pyspark.sql import Window
+
+        from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+        df = self._df(spark)
+        got = {
+            (r["k"], r["dense_id"])
+            for r in dense_ids(df, ["k"], num_partitions=5).collect()
+        }
+        want = {
+            (r["k"], r["rn"])
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("k"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_partition_count_invariance(self, spark):
+        from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+        df = self._df(spark, n=500)
+        a = sorted(
+            (r["k"], r["dense_id"])
+            for r in dense_ids(df, ["k"], num_partitions=1).collect()
+        )
+        b = sorted(
+            (r["k"], r["dense_id"])
+            for r in dense_ids(df, ["k"], num_partitions=11).collect()
+        )
+        assert a == b
+
+    def test_ids_dense_and_payload_carried(self, spark):
+        from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+        df = self._df(spark, n=300)
+        out = dense_ids(df, ["k"], num_partitions=4).collect()
+        ids = sorted(r["dense_id"] for r in out)
+        assert ids == list(range(1, 301))
+        # the payload column rides along unchanged, zipped to its own row
+        by_k = {r["k"]: r["payload"] for r in df.collect()}
+        assert all(r["payload"] == by_k[r["k"]] for r in out)
+
+    def test_empty_input(self, spark):
+        from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+        df = spark.createDataFrame([], "k int, payload string")
+        assert dense_ids(df, ["k"], num_partitions=3).count() == 0
+
+    def test_composite_order_key(self, spark):
+        from pyspark.sql import Window
+
+        from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+        rows = [(i % 10, (i * 31) % 97, i) for i in range(400)]
+        df = spark.createDataFrame(rows, "a int, b int, v int").repartition(6)
+        got = {
+            (r["a"], r["b"], r["v"], r["dense_id"])
+            for r in dense_ids(df, ["a", "b", "v"], num_partitions=5).collect()
+        }
+        want = {
+            (r["a"], r["b"], r["v"], r["rn"])
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("a", "b", "v"))
+            ).collect()
+        }
+        assert got == want
