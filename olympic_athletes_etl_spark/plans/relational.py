@@ -1639,6 +1639,210 @@ r_incremental_agg.__doc__ = r_incremental_agg.__doc__.format(split=_INCR_SPLIT)
 
 
 # --------------------------------------------------------------------------
+# Stored rollup — the continuous-aggregate lifecycle (store partials,
+# append a batch's partials, compact, serve) — r_incremental_agg's
+# in-plan merge algebra taken to its DEPLOYED shape, like the stored
+# LSH postings / IVFPQ index are for their in-plan twins.
+# --------------------------------------------------------------------------
+_ROLLUP_COLS = ["month", "n_orders", "total_cents"]
+
+
+def _monthly_partials(orders: DataFrame) -> DataFrame:
+    """Mergeable (count, sum) state per month — the semigroup
+    r_incremental_agg's docstring names: store these, never the final
+    ratio. Integer cents, so partials round-trip parquet exactly."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            cents.alias("cents"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+def rollup_store(partials: DataFrame, path: str) -> None:
+    """Persist monthly partials partitioned BY month — the continuous-
+    aggregate ("hypertable rollup") store: each nightly batch appends
+    its partials instead of rescanning history, and a month-sliced
+    serve prunes to the requested directories (literal
+    PartitionFilters — pinned in test_round9_ops). The month key is
+    calendar-bounded, so the directory namespace never explodes."""
+    missing = [c for c in _ROLLUP_COLS if c not in partials.columns]
+    if missing:
+        raise ValueError(
+            f"rollup_store: partials frame is missing {missing}; build "
+            "it with _monthly_partials (month, n_orders, total_cents)"
+        )
+    partials.select(*_ROLLUP_COLS).write.partitionBy("month").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def rollup_append(partials: DataFrame, path: str) -> None:
+    """Append a batch's partials — the nightly maintenance write. The
+    store then holds MULTIPLE partial rows per month (one file set per
+    batch); serving re-merges them, so append is pure fold-in with no
+    read-modify-write of history. Run rollup_compact on a cadence to
+    fold the rows back to one per month (serve-invariant, pinned)."""
+    missing = [c for c in _ROLLUP_COLS if c not in partials.columns]
+    if missing:
+        raise ValueError(
+            f"rollup_append: partials frame is missing {missing}; build "
+            "it with _monthly_partials (month, n_orders, total_cents)"
+        )
+    partials.select(*_ROLLUP_COLS).write.partitionBy("month").mode(
+        "append"
+    ).parquet(path)
+
+
+def rollup_load(spark: SparkSession, path: str) -> DataFrame:
+    g = spark.read.parquet(path)
+    missing = [c for c in _ROLLUP_COLS if c not in g.columns]
+    if missing:
+        raise ValueError(
+            f"rollup_load: {path} is missing {missing}; not a "
+            "rollup_store output"
+        )
+    return g.select(*_ROLLUP_COLS)
+
+
+def rollup_compact(spark: SparkSession, path: str) -> None:
+    """Fold the per-batch partial rows back to ONE row per month and
+    one file per month directory — the same checkpoint-staged in-place
+    rewrite as lsh_postings_compact, except rollup compaction also
+    MERGES state (sums the semigroup) rather than merely re-filing
+    rows: after N appends a month holds N partial rows; the merged
+    store serves the identical answer (pinned in test_round9_ops)
+    because (count, sum) addition is associative — the whole point of
+    storing the semigroup."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    staged = (
+        rollup_load(spark, path)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    staged.select(*_ROLLUP_COLS).write.partitionBy("month").mode(
+        "overwrite"
+    ).parquet(path)
+    _release_checkpoint(staged)
+
+
+def rollup_serve(spark: SparkSession, path: str) -> DataFrame:
+    """Final answer from the store: merge whatever partial rows exist
+    per month (1 after compact, N after N appends), then derive the
+    non-mergeable aggregate (avg) from merged state. Reads ONLY the
+    3-column partials — never the fact table."""
+    merged = (
+        rollup_load(spark, path)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+    return merged.withColumn(
+        "avg_cents", F.expr("CAST(total_cents div n_orders AS BIGINT)")
+    )
+
+
+_ROLLUP_STORED_ORACLE = """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                // count(*) AS BIGINT) AS avg_cents
+    FROM orders
+    GROUP BY 1
+    """
+
+
+@query("r_rollup_stored", oracle=_ROLLUP_STORED_ORACLE)
+def r_rollup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-AGGREGATE lifecycle end-to-end, driver-gated:
+    history partials stored once (rollup_store, partitioned by month),
+    a new batch's partials APPENDED (rollup_append — fold-in, no
+    history rescan), the store COMPACTED back to one merged row per
+    month (rollup_compact), and the answer SERVED from the store alone
+    (rollup_serve — the fact table is never re-read at serve time).
+    Gated on the full-recompute oracle r_incremental_agg uses, so the
+    hash proves store → append → compact → serve preserves the merge
+    algebra exactly — the deployed form of that query's in-plan split
+    (integer cents partials, lossless parquet round trip).
+
+    Cost shape at 100 TB: the nightly job aggregates ONLY the new
+    partition (map-side-combinable hash agg), appends |months touched|
+    rows, and serving is a columnar read of 3 narrow columns over a
+    calendar-bounded row count — independent of fact cardinality.
+    Per-call temp dir for re-entrancy like the other stored-index
+    queries."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="r_rollup_stored_"), "rollup")
+    rollup_store(_monthly_partials(orders.filter(F.col("d") < _INCR_SPLIT)), path)
+    rollup_append(
+        _monthly_partials(orders.filter(F.col("d") >= _INCR_SPLIT)), path
+    )
+    rollup_compact(spark, path)
+    return rollup_serve(spark, path)
+
+
+@query(
+    "r_rollup_slice",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                // count(*) AS BIGINT) AS avg_cents
+    FROM orders
+    WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+          BETWEEN '1995-01' AND '1995-12'
+    GROUP BY 1
+    """,
+)
+def r_rollup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-RANGE serve from the stored rollup — the query pattern the
+    month partitioning exists for: the BETWEEN lands as literal
+    PartitionFilters on the partials scan (directory-level pruning,
+    regex-pinned in test_round9_ops), so a dashboard asking for one
+    year reads twelve directories of 3-column partials no matter how
+    large the store. Same store build as r_rollup_stored (store +
+    append, uncompacted — the slice must merge per-batch partial rows,
+    proving serve correctness doesn't depend on compaction cadence);
+    gated on the fact-table recompute of the same window."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="r_rollup_slice_"), "rollup")
+    rollup_store(_monthly_partials(orders.filter(F.col("d") < _INCR_SPLIT)), path)
+    rollup_append(
+        _monthly_partials(orders.filter(F.col("d") >= _INCR_SPLIT)), path
+    )
+    return rollup_serve(spark, path).filter(
+        F.col("month").between("1995-01", "1995-12")
+    )
+
+
+# --------------------------------------------------------------------------
 # Leave-one-out target encoding — leakage-safe categorical feature
 # --------------------------------------------------------------------------
 @query(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -423,3 +424,107 @@ class TestDenseIds:
             ).collect()
         }
         assert got == want
+
+
+# --------------------------------------------------------------------------
+# Stored rollup — continuous-aggregate lifecycle (store/append/compact/serve)
+# --------------------------------------------------------------------------
+class TestRollupStore:
+    def _build(self, spark, sf_dir, tmp_path, n_appends=1):
+        from olympic_athletes_etl_spark.plans.relational import (
+            _INCR_SPLIT,
+            _monthly_partials,
+            rollup_append,
+            rollup_store,
+        )
+        from olympic_athletes_etl_spark.plans.tables import load
+
+        orders = load(spark, sf_dir, "orders").withColumn(
+            "d", F.col("o_orderdate").cast("date")
+        )
+        path = str(tmp_path / "rollup")
+        rollup_store(
+            _monthly_partials(orders.filter(F.col("d") < _INCR_SPLIT)), path
+        )
+        batch = _monthly_partials(orders.filter(F.col("d") >= _INCR_SPLIT))
+        for _ in range(n_appends):
+            rollup_append(batch, path)
+        return path, orders, batch
+
+    def test_compact_is_serve_invariant_and_merges_files(
+        self, spark, sf_dir, tmp_path
+    ):
+        from olympic_athletes_etl_spark.plans.relational import (
+            rollup_compact,
+            rollup_load,
+            rollup_serve,
+        )
+
+        path, _, _ = self._build(spark, sf_dir, tmp_path)
+        before = sorted(tuple(r) for r in rollup_serve(spark, path).collect())
+        # appended months hold >1 partial row before compaction
+        pre_rows = rollup_load(spark, path).count()
+        rollup_compact(spark, path)
+        after = sorted(tuple(r) for r in rollup_serve(spark, path).collect())
+        assert before == after
+        post = rollup_load(spark, path).groupBy("month").count().collect()
+        assert all(r["count"] == 1 for r in post)
+        assert len(post) < pre_rows or pre_rows == len(post)
+        files = _parquet_files_by_dir(path)
+        assert files and all(n == 1 for n in files.values()), files
+
+    def test_double_append_still_serves_exactly(self, spark, sf_dir, tmp_path):
+        """Appending the same batch twice must double-count — append is
+        pure fold-in, so the algebra (not dedup magic) owns the result."""
+        from olympic_athletes_etl_spark.plans.relational import rollup_serve
+        from olympic_athletes_etl_spark.plans.tables import load
+
+        path, orders, batch = self._build(spark, sf_dir, tmp_path, n_appends=2)
+        got = {
+            r["month"]: (r["n_orders"], r["total_cents"])
+            for r in rollup_serve(spark, path).collect()
+        }
+        batch_rows = {
+            r["month"]: (r["n_orders"], r["total_cents"])
+            for r in batch.collect()
+        }
+        from olympic_athletes_etl_spark.plans.relational import (
+            _monthly_partials,
+        )
+
+        full = {
+            r["month"]: (r["n_orders"], r["total_cents"])
+            for r in _monthly_partials(orders).collect()
+        }
+        for m, (n, cents) in got.items():
+            base_n, base_c = full[m]
+            extra_n, extra_c = batch_rows.get(m, (0, 0))
+            assert (n, cents) == (base_n + extra_n, base_c + extra_c)
+
+    def test_slice_serve_partition_prunes(self, spark, sf_dir, tmp_path):
+        """The month-range serve reads only the requested directories:
+        the BETWEEN lands as PartitionFilters on the partials scan."""
+        from olympic_athletes_etl_spark.plans.relational import rollup_serve
+
+        path, _, _ = self._build(spark, sf_dir, tmp_path)
+        df = rollup_serve(spark, path).filter(
+            F.col("month").between("1995-01", "1995-12")
+        )
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(
+            r"PartitionFilters: \[.*month#\d+ >= 1995-01.*month#\d+ <= 1995-12",
+            txt,
+        ), txt[:2000]
+        assert df.count() == 12
+
+    def test_store_rejects_wrong_frame(self, spark):
+        from olympic_athletes_etl_spark.plans.relational import (
+            rollup_append,
+            rollup_store,
+        )
+
+        bad = spark.createDataFrame([("x", 1)], "month string, n_orders long")
+        with pytest.raises(ValueError, match="total_cents"):
+            rollup_store(bad, "/tmp/nope")
+        with pytest.raises(ValueError, match="total_cents"):
+            rollup_append(bad, "/tmp/nope")
