@@ -29,7 +29,7 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 # FRESH driver row this round (round 9 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
 # live there and in git history):
-#   1. the nine NEW queries this round: t_bpe_encode_fixed — the fold
+#   1. the ten NEW queries this round: t_bpe_encode_fixed — the fold
 #      encoder's semantics gated cross-engine with a FROZEN literal
 #      merge list (the DuckDB twin rebuilds greedy left-to-right
 #      merging from delimiter-doubled strings + non-overlapping
@@ -61,17 +61,24 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      r_rollup_slice (month-range serve over the uncompacted store —
 #      the BETWEEN lands as literal PartitionFilters, and the slice
 #      merging per-batch partial rows proves serve correctness is
-#      compaction-cadence-independent);
+#      compaction-cadence-independent) — and t_bm25_stored — the text-
+#      retrieval index's deployed lifecycle (full postings stored
+#      partitioned by token bucket + doc lengths + corpus stats as
+#      mergeable partials; ingest batch APPENDED with batch-only
+#      tokenization; COMPACTED; then served from the index alone with
+#      driver-side term bucketing landing as literal PartitionFilters
+#      and df recounted from the read sliver), sharing t_bm25_rank's
+#      full-recompute oracle verbatim;
 #   2. the pre-generated oldest-first r9 rotation from the COVERAGE.md
 #      freshness ledger (the r4-stale tranche: the five dedup slots
 #      displaced from r8, events, multimodal decodes, u_noc_df, the
 #      q_* business tranche, sketches/graph, then r5 residue) — minus
-#      its last nine entries (t_keyword_extraction, d_minhash_lsh,
+#      its last ten entries (t_keyword_extraction, d_minhash_lsh,
 #      g_pagerank, t_feature_hashing, g_triangle_count,
 #      g_degree_histogram, a_hll_estimate, d_bloom_prefilter,
-#      r_zorder_layout — displaced by the new registrations and rolled
-#      to the front of the r10 rotation).
-# Prefix math (driver audits 50): 9 + 41 = exactly 50. Everything
+#      r_zorder_layout, a_corr_regression — displaced by the new
+#      registrations and rolled to the front of the r10 rotation).
+# Prefix math (driver audits 50): 10 + 40 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R9 = [
@@ -84,6 +91,7 @@ NEW_PLANS_R9 = [
     "w_dense_id",
     "r_rollup_stored",
     "r_rollup_slice",
+    "t_bm25_stored",
 ]
 STALE_LEDGER_R9 = [
     # r4-stale textstats + the dedup diagnostics displaced from r8
@@ -131,11 +139,11 @@ STALE_LEDGER_R9 = [
     "a_cardinality_sketch",
     "t_heavy_hitters",
     "a_histogram_median",
-    "a_corr_regression",
-    # r_zorder_layout + d_bloom_prefilter + a_hll_estimate +
-    # g_degree_histogram + g_triangle_count + g_pagerank +
-    # t_feature_hashing + t_keyword_extraction + d_minhash_lsh rolled
-    # to the r10 front, displaced by the round's nine new registrations
+    # a_corr_regression + r_zorder_layout + d_bloom_prefilter +
+    # a_hll_estimate + g_degree_histogram + g_triangle_count +
+    # g_pagerank + t_feature_hashing + t_keyword_extraction +
+    # d_minhash_lsh rolled to the r10 front, displaced by the round's
+    # ten new registrations
 ]
 AUDIT_PREFIX = NEW_PLANS_R9 + STALE_LEDGER_R9
 

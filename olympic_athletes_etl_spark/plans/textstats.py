@@ -13,6 +13,8 @@ split via ``\\s+`` regex — identical in Spark (`split`) and DuckDB
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1358,6 +1360,212 @@ def t_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_x1000"), "doc_id")
         .limit(_BM25_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Stored BM25 index — the text-retrieval index's deployed lifecycle
+# (build → store → append → compact → serve), the fourth stored index
+# family after LSH postings, the IVFPQ index, and the rollup partials.
+# --------------------------------------------------------------------------
+_BM25_N_BUCKETS = 16
+_BM25_POSTINGS_COLS = ["doc_id", "token", "tf", "tbucket"]
+
+
+def _polyhash_py(s: str) -> int:
+    """Driver-side mirror of _POLYHASH_SPARK (31-base rolling hash mod
+    1e9+7, char-by-char ``ord``) — used to turn the QUERY's term
+    literals into partition-bucket literals without touching the
+    cluster, exactly like _km_probe_lists quantizes the ANN probe
+    driver-side. Equality with the Spark/DuckDB forms is pinned in
+    test_round9_ops over multibyte codepoints."""
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def bm25_index_build(docs: DataFrame) -> dict[str, DataFrame]:
+    """The three frames a BM25 index precomputes at ingest, from a
+    (doc_id, text) frame: full postings (doc_id, token, tf) with the
+    token's partition bucket, per-document lengths, and the corpus
+    stats AS MERGEABLE PARTIALS (n_docs, sum_dl — the rollup-store
+    semigroup, so appends add a row and serving merges; never store
+    the final average). All integer, so every frame round-trips
+    parquet exactly."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    dlen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    postings = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "tbucket",
+            (polyhash_spark("token") % _BM25_N_BUCKETS).cast("int"),
+        )
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return {"postings": postings, "dlen": dlen, "stats": stats}
+
+
+def bm25_index_store(index: dict[str, DataFrame], path: str, mode: str = "overwrite") -> None:
+    """Persist the index: postings partitioned BY token bucket (the
+    serve path prunes to the query terms' buckets at the DIRECTORY
+    level), doc lengths and stats partials as plain narrow parquet.
+    ``mode="append"`` is the ingest-batch path (bm25_index_append)."""
+    missing = [c for c in _BM25_POSTINGS_COLS if c not in index["postings"].columns]
+    if missing:
+        raise ValueError(
+            f"bm25_index_store: postings frame is missing {missing}; "
+            "build it with bm25_index_build"
+        )
+    index["postings"].select(*_BM25_POSTINGS_COLS).write.partitionBy(
+        "tbucket"
+    ).mode(mode).parquet(os.path.join(path, "postings"))
+    index["dlen"].select("doc_id", "dl").write.mode(mode).parquet(
+        os.path.join(path, "dlen")
+    )
+    index["stats"].select("n_docs", "sum_dl").write.mode(mode).parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def bm25_index_append(docs_batch: DataFrame, path: str) -> None:
+    """Fold a new ingest batch into the stored index: the batch pays
+    tokenization over ITS rows only, and every write is a pure append —
+    postings and doc lengths are disjoint across batches (a doc_id
+    lives in exactly one batch), stats land as one more partial row to
+    merge at serve time. Document frequencies are NOT stored, so there
+    is nothing stale to rebuild: serving recounts df from the postings
+    sliver it reads — the reason this index never needs a
+    read-modify-write of history."""
+    bm25_index_store(bm25_index_build(docs_batch), path, mode="append")
+
+
+def bm25_index_compact(spark: SparkSession, path: str) -> None:
+    """Maintenance pass after N appends: re-file postings to one file
+    per bucket directory and doc lengths to one file, and MERGE the
+    stats partials to a single row (the rollup_compact semigroup fold).
+    Content-identical serve pinned in test_round9_ops; same
+    checkpoint-staged in-place rewrite as the other stores."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .select(*_BM25_POSTINGS_COLS)
+        .repartition("tbucket")
+        .localCheckpoint(eager=True)
+    )
+    postings.write.partitionBy("tbucket").mode("overwrite").parquet(
+        os.path.join(path, "postings")
+    )
+    _release_checkpoint(postings)
+    dlen = (
+        spark.read.parquet(os.path.join(path, "dlen"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    dlen.write.mode("overwrite").parquet(os.path.join(path, "dlen"))
+    _release_checkpoint(dlen)
+    stats = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    _release_checkpoint(stats)
+
+
+def bm25_serve(
+    spark: SparkSession, path: str, terms: tuple[str, ...], topn: int
+) -> DataFrame:
+    """Rank from the STORED index alone — the corpus text is never
+    re-read, let alone re-tokenized. The query's term literals are
+    bucketed DRIVER-side (_polyhash_py), so the postings scan carries
+    both a literal PartitionFilter (tbucket IN — directory pruning;
+    regex-pinned) and the token IN pushed filter: the scan reads the
+    matching buckets' few narrow rows out of however many billion
+    postings the corpus has. Document frequency is recounted from the
+    sliver (exact under any append history), corpus stats merge the
+    stored partials (one broadcast row), and the one data-proportional
+    join — postings ⋈ dlen on doc_id — is bounded by the MATCHING
+    docs, not the corpus. Top-n is TakeOrderedAndProject."""
+    buckets = sorted({_polyhash_py(t) % _BM25_N_BUCKETS for t in terms})
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(*terms))
+        .select("doc_id", "token", "tf")
+    )
+    docfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dlen = spark.read.parquet(os.path.join(path, "dlen"))
+    stats = spark.read.parquet(os.path.join(path, "stats")).agg(
+        F.sum("sum_dl").cast("long").alias("L"),
+        F.sum("n_docs").cast("long").alias("N"),
+    )
+    return (
+        postings.join(F.broadcast(docfreq), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_SCORE).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("long").alias("score_x1000"))
+        .orderBy(F.desc("score_x1000"), "doc_id")
+        .limit(topn)
+    )
+
+
+@query(
+    "t_bm25_stored",
+    oracle=f"""
+    WITH {_BM25_CTES_DUCK}
+    SELECT doc_id, score_x1000
+    FROM bm_scored
+    ORDER BY score_x1000 DESC, doc_id
+    LIMIT {_BM25_TOPN}
+    """,
+)
+def t_bm25_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_bm25_rank served from the MAINTAINED text index — the full
+    retrieval-index lifecycle driver-gated: half the corpus indexed
+    and stored (bm25_index_build/store, postings partitioned by token
+    bucket), the other half APPENDED as an ingest batch
+    (bm25_index_append — batch-only tokenization, stats as one more
+    mergeable partial row), the store COMPACTED (bm25_index_compact),
+    and the query served from the index alone (bm25_serve — driver-side
+    term bucketing → literal PartitionFilters, df recounted from the
+    read sliver, stats merged from partials). Shares t_bm25_rank's
+    full-recompute oracle verbatim: integer tf/dl/stats round-trip
+    parquet exactly and df/L/N reconstruct exactly under any
+    append/compact history, so the hash proves
+    build → store → append → compact → serve end-to-end.
+
+    Cost shape at 100 TB: ingest pays one tokenize+aggregate over the
+    batch; a query reads |terms| bucket directories of narrow postings
+    plus the doc-length rows of the MATCHING documents. Per-call temp
+    dir for re-entrancy like the other stored-index queries."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    half = 250  # dense 0-based doc_ids; both halves non-empty at the
+    # driver's sf0.01 (500 docs). At sf0.001 (50 docs) the append batch
+    # is EMPTY — deliberately kept: an empty-batch append must also
+    # serve exactly (same convention as dedup_q._STORED_SPLIT).
+    path = tempfile.mkdtemp(prefix="t_bm25_stored_")
+    bm25_index_store(bm25_index_build(docs.filter(F.col("doc_id") < half)), path)
+    bm25_index_append(docs.filter(F.col("doc_id") >= half), path)
+    bm25_index_compact(spark, path)
+    return bm25_serve(spark, path, _BM25_TERMS, _BM25_TOPN)
 
 
 # --------------------------------------------------------------------------

@@ -528,3 +528,117 @@ class TestRollupStore:
             rollup_store(bad, "/tmp/nope")
         with pytest.raises(ValueError, match="total_cents"):
             rollup_append(bad, "/tmp/nope")
+
+
+# --------------------------------------------------------------------------
+# Stored BM25 index — retrieval-index lifecycle (build/store/append/
+# compact/serve)
+# --------------------------------------------------------------------------
+class TestBM25Store:
+    def test_polyhash_py_matches_spark_and_duckdb(self, spark):
+        import duckdb
+
+        from olympic_athletes_etl_spark.plans.textstats import (
+            _polyhash_py,
+            polyhash_duck,
+            polyhash_spark,
+        )
+
+        samples = ["spark", "merge", "window", "", "a", "héllo", "日本語x"]
+        df = spark.createDataFrame([(s,) for s in samples], "t string")
+        got_spark = {
+            r["t"]: r["h"]
+            for r in df.select("t", polyhash_spark("t").alias("h")).collect()
+        }
+        con = duckdb.connect()
+        for s in samples:
+            want = _polyhash_py(s)
+            assert got_spark[s] == want, s
+            if not s:
+                # '' never reaches the hash in any query (tokens are
+                # split on whitespace and filtered non-empty); DuckDB's
+                # ord('') differs from Spark's ascii('') there.
+                continue
+            duck = con.execute(
+                f"SELECT {polyhash_duck('t')} FROM (SELECT ? AS t)", [s]
+            ).fetchone()[0]
+            assert duck == want, s
+
+    def test_stored_serve_equals_in_plan(self, spark, sf_dir):
+        from olympic_athletes_etl_spark.plans import queries
+
+        got = [tuple(r) for r in queries()["t_bm25_stored"](spark, sf_dir).collect()]
+        want = [tuple(r) for r in queries()["t_bm25_rank"](spark, sf_dir).collect()]
+        assert got == want and len(got) > 0
+
+    def test_append_and_compact_are_serve_invariant(
+        self, spark, sf_dir, tmp_path
+    ):
+        from olympic_athletes_etl_spark.plans.tables import load
+        from olympic_athletes_etl_spark.plans.textstats import (
+            _BM25_TERMS,
+            _BM25_TOPN,
+            bm25_index_append,
+            bm25_index_build,
+            bm25_index_compact,
+            bm25_index_store,
+            bm25_serve,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        one_shot = str(tmp_path / "oneshot")
+        bm25_index_store(bm25_index_build(docs), one_shot)
+        want = [
+            tuple(r)
+            for r in bm25_serve(spark, one_shot, _BM25_TERMS, _BM25_TOPN).collect()
+        ]
+
+        split = 20  # sf0.001 has 50 docs — both halves non-empty here
+        staged = str(tmp_path / "staged")
+        bm25_index_store(
+            bm25_index_build(docs.filter(F.col("doc_id") < split)), staged
+        )
+        bm25_index_append(docs.filter(F.col("doc_id") >= split), staged)
+        got_appended = [
+            tuple(r)
+            for r in bm25_serve(spark, staged, _BM25_TERMS, _BM25_TOPN).collect()
+        ]
+        assert got_appended == want
+        bm25_index_compact(spark, staged)
+        got_compacted = [
+            tuple(r)
+            for r in bm25_serve(spark, staged, _BM25_TERMS, _BM25_TOPN).collect()
+        ]
+        assert got_compacted == want
+        # compaction folded the stats partials to one row and one file/bucket
+        assert spark.read.parquet(staged + "/stats").count() == 1
+        files = _parquet_files_by_dir(staged + "/postings")
+        assert files and all(n == 1 for n in files.values()), files
+
+    def test_serve_plan_partition_prunes(self, spark, sf_dir, tmp_path):
+        from olympic_athletes_etl_spark.plans.tables import load
+        from olympic_athletes_etl_spark.plans.textstats import (
+            _BM25_TERMS,
+            _BM25_TOPN,
+            bm25_index_build,
+            bm25_index_store,
+            bm25_serve,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        path = str(tmp_path / "idx")
+        bm25_index_store(bm25_index_build(docs), path)
+        df = bm25_serve(spark, path, _BM25_TERMS, _BM25_TOPN)
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[tbucket#\d+ IN \(", txt), txt[:2000]
+
+    def test_store_rejects_wrong_frame(self, spark):
+        from olympic_athletes_etl_spark.plans.textstats import bm25_index_store
+
+        bad = {
+            "postings": spark.createDataFrame([(1,)], "doc_id long"),
+            "dlen": None,
+            "stats": None,
+        }
+        with pytest.raises(ValueError, match="tbucket"):
+            bm25_index_store(bad, "/tmp/nope")
