@@ -881,3 +881,232 @@ def v_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# Stored HLL rollup — mergeable-sketch partials per day (store → append →
+# compact → serve), the approximate-distinct counterpart of the exact
+# rollup store (plans/relational.py:rollup_store): registers merge by
+# MAX, so per-batch sketch partials fold in without raw-id rescans, and
+# a day-RANGE estimate merges registers ACROSS days — the "HLL sketch
+# per day, merged over the window" alternative e_weekly_active_users'
+# docstring names, here as its deployed, driver-gated form.
+# --------------------------------------------------------------------------
+from olympic_athletes_etl_spark.operators.sketches import (  # noqa: E402
+    _HLL_ALPHA_DEN,
+    _HLL_ALPHA_NUM,
+    _HLL_M,
+    _HLL_RHO_MAX,
+)
+
+_HLL_ROLLUP_COLS = ["day", "b", "reg"]
+_HLL_RANGE_LO, _HLL_RANGE_HI = "2024-01-10", "2024-01-16"  # 7-day WAU window
+
+
+def hll_rollup_partials(events: DataFrame) -> DataFrame:
+    """Per-(day, register) max-rank partials for a batch — the HLL
+    semigroup: state merges by MAX, so any partition of the events into
+    batches stores the same information as one pass (max is idempotent,
+    commutative, associative — double-counting is IMPOSSIBLE by
+    algebra, unlike the (count, sum) rollup where replayed batches
+    double; that robustness is why sketches are the distinct-count
+    store at 100 TB). At most 64 rows per day per batch."""
+    return (
+        events.select(
+            F.col("ts").cast("date").cast("string").alias("day"),
+            F.expr(hll_bucket_sql("user_id")).alias("b"),
+            F.expr(hll_rho_sql("user_id")).alias("rho"),
+        )
+        .groupBy("day", "b")
+        .agg(F.max("rho").cast("long").alias("reg"))
+    )
+
+
+def hll_rollup_store(partials: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist sketch partials partitioned BY day — a serve for any day
+    range prunes to the window's directories, each holding ≤64-row
+    register sets per batch."""
+    missing = [c for c in _HLL_ROLLUP_COLS if c not in partials.columns]
+    if missing:
+        raise ValueError(
+            f"hll_rollup_store: partials frame is missing {missing}; "
+            "build it with hll_rollup_partials (day, b, reg)"
+        )
+    partials.select(*_HLL_ROLLUP_COLS).write.partitionBy("day").mode(
+        mode
+    ).parquet(path)
+
+
+def hll_rollup_append(partials: DataFrame, path: str) -> None:
+    hll_rollup_store(partials, path, mode="append")
+
+
+def hll_rollup_load(spark: SparkSession, path: str) -> DataFrame:
+    g = spark.read.parquet(path)
+    missing = [c for c in _HLL_ROLLUP_COLS if c not in g.columns]
+    if missing:
+        raise ValueError(
+            f"hll_rollup_load: {path} is missing {missing}; not a "
+            "hll_rollup_store output"
+        )
+    # the day partition directory may be re-inferred as DATE; the
+    # estimator groups and labels on the string form
+    return g.select(
+        F.col("day").cast("string").alias("day"), "b", "reg"
+    )
+
+
+def hll_rollup_compact(spark: SparkSession, path: str) -> None:
+    """Fold per-batch register rows to ONE row per (day, register) by
+    MAX — the sketch-merge maintenance pass (same checkpoint-staged
+    in-place rewrite as rollup_compact; merging is max, not sum)."""
+    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+
+    staged = (
+        hll_rollup_load(spark, path)
+        .groupBy("day", "b")
+        .agg(F.max("reg").cast("long").alias("reg"))
+        .localCheckpoint(eager=True)
+    )
+    staged.select(*_HLL_ROLLUP_COLS).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(path)
+    _release_checkpoint(staged)
+
+
+def _hll_estimate_from_regs(regs: DataFrame, group: list[str]) -> DataFrame:
+    """Raw-HLL estimate from (possibly multi-row-per-register) stored
+    partials: merge by MAX, then the same exact-BIGINT harmonic mean as
+    operators/sketches.py:hll_cardinality — no float anywhere, so the
+    stored serve hash-matches a from-raw-events recompute."""
+    shift_max = 1 << _HLL_RHO_MAX
+    merged = regs.groupBy(*group, "b").agg(F.max("reg").alias("_reg"))
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - _reg)")
+    s_expr = (
+        F.sum(pow2) + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(shift_max)
+    ).alias("_S")
+    out = merged.groupBy(*group).agg(s_expr) if group else merged.agg(s_expr)
+    est = F.expr(
+        f"CAST({_HLL_ALPHA_NUM * _HLL_M * _HLL_M} AS BIGINT)"
+        f" * {shift_max} div ({_HLL_ALPHA_DEN} * _S)"
+    ).alias("est_distinct")
+    return out.select(*group, est)
+
+
+def hll_rollup_serve(spark: SparkSession, path: str) -> DataFrame:
+    """Per-day distinct-user estimate from the store alone — raw events
+    (and raw user ids) are never re-read; the store holds 64 small
+    integers per day per batch, period."""
+    return _hll_estimate_from_regs(hll_rollup_load(spark, path), ["day"])
+
+
+def hll_rollup_serve_range(
+    spark: SparkSession, path: str, lo: str, hi: str
+) -> DataFrame:
+    """Distinct users over a day RANGE from the stored daily sketches —
+    the query exact rollups cannot answer without re-scanning raw ids
+    (distinct doesn't sum across days; registers MERGE by max). The
+    day BETWEEN lands on the partition directories, so a 7-day WAU
+    reads 7 × ≤64-row register sets."""
+    regs = hll_rollup_load(spark, path).filter(F.col("day").between(lo, hi))
+    return _hll_estimate_from_regs(regs, [])
+
+
+def _hll_day_regs_duck(where: str = "") -> str:
+    return f"""s AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             ({hll_bucket_sql("user_id")}) AS b,
+             ({hll_rho_sql("user_id")}) AS rho
+      FROM events {where}
+    ),
+    regs AS (SELECT day, b, max(rho) AS reg FROM s GROUP BY 1, 2)"""
+
+
+_HLL_EST_DUCK_T = (
+    f"CAST((CAST({_HLL_ALPHA_NUM * _HLL_M * _HLL_M} AS BIGINT)"
+    f" * {1 << _HLL_RHO_MAX}) // ({_HLL_ALPHA_DEN} * S) AS BIGINT)"
+)
+
+
+@query(
+    "a_hll_rollup_stored",
+    oracle=f"""
+    WITH {_hll_day_regs_duck()},
+    agg AS (
+      SELECT day,
+             sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - reg))
+               + ({_HLL_M} - count(*)) * {1 << _HLL_RHO_MAX} AS S
+      FROM regs GROUP BY 1
+    )
+    SELECT day, {_HLL_EST_DUCK_T} AS est_distinct FROM agg
+    """,
+)
+def a_hll_rollup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH-rollup lifecycle end-to-end, driver-gated: daily HLL
+    register partials from one half of the traffic stored
+    (hll_rollup_store, partitioned by day), the other half's partials
+    APPENDED (batches split by user parity, so every day appears in
+    BOTH batches and the serve MUST merge registers across batches to
+    be right), the store COMPACTED to one row per (day, register) by
+    max (hll_rollup_compact), and per-day estimates SERVED from the
+    registers alone. Gated on a from-raw-events recompute of the same
+    integer-exact raw-HLL estimate, so the hash proves
+    partial → store → append → compact → merge-serve loses nothing.
+
+    This is the distinct-count store at 100 TB: per day per batch the
+    write is ≤64 small integers, the serve never touches raw ids, and
+    because max is idempotent a replayed batch cannot double-count —
+    the robustness the exact (count, sum) rollup lacks. Per-call temp
+    dir for re-entrancy."""
+    import os
+    import tempfile
+
+    events = load(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="a_hll_rollup_"), "regs")
+    even = events.filter(F.col("user_id") % 2 == 0)
+    odd = events.filter(F.col("user_id") % 2 == 1)
+    hll_rollup_store(hll_rollup_partials(even), path)
+    hll_rollup_append(hll_rollup_partials(odd), path)
+    hll_rollup_compact(spark, path)
+    return hll_rollup_serve(spark, path)
+
+
+@query(
+    "a_hll_rollup_range",
+    oracle=f"""
+    WITH {_hll_day_regs_duck(
+        f"WHERE CAST(CAST(ts AS DATE) AS VARCHAR) BETWEEN "
+        f"'{_HLL_RANGE_LO}' AND '{_HLL_RANGE_HI}'"
+    )},
+    merged AS (SELECT b, max(reg) AS reg FROM regs GROUP BY 1),
+    agg AS (
+      SELECT sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - reg))
+               + ({_HLL_M} - count(*)) * {1 << _HLL_RHO_MAX} AS S
+      FROM merged
+    )
+    SELECT {_HLL_EST_DUCK_T} AS est_distinct FROM agg
+    """,
+)
+def a_hll_rollup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU FROM STORED SKETCHES: distinct users over a 7-day window,
+    served by merging the window's stored daily registers by max —
+    the cross-window question no exact rollup can answer from partials
+    (distinct doesn't sum; e_weekly_active_users pays an explode-join
+    over raw (day, user) pairs for the exact form, and ITS docstring
+    names this sketch store as the approximate alternative — this
+    registers that alternative, driver-gated). Serves from the
+    UNCOMPACTED two-batch store, so the hash also proves range-serve
+    correctness is compaction-cadence-independent; the day BETWEEN
+    prunes to the window's 7 partition directories (pinned in
+    test_round9_ops). Oracle recomputes the same integer-exact raw-HLL
+    estimate from raw events restricted to the window."""
+    import os
+    import tempfile
+
+    events = load(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="a_hll_range_"), "regs")
+    even = events.filter(F.col("user_id") % 2 == 0)
+    odd = events.filter(F.col("user_id") % 2 == 1)
+    hll_rollup_store(hll_rollup_partials(even), path)
+    hll_rollup_append(hll_rollup_partials(odd), path)
+    return hll_rollup_serve_range(spark, path, _HLL_RANGE_LO, _HLL_RANGE_HI)
