@@ -392,6 +392,49 @@ def stream_neardup_screen(
     )
 
 
+def stream_hll_rollup_ingest(
+    events: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming CONTINUOUS AGGREGATE: each micro-batch folds its daily
+    HLL register partials into the sketch-rollup store
+    (plans/sketch_q.py:hll_rollup_partials/append — the same frames the
+    batch queries a_hll_rollup_stored / a_hll_rollup_range gate), so an
+    always-on distinct-users dashboard serves from ≤64 small integers
+    per day per batch while the stream runs.
+
+    EFFECTIVELY-ONCE, and honestly so: the exact (count, sum) rollup
+    under foreachBatch is at-least-once — a batch replayed after a
+    crash-between-append-and-commit double-counts (the documented
+    caveat on stream_merge_into_parquet's class of sinks). HLL partials
+    merge by MAX, which is idempotent: re-appending the same batch's
+    partials cannot change any served estimate (pinned in
+    test_round9_ops and re-asserted post-stream in test_streaming).
+    At-least-once appends + idempotent merge = exactly-once ESTIMATES
+    on plain parquet, no transactional table format required — the
+    reason sketch stores, not exact partials, back always-on distinct
+    counters. No ordering hazard either: unlike the near-dup screen,
+    the batch never reads the store it appends to (merging happens at
+    serve time), so there is no flags-before-append discipline to keep.
+    Run hll_rollup_compact on a cadence for the small-files tax, as
+    with every append-path store."""
+    from olympic_athletes_etl_spark.plans.sketch_q import (
+        hll_rollup_append,
+        hll_rollup_partials,
+    )
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        hll_rollup_append(hll_rollup_partials(batch), store_path)
+
+    return (
+        events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | None = None,

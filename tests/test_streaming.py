@@ -508,3 +508,55 @@ def test_stream_neardup_screen_flags_within_batch(spark, sf_dir, tmp_path):
     assert flagged == {(901, 900)}  # later vs earlier, once, no corpus hit
     survivors = {900, 901} - {new for new, _old in flagged}
     assert survivors == {900}
+
+
+def test_stream_hll_rollup_matches_batch_and_survives_replay(
+    spark, sf_dir, tmp_path
+):
+    """The streaming continuous aggregate equals the batch sketch store:
+    two micro-batches of events (two availableNow runs over one
+    checkpoint — order + resume in one) fold daily HLL partials into
+    the store; serving equals a one-shot batch build over all events.
+    Then the effectively-once claim: re-appending an already-folded
+    batch's partials (a simulated foreachBatch replay) changes NOTHING
+    — max-merge idempotence on the real store."""
+    from olympic_athletes_etl_spark.plans.sketch_q import (
+        hll_rollup_append,
+        hll_rollup_partials,
+        hll_rollup_serve,
+        hll_rollup_store,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        stream_hll_rollup_ingest,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b1 = F.col("user_id") % 2 == 0
+    store = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "events_stream")
+
+    def run_batch(pred):
+        events.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = stream_hll_rollup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    run_batch(b1)
+    run_batch(~b1)
+
+    got = sorted(tuple(r) for r in hll_rollup_serve(spark, store).collect())
+    one_shot = str(tmp_path / "oneshot")
+    hll_rollup_store(hll_rollup_partials(events), one_shot)
+    want = sorted(tuple(r) for r in hll_rollup_serve(spark, one_shot).collect())
+    assert got == want and len(got) > 0
+
+    # simulated replay of batch 1: idempotent fold, estimates unchanged
+    hll_rollup_append(hll_rollup_partials(events.filter(b1)), store)
+    assert (
+        sorted(tuple(r) for r in hll_rollup_serve(spark, store).collect())
+        == want
+    )
