@@ -86,6 +86,8 @@ ALLOWED_BNLJ = {
     "s_knn_bruteforce": 1,
     "s_retrieval_eval": 1,
     "t_bm25_rank": 1,
+    "t_bm25_stored": 1,  # same 1-row corpus-stats broadcast cross as
+                         # t_bm25_rank, fed from the stats partials store
     "t_collocations": 1,
     "t_heavy_hitters": 1,
     "t_idf": 1,
