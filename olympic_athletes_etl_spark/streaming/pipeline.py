@@ -435,6 +435,50 @@ def stream_hll_rollup_ingest(
     )
 
 
+def stream_rollup_ingest(
+    orders: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming EXACT continuous aggregate with exactly-once folds —
+    the (count, sum) sibling of stream_hll_rollup_ingest, which needs
+    more machinery because exact partials are NOT idempotent under
+    replay (re-appending doubles; the batch rollup's double-append test
+    shows it). The standard fix, implemented here: each micro-batch
+    writes its monthly partials into its OWN ``batch_id=N`` partition
+    with DYNAMIC partition overwrite — a replayed batch (same
+    checkpoint offsets ⇒ same batch_id ⇒ same rows) overwrites exactly
+    its own directories instead of appending next to them, so the fold
+    is idempotent with plain parquet. Serving merges the semigroup
+    across batch partitions (plans/relational.py:rollup_serve — the
+    batch_id column is just ignored by the month groupBy).
+
+    What this does NOT give: a transactional rename — a reader racing
+    the overwrite can glimpse a partially-rewritten batch partition
+    (Delta/Iceberg close that); and compaction across batch partitions
+    must keep a replay high-water mark (fold only batches the stream
+    has committed past) — with availableNow + one store writer, run
+    rollup-style compaction between stream runs, never during one."""
+    from olympic_athletes_etl_spark.plans.relational import _monthly_partials
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            _monthly_partials(batch)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(store_path)
+        )
+
+    return (
+        orders.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -560,3 +560,65 @@ def test_stream_hll_rollup_matches_batch_and_survives_replay(
         sorted(tuple(r) for r in hll_rollup_serve(spark, store).collect())
         == want
     )
+
+
+def test_stream_rollup_ingest_exactly_once_via_dynamic_overwrite(
+    spark, sf_dir, tmp_path
+):
+    """The exact continuous aggregate: two micro-batches of orders fold
+    monthly partials into batch_id partitions; serving merges across
+    them and equals the full recompute. Then the exactly-once claim: a
+    REPLAYED fold (same batch_id, same rows — what a checkpoint resume
+    re-delivers) dynamic-overwrites its own partition and every served
+    value is unchanged, where a plain append would double (the batch
+    rollup's double-append test shows that failure mode)."""
+    from olympic_athletes_etl_spark.plans.relational import (
+        _monthly_partials,
+        rollup_serve,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        stream_rollup_ingest,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    b1 = F.col("o_orderkey") % 2 == 0
+    store = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "orders_stream")
+
+    def run_batch(pred):
+        orders.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_rollup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    run_batch(b1)
+    run_batch(~b1)
+
+    got = sorted(tuple(r) for r in rollup_serve(spark, store).collect())
+    want = sorted(
+        tuple(r)
+        for r in _monthly_partials(orders)
+        .withColumn(
+            "avg_cents", F.expr("CAST(total_cents div n_orders AS BIGINT)")
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # simulated checkpoint replay of batch 0: same batch_id, same rows,
+    # same dynamic-overwrite write — the fold body verbatim
+    (
+        _monthly_partials(orders.filter(b1))
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store)
+    )
+    assert (
+        sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == want
+    )
