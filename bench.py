@@ -217,6 +217,125 @@ def bpe_phase_timings(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def store_phase_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Build/append/compact/serve split for the round-9 store families
+    (exact rollup partials, BM25 text index, HLL sketch rollup) —
+    the same factored helpers their registered lifecycle queries call,
+    so a regression in any phase is visible round-over-round without
+    the build noise swamping the serve number (the ann_phases
+    rationale). Store/append/compact timings are the writes themselves;
+    serves end in a noop sink."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.relational import (
+        _INCR_SPLIT,
+        _monthly_partials,
+        rollup_append,
+        rollup_compact,
+        rollup_serve,
+        rollup_store,
+    )
+    from olympic_athletes_etl_spark.plans.sketch_q import (
+        _HLL_RANGE_HI,
+        _HLL_RANGE_LO,
+        hll_rollup_append,
+        hll_rollup_compact,
+        hll_rollup_partials,
+        hll_rollup_serve,
+        hll_rollup_serve_range,
+        hll_rollup_store,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        _BM25_TERMS,
+        _BM25_TOPN,
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_store,
+        bm25_serve,
+    )
+
+    out: dict[str, float] = {}
+
+    def timed(key: str, thunk) -> None:
+        t0 = time.perf_counter()
+        r = thunk()
+        if r is not None:  # serve thunks return a DataFrame to sink
+            r.write.format("noop").mode("overwrite").save()
+        out[key] = round(time.perf_counter() - t0, 3)
+
+    # exact rollup partials
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    rp = os.path.join(tempfile.mkdtemp(prefix="bench_rollup_"), "rollup")
+    timed(
+        "build:rollup_store",
+        lambda: rollup_store(
+            _monthly_partials(orders.filter(F.col("d") < _INCR_SPLIT)), rp
+        ),
+    )
+    timed(
+        "append:rollup",
+        lambda: rollup_append(
+            _monthly_partials(orders.filter(F.col("d") >= _INCR_SPLIT)), rp
+        ),
+    )
+    timed("compact:rollup", lambda: rollup_compact(spark, rp))
+    timed("serve:r_rollup_stored", lambda: rollup_serve(spark, rp))
+    timed(
+        "serve:r_rollup_slice",
+        lambda: rollup_serve(spark, rp).filter(
+            F.col("month").between("1995-01", "1995-12")
+        ),
+    )
+
+    # BM25 text index
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bp = tempfile.mkdtemp(prefix="bench_bm25_")
+    timed(
+        "build:bm25_index_store",
+        lambda: bm25_index_store(
+            bm25_index_build(docs.filter(F.col("doc_id") % 2 == 0)), bp
+        ),
+    )
+    timed(
+        "append:bm25_index",
+        lambda: bm25_index_append(docs.filter(F.col("doc_id") % 2 == 1), bp),
+    )
+    timed("compact:bm25_index", lambda: bm25_index_compact(spark, bp))
+    timed(
+        "serve:t_bm25_stored",
+        lambda: bm25_serve(spark, bp, _BM25_TERMS, _BM25_TOPN),
+    )
+
+    # HLL sketch rollup
+    events = load(spark, sf_dir, "events")
+    hp = os.path.join(tempfile.mkdtemp(prefix="bench_hll_"), "regs")
+    timed(
+        "build:hll_rollup_store",
+        lambda: hll_rollup_store(
+            hll_rollup_partials(events.filter(F.col("user_id") % 2 == 0)), hp
+        ),
+    )
+    timed(
+        "append:hll_rollup",
+        lambda: hll_rollup_append(
+            hll_rollup_partials(events.filter(F.col("user_id") % 2 == 1)), hp
+        ),
+    )
+    timed("compact:hll_rollup", lambda: hll_rollup_compact(spark, hp))
+    timed("serve:a_hll_rollup_stored", lambda: hll_rollup_serve(spark, hp))
+    timed(
+        "serve:a_hll_rollup_range",
+        lambda: hll_rollup_serve_range(spark, hp, _HLL_RANGE_LO, _HLL_RANGE_HI),
+    )
+    return out
+
+
 def _load1() -> float | None:
     try:
         return round(os.getloadavg()[0], 2)
@@ -289,6 +408,7 @@ def main() -> None:
         out["extended_total"] = round(sum(extended.values()), 3)
         out["ann_phases"] = ann_phase_timings(spark, sf_dir)
         out["bpe_phases"] = bpe_phase_timings(spark, sf_dir)
+        out["store_phases"] = store_phase_timings(spark, sf_dir)
     print(json.dumps(out))
     spark.stop()
 

@@ -341,3 +341,31 @@ def test_noc_udf_equals_df_twin_on_generated_compounds(spark, sf_dir):
         for r in df.withColumn("NOC", udf(F.col("NOC"))).collect()
     }
     assert got_df == got_udf
+
+
+def test_dense_ids_permutation_property(spark):
+    """dense_ids over random multisets (duplicate keys included) and
+    random partition counts: the id column is EXACTLY the set 1..N, and
+    walking the rows in id order never decreases the key — together
+    these are the whole ROW_NUMBER contract (ties get arbitrary but
+    dense ids). A handful of generated cases, each its own job
+    (dense_ids is a global operator — cases can't batch into one frame
+    like the other Spark properties here)."""
+    import random
+
+    from olympic_athletes_etl_spark.operators.scale import dense_ids
+
+    rng = random.Random(0xD15EA5E)
+    for _ in range(6):
+        n = rng.randint(1, 400)
+        keys = [rng.randint(-50, 50) for _ in range(n)]  # heavy ties
+        parts = rng.choice([1, 2, 3, 7, 16, 64])  # incl. parts > n
+        df = spark.createDataFrame(
+            [(k,) for k in keys], "k int"
+        ).repartition(rng.choice([1, 4, 9]))
+        rows = dense_ids(df, ["k"], num_partitions=parts).collect()
+        ids = sorted(r["dense_id"] for r in rows)
+        assert ids == list(range(1, n + 1)), (n, parts)
+        by_id = sorted(rows, key=lambda r: r["dense_id"])
+        ks = [r["k"] for r in by_id]
+        assert ks == sorted(keys), (n, parts)
