@@ -202,3 +202,46 @@ def dense_ids(
             yield pdf
 
     return sorted_df.mapInPandas(assign, out_schema)
+
+
+def dense_ids_store(ids: DataFrame, path: str, id_col: str = "dense_id") -> None:
+    """Persist an id assignment (dense_ids output) — the identity-column
+    table a warehouse maintains: ids are handed out ONCE and never
+    reshuffled by later ingests (re-running dense_ids over
+    history ∪ batch would reassign history's ids whenever a batch key
+    sorts between old keys — exactly what surrogate keys must never
+    do). Plain parquet; the id column is part of the stored schema."""
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"dense_ids_store: frame has no '{id_col}' column; build it "
+            "with dense_ids"
+        )
+    ids.write.mode("overwrite").parquet(path)
+
+
+def dense_ids_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    order_cols: Sequence[str],
+    num_partitions: int,
+    id_col: str = "dense_id",
+) -> None:
+    """Fold a new batch into the stored id assignment: the batch gets
+    ids ``stored_max + 1 .. stored_max + |batch|`` in its own
+    ``order_cols`` order (dense_ids over the BATCH only + a constant
+    offset), appended without touching a single stored row — the
+    identity-column ingest. The only driver traffic beyond dense_ids'
+    own is the 1-row max(id) aggregate. Already-assigned rows must not
+    reappear in a batch (an anti-join against the store is the
+    caller's resume discipline, sources/io.py:resume_remaining)."""
+    stored_max = (
+        spark.read.parquet(path)
+        .agg(F.max(F.col(id_col)).cast("long"))
+        .collect()[0][0]  # bounded: one row
+        or 0
+    )
+    with_ids = dense_ids(batch, order_cols, num_partitions, id_col=id_col)
+    with_ids.withColumn(
+        id_col, (F.col(id_col) + F.lit(stored_max)).cast("long")
+    ).write.mode("append").parquet(path)

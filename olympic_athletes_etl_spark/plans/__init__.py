@@ -29,7 +29,7 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 # FRESH driver row this round (round 9 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
 # live there and in git history):
-#   1. the twelve NEW queries this round: t_bpe_encode_fixed — the fold
+#   1. the thirteen NEW queries this round: t_bpe_encode_fixed — the fold
 #      encoder's semantics gated cross-engine with a FROZEN literal
 #      merge list (the DuckDB twin rebuilds greedy left-to-right
 #      merging from delimiter-doubled strings + non-overlapping
@@ -78,18 +78,24 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 #      window by merging the stored daily registers — the WAU-from-
 #      sketches serve no exact rollup can answer from partials, over
 #      the uncompacted store with the day BETWEEN pruning to the
-#      window's directories);
+#      window's directories) — and w_dense_id_stored — the
+#      identity-column lifecycle (history ids assigned once and stored,
+#      an ingest batch appended with ids continuing from the stored max
+#      via dense_ids_append, history never renumbered; the key-ordered
+#      batch split makes the composed assignment equal the one-shot
+#      global ROW_NUMBER, so w_dense_id's oracle gates the whole
+#      assign → store → append → serve loop);
 #   2. the pre-generated oldest-first r9 rotation from the COVERAGE.md
 #      freshness ledger (the r4-stale tranche: the five dedup slots
 #      displaced from r8, events, multimodal decodes, u_noc_df, the
 #      q_* business tranche, sketches/graph, then r5 residue) — minus
-#      its last twelve entries (t_keyword_extraction, d_minhash_lsh,
+#      its last thirteen entries (t_keyword_extraction, d_minhash_lsh,
 #      g_pagerank, t_feature_hashing, g_triangle_count,
 #      g_degree_histogram, a_hll_estimate, d_bloom_prefilter,
 #      r_zorder_layout, a_corr_regression, a_histogram_median,
-#      t_heavy_hitters — displaced by the new registrations and rolled
-#      to the front of the r10 rotation).
-# Prefix math (driver audits 50): 12 + 38 = exactly 50. Everything
+#      t_heavy_hitters, a_cardinality_sketch — displaced by the new
+#      registrations and rolled to the front of the r10 rotation).
+# Prefix math (driver audits 50): 13 + 37 = exactly 50. Everything
 # demoted stays covered locally by tools/check_parity.py regardless of
 # order.
 NEW_PLANS_R9 = [
@@ -105,6 +111,7 @@ NEW_PLANS_R9 = [
     "t_bm25_stored",
     "a_hll_rollup_stored",
     "a_hll_rollup_range",
+    "w_dense_id_stored",
 ]
 STALE_LEDGER_R9 = [
     # r4-stale textstats + the dedup diagnostics displaced from r8
@@ -148,14 +155,12 @@ STALE_LEDGER_R9 = [
     "r_dim_bridge",
     "v_fk_integrity",
     "j_range_band_join",
-    # r5 residue: sketches, stats, layout, graph, text
-    "a_cardinality_sketch",
-    # t_heavy_hitters + a_histogram_median + a_corr_regression +
-    # r_zorder_layout + d_bloom_prefilter + a_hll_estimate +
-    # g_degree_histogram + g_triangle_count + g_pagerank +
-    # t_feature_hashing + t_keyword_extraction + d_minhash_lsh rolled
-    # to the r10 front, displaced by the round's twelve new
-    # registrations
+    # r5 residue (a_cardinality_sketch + t_heavy_hitters +
+    # a_histogram_median + a_corr_regression + r_zorder_layout +
+    # d_bloom_prefilter + a_hll_estimate + g_degree_histogram +
+    # g_triangle_count + g_pagerank + t_feature_hashing +
+    # t_keyword_extraction + d_minhash_lsh) rolled to the r10 front,
+    # displaced by the round's thirteen new registrations
 ]
 AUDIT_PREFIX = NEW_PLANS_R9 + STALE_LEDGER_R9
 

@@ -512,6 +512,59 @@ def w_dense_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(orders.select("o_orderkey"), ["o_orderkey"], num_partitions=32)
 
 
+@query(
+    "w_dense_id_stored",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) AS dense_id
+    FROM orders
+    """,
+)
+def w_dense_id_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTITY-COLUMN lifecycle: history's ids assigned once and
+    STORED (dense_ids_store — never reshuffled by later ingests, the
+    surrogate-key contract), then an ingest batch APPENDED with ids
+    continuing from the stored max (dense_ids_append: dense_ids over
+    the batch only + a constant offset; the store is never rewritten),
+    and the full assignment served from the store alone. The batch
+    split is BY KEY (o_orderkey < 1000 = history), so the composed
+    assignment provably equals the one-shot global ROW_NUMBER — the
+    same oracle as w_dense_id gates the whole
+    assign → store → append → serve loop. With an UNORDERED batch the
+    composed ids would differ from a global re-rank by design (ids are
+    handed out in arrival order, exactly like any warehouse identity
+    column); the key-ordered split is what makes the lifecycle
+    oracle-checkable. Per-call temp dir for re-entrancy."""
+    import os
+    import tempfile
+
+    from olympic_athletes_etl_spark.operators.scale import (
+        dense_ids,
+        dense_ids_append,
+        dense_ids_store,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    split = 1000  # orderkeys start at 1; both sides non-empty at every sf
+    path = os.path.join(tempfile.mkdtemp(prefix="w_dense_id_stored_"), "ids")
+    dense_ids_store(
+        dense_ids(
+            orders.filter(F.col("o_orderkey") < split),
+            ["o_orderkey"],
+            num_partitions=8,
+        ),
+        path,
+    )
+    dense_ids_append(
+        spark,
+        orders.filter(F.col("o_orderkey") >= split),
+        path,
+        ["o_orderkey"],
+        num_partitions=32,
+    )
+    return spark.read.parquet(path)
+
+
 # --------------------------------------------------------------------------
 # W5 — forward-fill (last ignorenulls over ordered window)
 # --------------------------------------------------------------------------

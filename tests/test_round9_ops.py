@@ -758,3 +758,58 @@ class TestHLLRollup:
         bad = spark.createDataFrame([("x", 1)], "day string, b long")
         with pytest.raises(ValueError, match="reg"):
             hll_rollup_store(bad, "/tmp/nope")
+
+
+# --------------------------------------------------------------------------
+# Dense-id store — the identity-column lifecycle (assign/store/append/serve)
+# --------------------------------------------------------------------------
+class TestDenseIdStore:
+    def test_append_continues_and_never_rewrites_history(
+        self, spark, tmp_path
+    ):
+        from olympic_athletes_etl_spark.operators.scale import (
+            dense_ids,
+            dense_ids_append,
+            dense_ids_store,
+        )
+
+        hist = spark.createDataFrame([(k,) for k in (5, 1, 9, 3)], "k int")
+        path = str(tmp_path / "ids")
+        dense_ids_store(dense_ids(hist, ["k"], num_partitions=2), path)
+        stored_before = {
+            r["k"]: r["dense_id"] for r in spark.read.parquet(path).collect()
+        }
+        # batch keys interleave BETWEEN history keys — a global re-rank
+        # would renumber history; the identity column must not
+        batch = spark.createDataFrame([(k,) for k in (2, 8)], "k int")
+        dense_ids_append(spark, batch, path, ["k"], num_partitions=2)
+        after = {
+            r["k"]: r["dense_id"] for r in spark.read.parquet(path).collect()
+        }
+        for k, i in stored_before.items():
+            assert after[k] == i  # history ids untouched
+        assert {after[2], after[8]} == {5, 6}  # continues from stored max
+        assert after[2] == 5 and after[8] == 6  # batch's own key order
+        assert sorted(after.values()) == list(range(1, 7))  # still dense
+
+    def test_append_to_empty_like_store(self, spark, tmp_path):
+        from olympic_athletes_etl_spark.operators.scale import (
+            dense_ids,
+            dense_ids_append,
+            dense_ids_store,
+        )
+
+        empty = spark.createDataFrame([], "k int")
+        path = str(tmp_path / "ids")
+        dense_ids_store(dense_ids(empty, ["k"], num_partitions=2), path)
+        batch = spark.createDataFrame([(7,), (4,)], "k int")
+        dense_ids_append(spark, batch, path, ["k"], num_partitions=2)
+        got = {r["k"]: r["dense_id"] for r in spark.read.parquet(path).collect()}
+        assert got == {4: 1, 7: 2}  # max() over empty store -> NULL -> 0
+
+    def test_store_rejects_frame_without_ids(self, spark):
+        from olympic_athletes_etl_spark.operators.scale import dense_ids_store
+
+        bad = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError, match="dense_id"):
+            dense_ids_store(bad, "/tmp/nope")
