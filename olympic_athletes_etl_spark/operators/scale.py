@@ -204,19 +204,33 @@ def dense_ids(
     return sorted_df.mapInPandas(assign, out_schema)
 
 
+def _dense_ids_store_obj(path: str):
+    from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
+
+    # free-form columns: the identity table carries the caller's schema
+    return GenStore(path, [TableSpec(name="")])
+
+
 def dense_ids_store(ids: DataFrame, path: str, id_col: str = "dense_id") -> None:
     """Persist an id assignment (dense_ids output) — the identity-column
     table a warehouse maintains: ids are handed out ONCE and never
     reshuffled by later ingests (re-running dense_ids over
     history ∪ batch would reassign history's ids whenever a batch key
     sorts between old keys — exactly what surrogate keys must never
-    do). Plain parquet; the id column is part of the stored schema."""
+    do). Generation-versioned parquet (operators/store.py): re-storing
+    is an atomic snapshot replace; the id column is part of the stored
+    schema."""
     if id_col not in ids.columns:
         raise ValueError(
             f"dense_ids_store: frame has no '{id_col}' column; build it "
             "with dense_ids"
         )
-    ids.write.mode("overwrite").parquet(path)
+    _dense_ids_store_obj(path).create({"": ids})
+
+
+def dense_ids_load(spark: SparkSession, path: str) -> DataFrame:
+    """Read the stored identity table (current generation)."""
+    return _dense_ids_store_obj(path).load(spark)[""]
 
 
 def dense_ids_append(
@@ -234,14 +248,22 @@ def dense_ids_append(
     identity-column ingest. The only driver traffic beyond dense_ids'
     own is the 1-row max(id) aggregate. Already-assigned rows must not
     reappear in a batch (an anti-join against the store is the
-    caller's resume discipline, sources/io.py:resume_remaining)."""
+    caller's resume discipline, sources/io.py:resume_remaining).
+
+    SINGLE WRITER REQUIRED: the max(id) read and the append are not
+    one transaction — two concurrent appenders would both read the
+    same stored_max and hand out duplicate ids. Serialize ingest
+    batches through one writer (the same discipline
+    stream_rollup_ingest documents for its store); under a scheduler,
+    that's one non-concurrent job per identity table."""
+    store = _dense_ids_store_obj(path)
     stored_max = (
-        spark.read.parquet(path)
+        dense_ids_load(spark, path)
         .agg(F.max(F.col(id_col)).cast("long"))
         .collect()[0][0]  # bounded: one row
         or 0
     )
     with_ids = dense_ids(batch, order_cols, num_partitions, id_col=id_col)
-    with_ids.withColumn(
-        id_col, (F.col(id_col) + F.lit(stored_max)).cast("long")
-    ).write.mode("append").parquet(path)
+    store.append(
+        {"": with_ids.withColumn(id_col, (F.col(id_col) + F.lit(stored_max)).cast("long"))}
+    )

@@ -1,0 +1,304 @@
+"""Generation-versioned parquet store — the shared lifecycle under every
+maintained index / rollup family (LSH postings, IVFPQ index, kNN graph,
+exact rollup, HLL register rollup, BM25 index, dense identity columns).
+
+Each family follows the same deployed loop::
+
+    create (history)  ->  append (ingest batches)  ->  compact (maintenance)
+                                   \\-> load / serve (reads only the store)
+
+and before round 10 each hand-rolled it with a compaction that staged the
+read through a non-replicated ``localCheckpoint`` and then ``overwrite``-
+rewrote the SAME path — so a crash (or executor loss, since a local
+checkpoint lives in executor memory/disk only) between the delete and the
+rewrite permanently lost the store.  At 100 TB that is the primary copy of
+an index that took hours to build.
+
+This module replaces that pattern with a GENERATION SWAP:
+
+* a store root holds numbered generation directories ``gen-0``, ``gen-1``,
+  … plus a tiny ``_STORE`` manifest (JSON: the current generation number
+  and optional family metadata such as the streaming replay high-water
+  mark);
+* every read resolves the manifest and touches only the current
+  generation's directory;
+* ``compact`` (and snapshot ``create`` over an existing store) writes the
+  NEW generation to a fresh directory — the old one is still fully
+  readable the whole time, so no ``localCheckpoint`` staging is needed at
+  all — verifies the new files (schema contract + row-count invariant),
+  then COMMITS by atomically replacing the manifest (``os.replace``; on an
+  object store, a conditional PUT of the manifest key or a metastore
+  pointer swap — the same commit protocol Delta/Iceberg stores use for
+  their log tip), and only then garbage-collects superseded generations.
+
+There is no window in which the only copy of the data is executor RAM or a
+half-deleted directory: a crash at ANY point leaves the manifest pointing
+at a complete, verified generation, and the next compaction sweeps the
+orphaned half-written directory.  ``tests/test_store.py`` kills the
+rewrite mid-flight and proves the store still serves the pre-compaction
+answer.
+
+Scale notes (100 TB): the manifest is O(bytes) and written driver-side
+once per maintenance pass; generations add one directory level, which
+changes no partition pruning (partition directories live INSIDE the
+generation, so literal PartitionFilters are untouched).  The transient 2×
+disk during a compaction is the standard cost of any copy-on-write
+rewrite (Delta OPTIMIZE, Iceberg rewrite_data_files); it buys crash
+safety and lets readers proceed against the old generation throughout.
+Single maintenance writer per store assumed (as documented on every
+family's append path); concurrent APPENDS to the current generation are
+plain parquet appends and remain safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_STORE"
+_GEN_RE = re.compile(r"^gen-(\d+)$")
+
+MergeFn = Callable[[DataFrame], DataFrame]
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One parquet table inside a store generation.
+
+    ``name``          subdirectory under the generation dir ("" = the
+                      generation dir itself — the single-table layout).
+    ``columns``       stored schema contract (partition columns included);
+                      None = free-form (dense-id stores carry caller
+                      schemas).
+    ``partition_by``  physical partition key — the directory layout serve
+                      paths prune on (band / list_id / month / day /
+                      tbucket / batch_id).
+    ``merge``         compaction fold for mergeable state (sum the
+                      (count,sum) semigroup, max HLL registers). None =
+                      refile-only compaction: rows are untouched and just
+                      re-clustered to one file set per partition directory
+                      (``repartition(partition_by)``; ``coalesce(1)`` when
+                      unpartitioned) — row count is verified unchanged.
+    """
+
+    name: str
+    columns: tuple[str, ...] | None = None
+    partition_by: tuple[str, ...] = ()
+    merge: MergeFn | None = None
+
+
+def _subdir(root: str, name: str) -> str:
+    return os.path.join(root, name) if name else root
+
+
+def gen_dir(path: str, gen: int) -> str:
+    return os.path.join(path, f"gen-{gen}")
+
+
+def read_manifest(path: str) -> dict | None:
+    """The store's commit record, or None for a path with no store yet."""
+    try:
+        with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _commit_manifest(path: str, manifest: Mapping) -> None:
+    """Atomic pointer swap: write-temp + rename IS the commit. os.replace
+    is atomic on POSIX; the object-store equivalent is a conditional PUT
+    (S3 If-None-Match / GCS generation precondition) or a metastore row."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(dict(manifest), f)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+
+
+def resolve_data_dir(path: str, table: str = "") -> str:
+    """Current generation's directory for ``table`` — the ONLY path reads
+    should touch. Raises on a path that is not a store."""
+    man = read_manifest(path)
+    if man is None:
+        raise FileNotFoundError(
+            f"{path} has no {MANIFEST_NAME} manifest; not a GenStore"
+        )
+    return _subdir(gen_dir(path, man["gen"]), table)
+
+
+class GenStore:
+    """One family's store: a root path + its table specs."""
+
+    def __init__(self, path: str, tables: Sequence[TableSpec]):
+        self.path = path
+        self.tables = tuple(tables)
+        names = [t.name for t in self.tables]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate table names in store spec: {names}")
+
+    # -- manifest ----------------------------------------------------------
+    def manifest(self) -> dict | None:
+        return read_manifest(self.path)
+
+    def _require(self) -> dict:
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(
+                f"{self.path} has no {MANIFEST_NAME} manifest; create the "
+                "store first"
+            )
+        return man
+
+    def data_dir(self, table: str = "") -> str:
+        """Current generation's directory for ``table``."""
+        return _subdir(gen_dir(self.path, self._require()["gen"]), table)
+
+    def ensure(self, extra: Mapping | None = None) -> str:
+        """Create an EMPTY store (manifest + gen-0 dir) if none exists —
+        the streaming writer's first-batch path. Returns the current
+        generation dir either way."""
+        man = self.manifest()
+        if man is None:
+            os.makedirs(gen_dir(self.path, 0), exist_ok=True)
+            man = {"gen": 0, **(extra or {})}
+            _commit_manifest(self.path, man)
+        return gen_dir(self.path, man["gen"])
+
+    # -- frame validation ----------------------------------------------------
+    def _frame(self, frames: Mapping[str, DataFrame], t: TableSpec) -> DataFrame:
+        df = frames[t.name]
+        if t.columns is not None:
+            missing = [c for c in t.columns if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"store {self.path!r} table {t.name!r}: frame is "
+                    f"missing contract columns {missing}"
+                )
+            df = df.select(*t.columns)
+        return df
+
+    def _write(self, root: str, frames: Mapping[str, DataFrame], mode: str) -> None:
+        for t in self.tables:
+            w = self._frame(frames, t).write.mode(mode)
+            if t.partition_by:
+                w = w.partitionBy(*t.partition_by)
+            w.parquet(_subdir(root, t.name))
+
+    # -- lifecycle -----------------------------------------------------------
+    def create(self, frames: Mapping[str, DataFrame], extra: Mapping | None = None) -> None:
+        """Write a full snapshot as a NEW generation and commit it.
+
+        On a fresh path this writes gen-0. Over an EXISTING store it is an
+        atomic snapshot REPLACE: the next generation is written beside the
+        current one, the manifest flips, then the old generation is
+        swept — a crash mid-write leaves the previous snapshot intact and
+        served (the plain ``mode("overwrite")`` it replaces deleted the
+        old copy before the new one existed)."""
+        man = self.manifest()
+        nxt = 0 if man is None else man["gen"] + 1
+        dst = gen_dir(self.path, nxt)
+        if os.path.exists(dst):  # leftover from a crashed attempt
+            shutil.rmtree(dst)
+        self._write(dst, frames, mode="errorifexists")
+        _commit_manifest(self.path, {**({} if man is None else man), "gen": nxt, **(extra or {})})
+        self._gc(keep=nxt)
+
+    def append(self, frames: Mapping[str, DataFrame]) -> None:
+        """Fold an ingest batch in: plain parquet appends into the CURRENT
+        generation — no history is read or rewritten."""
+        self._write(gen_dir(self.path, self._require()["gen"]), frames, mode="append")
+
+    def load(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Read every table of the current generation (contract-projected)."""
+        man = self._require()
+        root = gen_dir(self.path, man["gen"])
+        out: dict[str, DataFrame] = {}
+        for t in self.tables:
+            df = spark.read.parquet(_subdir(root, t.name))
+            if t.columns is not None:
+                missing = [c for c in t.columns if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"store {self.path!r} table {t.name!r}: stored data "
+                        f"is missing contract columns {missing}"
+                    )
+                df = df.select(*t.columns)
+            out[t.name] = df
+        return out
+
+    def compact(
+        self,
+        spark: SparkSession,
+        merge_overrides: Mapping[str, MergeFn] | None = None,
+        extra: Mapping | None = None,
+    ) -> None:
+        """Copy-on-write maintenance rewrite with an atomic commit.
+
+        Stage: each table's current generation is read (and stays readable
+        throughout — no localCheckpoint, no in-place delete), folded by its
+        ``merge`` fn (or refiled to one file set per partition directory),
+        and written to the NEXT generation directory.
+
+        Verify: the new files are re-read and checked — contract columns
+        present; for refile-only tables the row count must be UNCHANGED
+        (parquet-footer count, metadata-only even at scale).
+
+        Commit: one atomic manifest replace flips every reader to the new
+        generation; superseded generations are swept afterwards. A crash
+        before the commit leaves the old generation current and complete;
+        the orphan staging dir is removed by the next attempt."""
+        man = self._require()
+        cur, nxt = man["gen"], man["gen"] + 1
+        src_root, dst_root = gen_dir(self.path, cur), gen_dir(self.path, nxt)
+        if os.path.exists(dst_root):  # crashed prior attempt, unreferenced
+            shutil.rmtree(dst_root)
+        for t in self.tables:
+            src = spark.read.parquet(_subdir(src_root, t.name))
+            if t.columns is not None:
+                src = src.select(*t.columns)
+            fn = (merge_overrides or {}).get(t.name, t.merge)
+            if fn is not None:
+                out = fn(src)
+            elif t.partition_by:
+                out = src.repartition(*[c for c in t.partition_by])
+            else:
+                out = src.coalesce(1)
+            w = out.write.mode("errorifexists")
+            if t.partition_by:
+                w = w.partitionBy(*t.partition_by)
+            dst = _subdir(dst_root, t.name)
+            w.parquet(dst)
+            # verify before the commit — a compaction that can't re-read
+            # its own output must not become current
+            chk = spark.read.parquet(dst)
+            missing = [c for c in (t.columns or ()) if c not in chk.columns]
+            if missing:
+                raise RuntimeError(
+                    f"compact verify failed for table {t.name!r}: new "
+                    f"generation is missing {missing}"
+                )
+            if fn is None and chk.count() != src.count():
+                raise RuntimeError(
+                    f"compact verify failed for table {t.name!r}: refile "
+                    "changed the row count"
+                )
+        _commit_manifest(self.path, {**man, "gen": nxt, **(extra or {})})
+        self._gc(keep=nxt)
+
+    def _gc(self, keep: int) -> None:
+        """Sweep superseded generation dirs (best-effort; failure leaves
+        unreferenced garbage, never a correctness problem)."""
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for name in entries:
+            m = _GEN_RE.match(name)
+            if m and int(m.group(1)) != keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -37,6 +37,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 from olympic_athletes_etl_spark.plans.textstats import polyhash_duck
@@ -1771,6 +1772,13 @@ _STORED_SPLIT = 400  # corpus = doc_id < 400, batch = doc_id >= 400 (the
                      # paths screen the same batch)
 
 
+def _lsh_store(path: str) -> GenStore:
+    return GenStore(
+        path,
+        [TableSpec(name="", columns=_LSH_POSTINGS_COLS, partition_by=("band",))],
+    )
+
+
 def lsh_postings_store(bands: DataFrame, path: str) -> None:
     """Persist the banded minhash postings — (doc_id, band, sig0, sig1)
     parquet, partitioned by band — the near-dup twin of the exact-hash
@@ -1781,16 +1789,15 @@ def lsh_postings_store(bands: DataFrame, path: str) -> None:
     bounds any one probe task's input to a single band's postings; at
     100 TB the inner layout would additionally bucket by (sig0, sig1)
     (sources/io.py:bucketed_write) so the probe join co-locates without
-    shuffling the corpus side."""
+    shuffling the corpus side. Generation-versioned (operators/store.py):
+    a re-store over an existing path is an atomic snapshot replace."""
     missing = [c for c in _LSH_POSTINGS_COLS if c not in bands.columns]
     if missing:
         raise ValueError(
             f"lsh_postings_store: bands frame is missing {missing}; "
             "build it with _minhash_bands (doc_id, band, sig0, sig1)"
         )
-    bands.select(*_LSH_POSTINGS_COLS).write.partitionBy("band").mode(
-        "overwrite"
-    ).parquet(path)
+    _lsh_store(path).create({"": bands})
 
 
 def lsh_postings_append(bands: DataFrame, path: str) -> None:
@@ -1808,20 +1815,17 @@ def lsh_postings_append(bands: DataFrame, path: str) -> None:
             f"lsh_postings_append: bands frame is missing {missing}; "
             "build it with _minhash_bands (doc_id, band, sig0, sig1)"
         )
-    bands.select(*_LSH_POSTINGS_COLS).write.partitionBy("band").mode(
-        "append"
-    ).parquet(path)
+    _lsh_store(path).append({"": bands})
 
 
 def lsh_postings_load(spark: SparkSession, path: str) -> DataFrame:
-    g = spark.read.parquet(path)
-    missing = [c for c in _LSH_POSTINGS_COLS if c not in g.columns]
-    if missing:
+    try:
+        return _lsh_store(path).load(spark)[""]
+    except (ValueError, FileNotFoundError) as exc:
         raise ValueError(
-            f"lsh_postings_load: {path} is missing {missing}; not a "
-            "lsh_postings_store output"
-        )
-    return g.select(*_LSH_POSTINGS_COLS)
+            f"lsh_postings_load: {path} is not a lsh_postings_store "
+            f"output ({exc})"
+        ) from exc
 
 
 def lsh_postings_compact(spark: SparkSession, path: str) -> None:
@@ -1831,23 +1835,16 @@ def lsh_postings_compact(spark: SparkSession, path: str) -> None:
     batches a probe opens O(N) small files per band (the classic
     small-files tax). Compaction repartitions by the partition key so
     each band's rows land in ONE task → one file per band directory,
-    then overwrites in place. Content is untouched: a probe against the
-    compacted store equals the pre-compaction probe exactly (pinned in
-    test_round9_ops). Plain parquet can't overwrite a path while
-    reading it, so the read is staged through a local checkpoint —
-    Delta/Iceberg make this rewrite atomic (their OPTIMIZE/rewrite);
-    at 100 TB repartition(n_files_per_band, "band", ...) sizes files
-    to ~512 MB–1 GB instead of one-per-band (the compacted_write
+    written as a NEW generation and committed by an atomic manifest
+    swap (operators/store.py — a crash at any point leaves the old
+    generation serving; tests/test_store.py kills the rewrite
+    mid-flight). Content is untouched: a probe against the compacted
+    store equals the pre-compaction probe exactly (pinned in
+    test_round9_ops, row count re-verified before the commit). At
+    100 TB repartition(n_files_per_band, "band", ...) sizes files to
+    ~512 MB–1 GB instead of one-per-band (the compacted_write
     guidance, sources/io.py)."""
-    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
-
-    staged = (
-        lsh_postings_load(spark, path)
-        .repartition("band")
-        .localCheckpoint(eager=True)
-    )
-    staged.write.partitionBy("band").mode("overwrite").parquet(path)
-    _release_checkpoint(staged)
+    _lsh_store(path).compact(spark)
 
 
 def lsh_probe(batch_bands: DataFrame, stored_bands: DataFrame) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 
@@ -541,6 +542,7 @@ def w_dense_id_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olympic_athletes_etl_spark.operators.scale import (
         dense_ids,
         dense_ids_append,
+        dense_ids_load,
         dense_ids_store,
     )
 
@@ -562,7 +564,7 @@ def w_dense_id_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey"],
         num_partitions=32,
     )
-    return spark.read.parquet(path)
+    return dense_ids_load(spark, path)
 
 
 # --------------------------------------------------------------------------
@@ -1718,22 +1720,43 @@ def _monthly_partials(orders: DataFrame) -> DataFrame:
     )
 
 
+def _rollup_merge(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("month").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+def _rollup_gen_store(path: str) -> GenStore:
+    return GenStore(
+        path,
+        [
+            TableSpec(
+                name="",
+                columns=tuple(_ROLLUP_COLS),
+                partition_by=("month",),
+                merge=_rollup_merge,
+            )
+        ],
+    )
+
+
 def rollup_store(partials: DataFrame, path: str) -> None:
     """Persist monthly partials partitioned BY month — the continuous-
     aggregate ("hypertable rollup") store: each nightly batch appends
     its partials instead of rescanning history, and a month-sliced
     serve prunes to the requested directories (literal
     PartitionFilters — pinned in test_round9_ops). The month key is
-    calendar-bounded, so the directory namespace never explodes."""
+    calendar-bounded, so the directory namespace never explodes.
+    Generation-versioned (operators/store.py): re-storing over an
+    existing path is an atomic snapshot replace."""
     missing = [c for c in _ROLLUP_COLS if c not in partials.columns]
     if missing:
         raise ValueError(
             f"rollup_store: partials frame is missing {missing}; build "
             "it with _monthly_partials (month, n_orders, total_cents)"
         )
-    partials.select(*_ROLLUP_COLS).write.partitionBy("month").mode(
-        "overwrite"
-    ).parquet(path)
+    _rollup_gen_store(path).create({"": partials})
 
 
 def rollup_append(partials: DataFrame, path: str) -> None:
@@ -1748,46 +1771,45 @@ def rollup_append(partials: DataFrame, path: str) -> None:
             f"rollup_append: partials frame is missing {missing}; build "
             "it with _monthly_partials (month, n_orders, total_cents)"
         )
-    partials.select(*_ROLLUP_COLS).write.partitionBy("month").mode(
-        "append"
-    ).parquet(path)
+    _rollup_gen_store(path).append({"": partials})
 
 
 def rollup_load(spark: SparkSession, path: str) -> DataFrame:
-    g = spark.read.parquet(path)
-    missing = [c for c in _ROLLUP_COLS if c not in g.columns]
-    if missing:
+    try:
+        g = _rollup_gen_store(path).load(spark)[""]
+    except (ValueError, FileNotFoundError) as exc:
         raise ValueError(
-            f"rollup_load: {path} is missing {missing}; not a "
-            "rollup_store output"
-        )
-    return g.select(*_ROLLUP_COLS)
+            f"rollup_load: {path} is not a rollup_store output ({exc})"
+        ) from exc
+    return g
 
 
 def rollup_compact(spark: SparkSession, path: str) -> None:
     """Fold the per-batch partial rows back to ONE row per month and
-    one file per month directory — the same checkpoint-staged in-place
-    rewrite as lsh_postings_compact, except rollup compaction also
-    MERGES state (sums the semigroup) rather than merely re-filing
-    rows: after N appends a month holds N partial rows; the merged
-    store serves the identical answer (pinned in test_round9_ops)
-    because (count, sum) addition is associative — the whole point of
-    storing the semigroup."""
-    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
+    one file per month directory — like lsh_postings_compact, except
+    rollup compaction also MERGES state (sums the semigroup) rather
+    than merely re-filing rows: after N appends a month holds N partial
+    rows; the merged store serves the identical answer (pinned in
+    test_round9_ops) because (count, sum) addition is associative — the
+    whole point of storing the semigroup. Generation-swap rewrite with
+    an atomic manifest commit (operators/store.py): a crash mid-rewrite
+    leaves the old generation serving.
 
-    staged = (
-        rollup_load(spark, path)
-        .groupBy("month")
-        .agg(
-            F.sum("n_orders").cast("long").alias("n_orders"),
-            F.sum("total_cents").cast("long").alias("total_cents"),
+    BATCH stores only: a store written by the STREAMING ingest
+    (streaming/pipeline.py:stream_rollup_ingest) is partitioned by
+    batch_id and carries a replay high-water mark — compacting it here
+    would both break the partition layout and let a checkpoint replay
+    double-count a folded batch. Refused loudly; use
+    stream_rollup_compact, which folds only committed batches."""
+    data_dir = _rollup_gen_store(path).data_dir()
+    if "batch_id" in spark.read.parquet(data_dir).columns:
+        raise ValueError(
+            f"rollup_compact: {path} is a streaming rollup store "
+            "(batch_id-partitioned); use streaming.pipeline."
+            "stream_rollup_compact so replayed micro-batches can't "
+            "double-count folded partials"
         )
-        .localCheckpoint(eager=True)
-    )
-    staged.select(*_ROLLUP_COLS).write.partitionBy("month").mode(
-        "overwrite"
-    ).parquet(path)
-    _release_checkpoint(staged)
+    _rollup_gen_store(path).compact(spark)
 
 
 def rollup_serve(spark: SparkSession, path: str) -> DataFrame:

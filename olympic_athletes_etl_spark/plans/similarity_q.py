@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
 
@@ -1217,31 +1218,46 @@ def ivfpq_index_build(
     )
 
 
+def _ivfpq_store(path: str) -> GenStore:
+    return GenStore(
+        path,
+        [
+            TableSpec(
+                name="",
+                columns=(*_IVFPQ_INDEX_COLS, "list_id"),
+                partition_by=("list_id",),
+            )
+        ],
+    )
+
+
 def ivfpq_index_store(index: DataFrame, path: str) -> None:
     """Write the index PARTITIONED BY list_id — the physical layout that
     turns the probe-list restriction into partition pruning: a query
     that probes nprobe of k lists opens nprobe/k of the files and the
     other lists' data is never read (the in-plan s_ann_ivfpq can only
     document this; the stored form exhibits it — PartitionFilters on
-    the scan, pinned in test_round8_ops)."""
+    the scan, pinned in test_round8_ops). Generation-versioned
+    (operators/store.py): re-storing — the re-train-on-drift rebuild
+    path s_ivfpq_drift's threshold triggers — is an atomic snapshot
+    replace, so a crash mid-rebuild never loses the serving index."""
     missing = [c for c in (*_IVFPQ_INDEX_COLS, "list_id") if c not in index.columns]
     if missing:
         raise ValueError(
             f"ivfpq_index_store: index is missing {missing}; build it "
             "with ivfpq_index_build"
         )
-    index.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    _ivfpq_store(path).create({"": index})
 
 
 def ivfpq_index_load(spark: SparkSession, path: str) -> DataFrame:
-    idx = spark.read.parquet(path)
-    missing = [c for c in (*_IVFPQ_INDEX_COLS, "list_id") if c not in idx.columns]
-    if missing:
+    try:
+        return _ivfpq_store(path).load(spark)[""]
+    except (ValueError, FileNotFoundError) as exc:
         raise ValueError(
-            f"ivfpq_index_load: {path} is missing {missing}; not an "
-            "ivfpq_index_store output"
-        )
-    return idx
+            f"ivfpq_index_load: {path} is not an ivfpq_index_store "
+            f"output ({exc})"
+        ) from exc
 
 
 def ivfpq_index_append(
@@ -1261,9 +1277,7 @@ def ivfpq_index_append(
     Parquet append under the list_id partitioning; each append lands
     one file set per batch — run ivfpq_index_compact on a cadence to
     fold them back to one file per list (serve-invariant, pinned)."""
-    ivfpq_index_build(n_batch, cents, books).write.partitionBy(
-        "list_id"
-    ).mode("append").parquet(path)
+    _ivfpq_store(path).append({"": ivfpq_index_build(n_batch, cents, books)})
 
 
 @query("s_ann_ivfpq_compacted", oracle=_ivfpq_oracle())
@@ -1450,18 +1464,12 @@ def ivfpq_index_compact(spark: SparkSession, path: str) -> None:
     repartition keys on list_id so every list lands in one task → one
     file per list directory; content is untouched, so a stored serve
     after compaction equals the pre-compaction serve exactly (pinned
-    in test_round9_ops) and the literal PartitionFilters pruning is
-    unchanged. Same in-place-overwrite staging caveat and 100 TB
+    in test_round9_ops, row count re-verified before the commit) and
+    the literal PartitionFilters pruning is unchanged. Generation-swap
+    rewrite with an atomic manifest commit (operators/store.py) — a
+    crash mid-rewrite leaves the old generation serving; same 100 TB
     file-sizing note as lsh_postings_compact."""
-    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
-
-    staged = (
-        ivfpq_index_load(spark, path)
-        .repartition("list_id")
-        .localCheckpoint(eager=True)
-    )
-    staged.write.partitionBy("list_id").mode("overwrite").parquet(path)
-    _release_checkpoint(staged)
+    _ivfpq_store(path).compact(spark)
 
 
 def _km_probe_lists(
@@ -1866,7 +1874,12 @@ def knn_graph_store(graph: DataFrame, path: str) -> None:
     wrote THAT to parquet and fed it back would hit near-tie rank flips
     the next merge. Build with ``knn_graph(..., raw_scores=True)`` and
     store through here; the rounded form is rejected loudly instead of
-    corrupting ranks silently. Plain overwrite parquet — at corpus
+    corrupting ranks silently. Generation-versioned snapshot
+    (operators/store.py): the merge→re-store maintenance cycle
+    (s_knn_graph_incremental's loop) rewrites the WHOLE graph each
+    pass, and the atomic replace means a crash mid-rewrite never loses
+    the serving graph — under the old plain ``mode("overwrite")`` the
+    previous graph was deleted before the new one existed. At corpus
     scale, partition the write by a src prefix upstream if the graph
     itself is 100 TB-class."""
     missing = [c for c in _GRAPH_STORE_COLS if c not in graph.columns]
@@ -1876,20 +1889,23 @@ def knn_graph_store(graph: DataFrame, path: str) -> None:
             "knn_graph(..., raw_scores=True) — the rounded cos_sim form "
             "is not merge-safe (near-tie ranks flip on re-merge)"
         )
-    graph.select(*_GRAPH_STORE_COLS).write.mode("overwrite").parquet(path)
+    _knn_graph_gen_store(path).create({"": graph})
+
+
+def _knn_graph_gen_store(path: str) -> GenStore:
+    return GenStore(path, [TableSpec(name="", columns=_GRAPH_STORE_COLS)])
 
 
 def knn_graph_load(spark: SparkSession, path: str) -> DataFrame:
     """Read a graph written by ``knn_graph_store`` back in the exact
     shape ``knn_graph_merge(old_graph=...)`` consumes."""
-    g = spark.read.parquet(path)
-    missing = [c for c in _GRAPH_STORE_COLS if c not in g.columns]
-    if missing:
+    try:
+        return _knn_graph_gen_store(path).load(spark)[""]
+    except (ValueError, FileNotFoundError) as exc:
         raise ValueError(
-            f"knn_graph_load: {path} is missing {missing}; not a "
-            "knn_graph_store output"
-        )
-    return g.select(*_GRAPH_STORE_COLS)
+            f"knn_graph_load: {path} is not a knn_graph_store output "
+            f"({exc})"
+        ) from exc
 
 
 def _knn_graph_oracle(multiprobe: bool) -> str:

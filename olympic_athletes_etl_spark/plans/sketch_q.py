@@ -922,56 +922,72 @@ def hll_rollup_partials(events: DataFrame) -> DataFrame:
     )
 
 
+def _hll_merge(regs: DataFrame) -> DataFrame:
+    return regs.groupBy("day", "b").agg(F.max("reg").cast("long").alias("reg"))
+
+
+def _hll_gen_store(path: str):
+    from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
+
+    return GenStore(
+        path,
+        [
+            TableSpec(
+                name="",
+                columns=tuple(_HLL_ROLLUP_COLS),
+                partition_by=("day",),
+                merge=_hll_merge,
+            )
+        ],
+    )
+
+
 def hll_rollup_store(partials: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist sketch partials partitioned BY day — a serve for any day
     range prunes to the window's directories, each holding ≤64-row
-    register sets per batch."""
+    register sets per batch. Generation-versioned (operators/store.py):
+    overwrite mode is an atomic snapshot replace."""
     missing = [c for c in _HLL_ROLLUP_COLS if c not in partials.columns]
     if missing:
         raise ValueError(
             f"hll_rollup_store: partials frame is missing {missing}; "
             "build it with hll_rollup_partials (day, b, reg)"
         )
-    partials.select(*_HLL_ROLLUP_COLS).write.partitionBy("day").mode(
-        mode
-    ).parquet(path)
+    store = _hll_gen_store(path)
+    if mode == "append":
+        store.append({"": partials})
+    else:
+        store.create({"": partials})
 
 
 def hll_rollup_append(partials: DataFrame, path: str) -> None:
+    store = _hll_gen_store(path)
+    store.ensure()  # first streaming micro-batch may create the store
     hll_rollup_store(partials, path, mode="append")
 
 
 def hll_rollup_load(spark: SparkSession, path: str) -> DataFrame:
-    g = spark.read.parquet(path)
-    missing = [c for c in _HLL_ROLLUP_COLS if c not in g.columns]
-    if missing:
+    try:
+        g = _hll_gen_store(path).load(spark)[""]
+    except (ValueError, FileNotFoundError) as exc:
         raise ValueError(
-            f"hll_rollup_load: {path} is missing {missing}; not a "
-            "hll_rollup_store output"
-        )
+            f"hll_rollup_load: {path} is not a hll_rollup_store output "
+            f"({exc})"
+        ) from exc
     # the day partition directory may be re-inferred as DATE; the
     # estimator groups and labels on the string form
-    return g.select(
-        F.col("day").cast("string").alias("day"), "b", "reg"
-    )
+    return g.select(F.col("day").cast("string").alias("day"), "b", "reg")
 
 
 def hll_rollup_compact(spark: SparkSession, path: str) -> None:
     """Fold per-batch register rows to ONE row per (day, register) by
-    MAX — the sketch-merge maintenance pass (same checkpoint-staged
-    in-place rewrite as rollup_compact; merging is max, not sum)."""
-    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
-
-    staged = (
-        hll_rollup_load(spark, path)
-        .groupBy("day", "b")
-        .agg(F.max("reg").cast("long").alias("reg"))
-        .localCheckpoint(eager=True)
-    )
-    staged.select(*_HLL_ROLLUP_COLS).write.partitionBy("day").mode(
-        "overwrite"
-    ).parquet(path)
-    _release_checkpoint(staged)
+    MAX — the sketch-merge maintenance pass (generation-swap rewrite
+    with an atomic manifest commit, operators/store.py; merging is max,
+    not sum). No replay high-water mark is needed here, unlike
+    stream_rollup_compact: register-max is idempotent, so a checkpoint
+    replay re-appending an already-folded batch cannot change any
+    served estimate (pinned in test_streaming)."""
+    _hll_gen_store(path).compact(spark)
 
 
 def _hll_estimate_from_regs(regs: DataFrame, group: list[str]) -> DataFrame:
@@ -986,6 +1002,11 @@ def _hll_estimate_from_regs(regs: DataFrame, group: list[str]) -> DataFrame:
         F.sum(pow2) + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(shift_max)
     ).alias("_S")
     out = merged.groupBy(*group).agg(s_expr) if group else merged.agg(s_expr)
+    if not group:
+        # ungrouped over an EMPTY register set (e.g. a day range with no
+        # stored partials): the global agg emits one row with _S = NULL —
+        # serve an empty frame, not a NULL estimate
+        out = out.filter(F.col("_S").isNotNull())
     est = F.expr(
         f"CAST({_HLL_ALPHA_NUM * _HLL_M * _HLL_M} AS BIGINT)"
         f" * {shift_max} div ({_HLL_ALPHA_DEN} * _S)"

@@ -1408,31 +1408,62 @@ def bm25_index_build(docs: DataFrame) -> dict[str, DataFrame]:
     )
     stats = dlen.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+        # coalesce: an EMPTY batch's sum is NULL; the stored partial must
+        # be (0, 0) so the all-integer contract holds without relying on
+        # null-skipping in the serve/compact sums
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
     return {"postings": postings, "dlen": dlen, "stats": stats}
+
+
+def _bm25_gen_store(path: str):
+    from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
+
+    return GenStore(
+        path,
+        [
+            TableSpec(
+                name="postings",
+                columns=tuple(_BM25_POSTINGS_COLS),
+                partition_by=("tbucket",),
+            ),
+            TableSpec(name="dlen", columns=("doc_id", "dl")),
+            TableSpec(
+                name="stats",
+                columns=("n_docs", "sum_dl"),
+                merge=lambda s: s.agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("sum_dl").cast("long").alias("sum_dl"),
+                ),
+            ),
+        ],
+    )
 
 
 def bm25_index_store(index: dict[str, DataFrame], path: str, mode: str = "overwrite") -> None:
     """Persist the index: postings partitioned BY token bucket (the
     serve path prunes to the query terms' buckets at the DIRECTORY
     level), doc lengths and stats partials as plain narrow parquet.
-    ``mode="append"`` is the ingest-batch path (bm25_index_append)."""
+    ``mode="append"`` is the ingest-batch path (bm25_index_append).
+    One generation manifest spans all three tables (operators/store.py),
+    so compaction commits postings + dlen + stats atomically together —
+    a crash can't leave merged stats beside unmerged postings."""
     missing = [c for c in _BM25_POSTINGS_COLS if c not in index["postings"].columns]
     if missing:
         raise ValueError(
             f"bm25_index_store: postings frame is missing {missing}; "
             "build it with bm25_index_build"
         )
-    index["postings"].select(*_BM25_POSTINGS_COLS).write.partitionBy(
-        "tbucket"
-    ).mode(mode).parquet(os.path.join(path, "postings"))
-    index["dlen"].select("doc_id", "dl").write.mode(mode).parquet(
-        os.path.join(path, "dlen")
-    )
-    index["stats"].select("n_docs", "sum_dl").write.mode(mode).parquet(
-        os.path.join(path, "stats")
-    )
+    frames = {
+        "postings": index["postings"],
+        "dlen": index["dlen"],
+        "stats": index["stats"],
+    }
+    store = _bm25_gen_store(path)
+    if mode == "append":
+        store.append(frames)
+    else:
+        store.create(frames)
 
 
 def bm25_index_append(docs_batch: DataFrame, path: str) -> None:
@@ -1451,37 +1482,11 @@ def bm25_index_compact(spark: SparkSession, path: str) -> None:
     """Maintenance pass after N appends: re-file postings to one file
     per bucket directory and doc lengths to one file, and MERGE the
     stats partials to a single row (the rollup_compact semigroup fold).
-    Content-identical serve pinned in test_round9_ops; same
-    checkpoint-staged in-place rewrite as the other stores."""
-    from olympic_athletes_etl_spark.operators.graph import _release_checkpoint
-
-    postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .select(*_BM25_POSTINGS_COLS)
-        .repartition("tbucket")
-        .localCheckpoint(eager=True)
-    )
-    postings.write.partitionBy("tbucket").mode("overwrite").parquet(
-        os.path.join(path, "postings")
-    )
-    _release_checkpoint(postings)
-    dlen = (
-        spark.read.parquet(os.path.join(path, "dlen"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    dlen.write.mode("overwrite").parquet(os.path.join(path, "dlen"))
-    _release_checkpoint(dlen)
-    stats = (
-        spark.read.parquet(os.path.join(path, "stats"))
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
-    _release_checkpoint(stats)
+    Content-identical serve pinned in test_round9_ops. Generation-swap
+    rewrite with ONE atomic manifest commit across all three tables
+    (operators/store.py) — a crash mid-rewrite leaves the previous
+    postings/dlen/stats generation serving, consistently."""
+    _bm25_gen_store(path).compact(spark)
 
 
 def bm25_serve(
@@ -1499,8 +1504,9 @@ def bm25_serve(
     join — postings ⋈ dlen on doc_id — is bounded by the MATCHING
     docs, not the corpus. Top-n is TakeOrderedAndProject."""
     buckets = sorted({_polyhash_py(t) % _BM25_N_BUCKETS for t in terms})
+    tables = _bm25_gen_store(path).load(spark)
     postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        tables["postings"]
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("token").isin(*terms))
         .select("doc_id", "token", "tf")
@@ -1508,8 +1514,8 @@ def bm25_serve(
     docfreq = postings.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    dlen = spark.read.parquet(os.path.join(path, "dlen"))
-    stats = spark.read.parquet(os.path.join(path, "stats")).agg(
+    dlen = tables["dlen"]
+    stats = tables["stats"].agg(
         F.sum("sum_dl").cast("long").alias("L"),
         F.sum("n_docs").cast("long").alias("N"),
     )

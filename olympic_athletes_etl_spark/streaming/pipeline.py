@@ -292,10 +292,17 @@ def stream_merge_into_parquet(
     merge input at key-cardinality; the rewrite is the whole table here
     (plain parquet) where Delta/Iceberg would rewrite only touched files.
     Exactly-once: foreachBatch may replay a batch on recovery — the merge
-    is idempotent per (key, batch), which is what makes replays safe."""
+    is idempotent per (key, batch), which is what makes replays safe.
+    The state table is generation-versioned (operators/store.py): each
+    merge writes a NEW generation and commits with an atomic manifest
+    swap, so a crash mid-rewrite leaves the previous state serving — the
+    old in-place overwrite staged the whole table through a
+    non-replicated localCheckpoint and could lose it outright. Read the
+    table back with ``merged_state_load``."""
     from pyspark.sql.window import Window
 
     from olympic_athletes_etl_spark.operators.relational import merge_upsert
+    from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -305,17 +312,14 @@ def stream_merge_into_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:  # noqa: BLE001 — first batch, no table yet
-            latest.write.mode("overwrite").parquet(target_path)
+        store = GenStore(target_path, [TableSpec(name="")])
+        if store.manifest() is None:  # first batch, no table yet
+            store.create({"": latest})
             return
-        merged = merge_upsert(target, latest, list(keys))
-        # plain parquet can't overwrite a path while reading it — stage
-        # through a local checkpoint (Delta/Iceberg make this atomic)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            target_path
-        )
+        merged = merge_upsert(store.load(spark)[""], latest, list(keys))
+        # the old generation stays readable while the new one is written,
+        # so no checkpoint staging is needed; create() == atomic replace
+        store.create({"": merged})
 
     return (
         events.writeStream.foreachBatch(upsert_batch)
@@ -323,6 +327,14 @@ def stream_merge_into_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merged_state_load(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the state table stream_merge_into_parquet maintains (current
+    generation)."""
+    from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
+
+    return GenStore(target_path, [TableSpec(name="")]).load(spark)[""]
 
 
 def stream_neardup_screen(
@@ -455,28 +467,144 @@ def stream_rollup_ingest(
 
     What this does NOT give: a transactional rename — a reader racing
     the overwrite can glimpse a partially-rewritten batch partition
-    (Delta/Iceberg close that); and compaction across batch partitions
-    must keep a replay high-water mark (fold only batches the stream
-    has committed past) — with availableNow + one store writer, run
-    rollup-style compaction between stream runs, never during one."""
-    from olympic_athletes_etl_spark.plans.relational import _monthly_partials
+    (Delta/Iceberg close that).
+
+    Compaction across batch partitions is stream_rollup_compact — NOT
+    the batch rollup_compact, which would break the batch_id layout and
+    re-admit replays. The fold ENFORCES the replay high-water mark that
+    compactor commits: a replayed ``batch_id ≤ hwm`` was already folded
+    into the compacted partition, so its write is skipped (the
+    partition it would overwrite no longer exists — re-creating it
+    would double-count; pinned in test_streaming). Run the compactor
+    between stream runs (it refuses while this session has a live query
+    on the checkpoint)."""
+
+    import os
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        (
-            _monthly_partials(batch)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(store_path)
-        )
+        rollup_fold_batch(batch, batch_id, store_path)
 
-    return (
+    q = (
         orders.writeStream.foreachBatch(fold_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _ROLLUP_STREAMS[os.path.normpath(checkpoint_dir)] = q
+    return q
+
+
+# checkpoint dir -> last query started on it, so stream_rollup_compact can
+# refuse to run concurrently with a live fold in this process
+_ROLLUP_STREAMS: dict = {}
+
+# reserved partition the streaming compactor folds committed batches into;
+# real micro-batch ids are Spark epoch ids, always >= 0
+_STREAM_ROLLUP_FOLDED = -1
+_STREAM_ROLLUP_COLS = ("month", "n_orders", "total_cents", "batch_id")
+
+
+def _stream_rollup_store(store_path: str):
+    from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
+
+    return GenStore(
+        store_path,
+        [TableSpec(name="", columns=_STREAM_ROLLUP_COLS, partition_by=("batch_id",))],
+    )
+
+
+def rollup_fold_batch(batch: DataFrame, batch_id: int, store_path: str) -> None:
+    """The stream_rollup_ingest fold body, callable directly (tests
+    simulate checkpoint replays with it): idempotent exactly-once fold
+    of one micro-batch's monthly partials into its own batch_id
+    partition via dynamic partition overwrite — skipping batches at or
+    below the store's compaction high-water mark, which are already
+    folded into the reserved partition and must not re-materialize."""
+    from olympic_athletes_etl_spark.plans.relational import _monthly_partials
+
+    store = _stream_rollup_store(store_path)
+    store.ensure()
+    hwm = (store.manifest() or {}).get("hwm")
+    if hwm is not None and batch_id <= hwm:
+        return  # replay of a batch the compactor already folded: no-op
+    (
+        _monthly_partials(batch)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store.data_dir())
+    )
+
+
+def _checkpoint_committed_hwm(checkpoint_dir: str) -> int | None:
+    """Highest batch id the streaming checkpoint has COMMITTED — read
+    from the commits/ log (one integer-named file per completed batch;
+    a crash between sink write and commit leaves no commit file, so a
+    batch at the hwm can never be replayed)."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    try:
+        ids = [int(name) for name in os.listdir(commits) if name.isdigit()]
+    except FileNotFoundError:
+        return None
+    return max(ids, default=None)
+
+
+def stream_rollup_compact(
+    spark: SparkSession, store_path: str, checkpoint_dir: str
+) -> None:
+    """Maintenance compaction for the STREAMING rollup store, replay-safe
+    by construction:
+
+    * folds ONLY micro-batches the checkpoint has committed (batch_id ≤
+      the commits-log high-water mark) — an uncommitted batch can still
+      be replayed and must keep its own overwritable partition;
+    * merges them (plus any previously-folded state) into the reserved
+      ``batch_id = -1`` partition, leaving uncommitted batches' rows
+      refiled as-is;
+    * commits the fold AND the new high-water mark in ONE atomic
+      manifest swap (operators/store.py generation swap — crash-safe),
+      after which rollup_fold_batch treats a replay of any folded
+      batch as a no-op.
+
+    Refuses while this process has an active streaming query on the
+    checkpoint (a concurrent fold could land a batch the hwm then
+    mis-classifies) — stream_rollup_ingest registers its queries so the
+    check is exact; across processes, single-maintenance-writer
+    discipline applies as with every store family."""
+    import os
+
+    key = os.path.normpath(checkpoint_dir)
+    q = _ROLLUP_STREAMS.get(key)
+    if q is not None and q.isActive:
+        raise RuntimeError(
+            "stream_rollup_compact: a streaming query is live on this "
+            "checkpoint; compaction must run between stream runs"
+        )
+    hwm = _checkpoint_committed_hwm(checkpoint_dir)
+    if hwm is None:
+        return  # nothing committed yet → nothing safe to fold
+    store = _stream_rollup_store(store_path)
+
+    def fold(df: DataFrame) -> DataFrame:
+        committed = F.col("batch_id") <= F.lit(hwm)
+        folded = (
+            df.filter(committed)
+            .groupBy("month")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("total_cents").cast("long").alias("total_cents"),
+            )
+            .withColumn("batch_id", F.lit(_STREAM_ROLLUP_FOLDED))
+        )
+        rest = df.filter(~committed).repartition("batch_id")
+        return folded.select(*_STREAM_ROLLUP_COLS).unionByName(
+            rest.select(*_STREAM_ROLLUP_COLS)
+        )
+
+    store.compact(spark, merge_overrides={"": fold}, extra={"hwm": hwm})
 
 
 def dedup_within_watermark(

@@ -33,7 +33,15 @@ from olympic_athletes_etl_spark.plans.similarity_q import (
 
 
 def _parquet_files_by_dir(path: str) -> dict[str, int]:
-    """{partition-dir name: parquet file count} under a partitioned store."""
+    """{partition-dir name: parquet file count} under a partitioned store
+    (generation-resolved: counts the CURRENT generation's files)."""
+    from olympic_athletes_etl_spark.operators.store import (
+        read_manifest,
+        resolve_data_dir,
+    )
+
+    if read_manifest(path) is not None:
+        path = resolve_data_dir(path)
     out: dict[str, int] = {}
     for f in glob.glob(os.path.join(path, "*", "*.parquet")):
         out[os.path.basename(os.path.dirname(f))] = (
@@ -460,16 +468,19 @@ class TestRollupStore:
             rollup_serve,
         )
 
-        path, _, _ = self._build(spark, sf_dir, tmp_path)
+        # two appends of the same batch → its months hold >1 partial row,
+        # so compaction must strictly REDUCE the stored row count (the
+        # prior `<=` form was vacuous: a 1-append build has disjoint
+        # months and nothing to merge)
+        path, _, _ = self._build(spark, sf_dir, tmp_path, n_appends=2)
         before = sorted(tuple(r) for r in rollup_serve(spark, path).collect())
-        # appended months hold >1 partial row before compaction
         pre_rows = rollup_load(spark, path).count()
         rollup_compact(spark, path)
         after = sorted(tuple(r) for r in rollup_serve(spark, path).collect())
         assert before == after
         post = rollup_load(spark, path).groupBy("month").count().collect()
         assert all(r["count"] == 1 for r in post)
-        assert len(post) < pre_rows or pre_rows == len(post)
+        assert len(post) < pre_rows
         files = _parquet_files_by_dir(path)
         assert files and all(n == 1 for n in files.values()), files
 
@@ -611,8 +622,10 @@ class TestBM25Store:
         ]
         assert got_compacted == want
         # compaction folded the stats partials to one row and one file/bucket
-        assert spark.read.parquet(staged + "/stats").count() == 1
-        files = _parquet_files_by_dir(staged + "/postings")
+        from olympic_athletes_etl_spark.operators.store import resolve_data_dir
+
+        assert spark.read.parquet(resolve_data_dir(staged, "stats")).count() == 1
+        files = _parquet_files_by_dir(resolve_data_dir(staged, "postings"))
         assert files and all(n == 1 for n in files.values()), files
 
     def test_serve_plan_partition_prunes(self, spark, sf_dir, tmp_path):
@@ -770,6 +783,7 @@ class TestDenseIdStore:
         from olympic_athletes_etl_spark.operators.scale import (
             dense_ids,
             dense_ids_append,
+            dense_ids_load,
             dense_ids_store,
         )
 
@@ -777,14 +791,14 @@ class TestDenseIdStore:
         path = str(tmp_path / "ids")
         dense_ids_store(dense_ids(hist, ["k"], num_partitions=2), path)
         stored_before = {
-            r["k"]: r["dense_id"] for r in spark.read.parquet(path).collect()
+            r["k"]: r["dense_id"] for r in dense_ids_load(spark, path).collect()
         }
         # batch keys interleave BETWEEN history keys — a global re-rank
         # would renumber history; the identity column must not
         batch = spark.createDataFrame([(k,) for k in (2, 8)], "k int")
         dense_ids_append(spark, batch, path, ["k"], num_partitions=2)
         after = {
-            r["k"]: r["dense_id"] for r in spark.read.parquet(path).collect()
+            r["k"]: r["dense_id"] for r in dense_ids_load(spark, path).collect()
         }
         for k, i in stored_before.items():
             assert after[k] == i  # history ids untouched
@@ -796,6 +810,7 @@ class TestDenseIdStore:
         from olympic_athletes_etl_spark.operators.scale import (
             dense_ids,
             dense_ids_append,
+            dense_ids_load,
             dense_ids_store,
         )
 
@@ -804,7 +819,7 @@ class TestDenseIdStore:
         dense_ids_store(dense_ids(empty, ["k"], num_partitions=2), path)
         batch = spark.createDataFrame([(7,), (4,)], "k int")
         dense_ids_append(spark, batch, path, ["k"], num_partitions=2)
-        got = {r["k"]: r["dense_id"] for r in spark.read.parquet(path).collect()}
+        got = {r["k"]: r["dense_id"] for r in dense_ids_load(spark, path).collect()}
         assert got == {4: 1, 7: 2}  # max() over empty store -> NULL -> 0
 
     def test_store_rejects_frame_without_ids(self, spark):

@@ -1,0 +1,188 @@
+"""GenStore — the shared generation-versioned store lifecycle.
+
+The load-bearing property: a compaction (or snapshot replace) that DIES at
+any point before its manifest commit leaves the store serving the exact
+pre-compaction answer. Before round 10 every family's compactor staged
+through a localCheckpoint and overwrote its own path in place — the
+crash-kill tests here would have found an empty directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olympic_athletes_etl_spark.operators.store import (
+    GenStore,
+    TableSpec,
+    read_manifest,
+    resolve_data_dir,
+)
+
+
+def _orders(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+def _partials(orders):
+    from olympic_athletes_etl_spark.plans.relational import _monthly_partials
+
+    return _monthly_partials(orders)
+
+
+_SPEC = TableSpec(
+    name="",
+    columns=("month", "n_orders", "total_cents"),
+    partition_by=("month",),
+    merge=lambda df: df.groupBy("month").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+    ),
+)
+
+
+def _served(spark, store):
+    return sorted(
+        tuple(r)
+        for r in store.load(spark)[""]
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .collect()
+    )
+
+
+def test_create_append_compact_roundtrip(spark, sf_dir, tmp_path):
+    """create → append → compact preserves the served merge exactly, and
+    compaction folds multi-row months to one row per month in a NEW
+    generation."""
+    orders = _orders(spark, sf_dir)
+    b1 = F.col("o_orderkey") % 2 == 0  # every month spans both batches
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(orders.filter(b1))})
+    store.append({"": _partials(orders.filter(~b1))})
+    want = _served(spark, store)
+    pre_rows = store.load(spark)[""].count()
+    assert read_manifest(store.path)["gen"] == 0
+
+    store.compact(spark)
+    assert read_manifest(store.path)["gen"] == 1
+    assert not os.path.exists(os.path.join(store.path, "gen-0"))  # swept
+    post = store.load(spark)[""]
+    assert post.count() < pre_rows  # overlapping months actually merged
+    assert post.groupBy("month").count().filter("count > 1").count() == 0
+    assert _served(spark, store) == want
+
+
+def test_create_over_existing_store_is_atomic_replace(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(orders.limit(100))})
+    store.create({"": _partials(orders)})
+    assert read_manifest(store.path)["gen"] == 1
+    assert _served(spark, store) == sorted(
+        tuple(r) for r in _partials(orders).collect()
+    )
+
+
+def test_compact_killed_mid_rewrite_store_still_serves(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the compaction between stage and commit: monkeypatch the
+    commit itself to raise AFTER the new generation is fully written.
+    The manifest must still point at the old generation and the store
+    must serve the PRE-compaction answer; the next compact succeeds and
+    sweeps the orphan."""
+    import olympic_athletes_etl_spark.operators.store as store_mod
+
+    orders = _orders(spark, sf_dir)
+    b1 = F.col("o_orderkey") % 2 == 0
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(orders.filter(b1))})
+    store.append({"": _partials(orders.filter(~b1))})
+    want = _served(spark, store)
+
+    real_commit = store_mod._commit_manifest
+
+    def die(path, manifest):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(store_mod, "_commit_manifest", die)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.compact(spark)
+    monkeypatch.setattr(store_mod, "_commit_manifest", real_commit)
+
+    # manifest untouched → old generation still current and complete
+    assert read_manifest(store.path)["gen"] == 0
+    assert _served(spark, store) == want
+    # retry sweeps the orphaned staging dir and commits
+    store.compact(spark)
+    assert read_manifest(store.path)["gen"] == 1
+    assert _served(spark, store) == want
+
+
+def test_compact_killed_mid_write_store_still_serves(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the compaction INSIDE the staged write (before any verify):
+    same guarantee, plus the half-written gen dir is swept on retry."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orders = _orders(spark, sf_dir)
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(orders)})
+    store.append({"": _partials(orders.limit(500))})
+    want = _served(spark, store)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def die(self, path, **kw):
+        if "gen-1" in path:
+            raise RuntimeError("simulated crash mid-write")
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", die)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.compact(spark)
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    assert read_manifest(store.path)["gen"] == 0
+    assert _served(spark, store) == want
+    store.compact(spark)
+    assert _served(spark, store) == want
+
+
+def test_refile_only_compact_verifies_row_count(spark, sf_dir, tmp_path):
+    """A refile-only table (no merge fn) keeps every row; the compactor
+    verifies that before committing."""
+    orders = _orders(spark, sf_dir)
+    spec = TableSpec(
+        name="",
+        columns=("month", "n_orders", "total_cents"),
+        partition_by=("month",),
+    )
+    store = GenStore(str(tmp_path / "s"), [spec])
+    store.create({"": _partials(orders)})
+    store.append({"": _partials(orders.limit(500))})
+    pre = _served(spark, store)
+    pre_rows = store.load(spark)[""].count()
+    store.compact(spark)
+    assert store.load(spark)[""].count() == pre_rows
+    assert _served(spark, store) == pre
+
+
+def test_contract_enforced_on_create_and_load(spark, sf_dir, tmp_path):
+    orders = _orders(spark, sf_dir)
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    with pytest.raises(ValueError, match="missing contract columns"):
+        store.create({"": orders})
+    with pytest.raises(FileNotFoundError, match="_STORE"):
+        resolve_data_dir(str(tmp_path / "nope"))

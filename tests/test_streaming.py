@@ -136,6 +136,7 @@ def test_running_user_stats_accumulates(spark, stream_dir, tmp_path):
 
 def test_stream_merge_into_parquet(spark, stream_dir, tmp_path):
     from olympic_athletes_etl_spark.streaming.pipeline import (
+        merged_state_load,
         stream_merge_into_parquet,
     )
 
@@ -148,7 +149,7 @@ def test_stream_merge_into_parquet(spark, stream_dir, tmp_path):
         checkpoint_dir=str(tmp_path / "ck_merge"),
     )
     q.awaitTermination()
-    state = {r["user_id"]: r for r in spark.read.parquet(target).collect()}
+    state = {r["user_id"]: r for r in merged_state_load(spark, target).collect()}
     # one row per user, carrying each user's LATEST event across batches
     assert set(state) == {1, 2, 9}
     assert state[1]["value"] == 4.0      # user 1's last event (75 min)
@@ -611,14 +612,94 @@ def test_stream_rollup_ingest_exactly_once_via_dynamic_overwrite(
 
     # simulated checkpoint replay of batch 0: same batch_id, same rows,
     # same dynamic-overwrite write — the fold body verbatim
-    (
-        _monthly_partials(orders.filter(b1))
-        .withColumn("batch_id", F.lit(0))
-        .write.partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(store)
-    )
+    from olympic_athletes_etl_spark.streaming.pipeline import rollup_fold_batch
+
+    rollup_fold_batch(orders.filter(b1), 0, store)
     assert (
         sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == want
     )
+
+
+def test_stream_rollup_compact_enforces_replay_high_water_mark(
+    spark, sf_dir, tmp_path
+):
+    """The round-9 gap made real: compaction of the streaming store folds
+    only COMMITTED batches into the reserved partition and commits the
+    high-water mark atomically with the fold, so a checkpoint replay of
+    an already-folded batch is a NO-OP — before this, the replayed batch
+    re-created its (now deleted) partition and every folded month
+    double-counted. Also pins: the folded store keeps the batch_id
+    layout (rollup_serve still reads it), the batch compactor refuses
+    the streaming layout, and compaction refuses while a query is live
+    on the checkpoint."""
+    import pytest
+
+    from olympic_athletes_etl_spark.operators.store import read_manifest
+    from olympic_athletes_etl_spark.plans.relational import (
+        _monthly_partials,
+        rollup_compact,
+        rollup_serve,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        rollup_fold_batch,
+        stream_rollup_compact,
+        stream_rollup_ingest,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    b1 = F.col("o_orderkey") % 2 == 0
+    store = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "orders_stream")
+
+    def run_batch(pred):
+        orders.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_rollup_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    run_batch(b1)
+    run_batch(~b1)
+    want = sorted(tuple(r) for r in rollup_serve(spark, store).collect())
+
+    # the BATCH compactor refuses the streaming (batch_id) layout
+    with pytest.raises(ValueError, match="stream_rollup_compact"):
+        rollup_compact(spark, store)
+
+    stream_rollup_compact(spark, store, ckpt)
+    man = read_manifest(store)
+    assert man["hwm"] == 1  # both availableNow batches committed
+    # folded: one reserved partition, serve unchanged
+    assert sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == want
+
+    # checkpoint replay of batch 0 AFTER compaction: the fold must no-op
+    # (its partition was folded away; re-creating it would double-count)
+    rollup_fold_batch(orders.filter(b1), 0, store)
+    assert sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == want
+
+    # compaction refuses while a query is live on the checkpoint
+    import os
+
+    from olympic_athletes_etl_spark.streaming import pipeline as pl
+
+    class _Live:
+        isActive = True
+
+    pl._ROLLUP_STREAMS[os.path.normpath(ckpt)] = _Live()
+    with pytest.raises(RuntimeError, match="live on this checkpoint"):
+        stream_rollup_compact(spark, store, ckpt)
+    del pl._ROLLUP_STREAMS[os.path.normpath(ckpt)]
+
+    # a NEW batch (id > hwm) still folds in normally and compacts again
+    run_batch(F.col("o_orderkey") % 97 == 3)  # a new slice as batch 2
+    got = sorted(tuple(r) for r in rollup_serve(spark, store).collect())
+    assert got != want  # batch 2's rows actually landed on top of the fold
+    stream_rollup_compact(spark, store, ckpt)
+    assert read_manifest(store)["hwm"] == 2
+    assert sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == got
+    # replay of batch 2 post-compaction: no-op again
+    rollup_fold_batch(orders.filter(F.col("o_orderkey") % 97 == 3), 2, store)
+    assert sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == got
