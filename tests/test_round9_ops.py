@@ -274,6 +274,56 @@ def test_bpe_encode_pandas_equals_fold_encoder(spark, sf_dir):
     assert len(arrow) == docs.count()
 
 
+def test_bpe_learned_rules_through_arrow_encoder_end_to_end(spark, sf_dir):
+    """The full production composition at production-ish merge counts:
+    bpe_learn_merges_local learns >= 89 merges (the measured
+    fold-vs-Arrow crossover in SCALE.md sat at 89 — past the point
+    where the chained-fold encoder is no longer the deployed form),
+    and bpe_encode_pandas on the LEARNED rules must equal a pure-Python
+    reference fold applied driver-side — closing train -> encode as one
+    loop, not each half separately (the r9 gates froze the merge
+    list)."""
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        bpe_encode_pandas,
+        bpe_learn_merges_local,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_learn_merges_local(docs, n_merges=120)
+    assert len(merges) >= 89, len(merges)  # production-ish rule count
+
+    rules = [(a, b) for a, b, _cnt in merges]
+
+    def ref_encode(text: str) -> list[str]:
+        out: list[str] = []
+        for w in text.split():
+            syms = list(w)
+            for a, b in rules:  # rules in learned order
+                merged: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)  # consumed symbol can't restart
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            out.extend(syms)
+        return out
+
+    want = {
+        r["doc_id"]: ref_encode(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_pandas(docs, merges).collect()
+    }
+    assert got == want
+
+
 # --------------------------------------------------------------------------
 # IVFPQ drift diagnostic — the frozen-quantizer re-train signal
 # --------------------------------------------------------------------------
