@@ -1918,6 +1918,249 @@ def r_rollup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Histogram (quantile) rollup — mergeable quantile state, stored
+# --------------------------------------------------------------------------
+# Quantiles don't merge (a p95 of p95s is meaningless), but HISTOGRAMS
+# do — integer bucket counts add across batches and across months, the
+# same semigroup trick the HLL rollup plays for distinct counts. Store
+# per-(month, bucket) counts once at ingest and any quantile over any
+# month range is served from the summaries alone, never re-reading the
+# fact table: the continuous-aggregate answer to "p95 order value last
+# quarter" at 100 TB. Bucket width fixes the value resolution
+# ($10k here); the served quantile is the first bucket's UPPER bound
+# whose cumulative count crosses the target rank — deterministic, so
+# the whole lifecycle is hash-gated cross-engine (no sampling, unlike
+# approx_percentile).
+_QHIST_BUCKET_CENTS = 1_000_000  # $10k buckets over o_totalprice
+_QHIST_COLS = ["month", "bucket", "n"]
+
+
+def _qhist_partials(orders: DataFrame) -> DataFrame:
+    """(month, bucket, n) — the mergeable histogram partial for a batch."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            cents.alias("cents"),
+        )
+        .withColumn("bucket", F.expr(f"cents div {_QHIST_BUCKET_CENTS}"))
+        .groupBy("month", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(*_QHIST_COLS)
+    )
+
+
+def _qhist_merge(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("month", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def _qhist_gen_store(path: str) -> GenStore:
+    return GenStore(
+        path,
+        [
+            TableSpec(
+                name="",
+                columns=tuple(_QHIST_COLS),
+                partition_by=("month",),
+                merge=_qhist_merge,
+            )
+        ],
+    )
+
+
+def qhist_rollup_store(partials: DataFrame, path: str) -> None:
+    missing = [c for c in _QHIST_COLS if c not in partials.columns]
+    if missing:
+        raise ValueError(
+            f"qhist_rollup_store: partials frame is missing {missing}; "
+            "build it with _qhist_partials (month, bucket, n)"
+        )
+    _qhist_gen_store(path).create({"": partials})
+
+
+def qhist_rollup_append(partials: DataFrame, path: str) -> None:
+    missing = [c for c in _QHIST_COLS if c not in partials.columns]
+    if missing:
+        raise ValueError(
+            f"qhist_rollup_append: partials frame is missing {missing}; "
+            "build it with _qhist_partials (month, bucket, n)"
+        )
+    _qhist_gen_store(path).append({"": partials})
+
+
+def qhist_rollup_compact(spark: SparkSession, path: str) -> None:
+    """Fold per-batch rows to one (month, bucket) row — sum-merge, the
+    same generation-swap commit as rollup_compact."""
+    _qhist_gen_store(path).compact(spark)
+
+
+def _qhist_quantiles(hist: DataFrame, group: list[str]) -> DataFrame:
+    """p50/p95 upper-bound cents from merged histogram state, in ONE
+    pass: cumulative window over the ≤ ~60 bucket rows per group (never
+    fact rows), total via the same window unbounded, then a single
+    conditional aggregation picks each quantile's first crossing
+    bucket — the exact shape the DuckDB oracle uses. Integer rank test
+    ``cum * 100 >= total * q`` (no ceil division, no floats) so Spark
+    and DuckDB agree bit-for-bit."""
+    merged = hist.groupBy(*group, "bucket").agg(F.sum("n").alias("_n"))
+    base = Window.partitionBy(*group) if group else Window.partitionBy()
+    w_cum = base.orderBy("bucket")
+    # same partition+order spec with an explicit everything-frame: the
+    # total rides the SAME Window exec as the cumsum (one pass)
+    w_all = base.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = merged.withColumn("_cum", F.sum("_n").over(w_cum)).withColumn(
+        "_tot", F.sum("_n").over(w_all)
+    )
+
+    def q_hi(q: int, name: str):
+        first_b = F.min(
+            F.when(F.col("_cum") * 100 >= F.col("_tot") * q, F.col("bucket"))
+        )
+        return (
+            ((first_b + 1) * F.lit(_QHIST_BUCKET_CENTS)).cast("long").alias(name)
+        )
+
+    aggs = [
+        F.max("_tot").cast("long").alias("n_orders"),
+        q_hi(50, "p50_hi_cents"),
+        q_hi(95, "p95_hi_cents"),
+    ]
+    if group:
+        return c.groupBy(*group).agg(*aggs)
+    # ungrouped over an EMPTY window: serve an empty frame, not NULLs
+    # (same contract as hll_rollup_serve_range)
+    return c.agg(*aggs).filter(F.col("n_orders").isNotNull())
+
+
+def qhist_rollup_serve(spark: SparkSession, path: str) -> DataFrame:
+    """Per-month p50/p95 from the stored histograms alone."""
+    g = _qhist_gen_store(path).load(spark)[""]
+    return _qhist_quantiles(g, ["month"])
+
+
+def qhist_rollup_serve_range(
+    spark: SparkSession, path: str, lo: str, hi: str
+) -> DataFrame:
+    """Quantiles over a month RANGE by merging the stored monthly
+    histograms — the query per-month quantiles cannot answer (quantiles
+    don't merge; histograms do). The BETWEEN prunes to the window's
+    month directories."""
+    g = (
+        _qhist_gen_store(path)
+        .load(spark)[""]
+        .filter(F.col("month").between(lo, hi))
+    )
+    return _qhist_quantiles(g, [])
+
+
+_QHIST_HIST_DUCK = f"""h AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               // {_QHIST_BUCKET_CENTS} AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "a_qhist_rollup_stored",
+    oracle=f"""
+    WITH {_QHIST_HIST_DUCK},
+    c AS (
+      SELECT month, bucket, n,
+             sum(n) OVER (PARTITION BY month ORDER BY bucket) AS cum,
+             sum(n) OVER (PARTITION BY month) AS tot
+      FROM h
+    )
+    SELECT month, CAST(max(tot) AS BIGINT) AS n_orders,
+           CAST((min(CASE WHEN cum * 100 >= tot * 50 THEN bucket END) + 1)
+                * {_QHIST_BUCKET_CENTS} AS BIGINT) AS p50_hi_cents,
+           CAST((min(CASE WHEN cum * 100 >= tot * 95 THEN bucket END) + 1)
+                * {_QHIST_BUCKET_CENTS} AS BIGINT) AS p95_hi_cents
+    FROM c GROUP BY 1
+    """,
+)
+def a_qhist_rollup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTILE continuous-aggregate lifecycle end-to-end,
+    driver-gated on a from-facts recompute: per-(month, $10k-bucket)
+    counts stored (generation-versioned, operators/store.py), an
+    ingest batch's histogram APPENDED (pure fold-in — counts add), the
+    store COMPACTED to one row per (month, bucket) via the shared
+    generation-swap commit, then per-month p50/p95 SERVED from the
+    merged histograms alone. The fact table is never re-read at serve
+    time; at 100 TB a month's state is ≤ ~60 integer rows regardless
+    of fact cardinality. Deterministic bucketing (integer div, rank
+    test cum*100 >= tot*q) keeps the whole loop hash-exact cross-engine
+    — no approx_percentile sampling. Per-call temp dir for
+    re-entrancy."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="a_qhist_stored_"), "qhist")
+    qhist_rollup_store(
+        _qhist_partials(orders.filter(F.col("d") < _INCR_SPLIT)), path
+    )
+    qhist_rollup_append(
+        _qhist_partials(orders.filter(F.col("d") >= _INCR_SPLIT)), path
+    )
+    qhist_rollup_compact(spark, path)
+    return qhist_rollup_serve(spark, path)
+
+
+@query(
+    "a_qhist_rollup_range",
+    oracle=f"""
+    WITH {_QHIST_HIST_DUCK},
+    r AS (
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM h
+      WHERE month BETWEEN '1995-01' AND '1995-12' GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n,
+             sum(n) OVER (ORDER BY bucket) AS cum,
+             sum(n) OVER () AS tot
+      FROM r
+    )
+    SELECT CAST(max(tot) AS BIGINT) AS n_orders,
+           CAST((min(CASE WHEN cum * 100 >= tot * 50 THEN bucket END) + 1)
+                * {_QHIST_BUCKET_CENTS} AS BIGINT) AS p50_hi_cents,
+           CAST((min(CASE WHEN cum * 100 >= tot * 95 THEN bucket END) + 1)
+                * {_QHIST_BUCKET_CENTS} AS BIGINT) AS p95_hi_cents
+    FROM c
+    """,
+)
+def a_qhist_rollup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-window quantiles from the STORED monthly histograms — the
+    serve per-month quantiles cannot compose to (p95s don't merge) but
+    histogram state can: the twelve months' bucket counts sum, then one
+    ≤ ~60-row cumulative pass yields the window's p50/p95. Same store
+    build as a_qhist_rollup_stored but UNCOMPACTED (the range serve
+    must merge per-batch partial rows, proving cadence independence);
+    the month BETWEEN prunes to the window's directories."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "d", F.col("o_orderdate").cast("date")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="a_qhist_range_"), "qhist")
+    qhist_rollup_store(
+        _qhist_partials(orders.filter(F.col("d") < _INCR_SPLIT)), path
+    )
+    qhist_rollup_append(
+        _qhist_partials(orders.filter(F.col("d") >= _INCR_SPLIT)), path
+    )
+    return qhist_rollup_serve_range(spark, path, "1995-01", "1995-12")
+
+
+# --------------------------------------------------------------------------
 # Leave-one-out target encoding — leakage-safe categorical feature
 # --------------------------------------------------------------------------
 @query(

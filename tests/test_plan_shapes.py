@@ -128,6 +128,9 @@ ALLOWED_UNPART_WINDOW = {
     "a_gini_spend": 1,           # distinct-cents rank table (two-pass rank)
     "a_histogram_median": 1,     # 64-bucket histogram cumsum
     "a_mad_spend": 4,            # distinct-value rank tables
+    "a_qhist_rollup_range": 2,   # <= ~60-bucket histogram cumsum + its
+                                 # unbounded-total twin (windows over
+                                 # merged store partials, never fact rows)
     "a_winsorized_stats": 1,     # distinct-value count-rank cutoffs
     "e_burst_minutes": 1,        # minute-aggregate RANGE window
     "e_latency_percentiles": 1,  # per-type order statistics on group aggs

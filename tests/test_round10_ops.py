@@ -43,3 +43,42 @@ def test_hll_rollup_serve_range_empty_window_is_empty(spark, sf_dir, tmp_path):
     ).first()["d"]
     est = hll_rollup_serve_range(spark, path, some_day, some_day).collect()
     assert len(est) == 1 and est[0]["est_distinct"] > 0
+
+
+def test_qhist_rollup_compact_is_serve_invariant(spark, sf_dir, tmp_path):
+    """The quantile-histogram store (round-10 family on the shared
+    GenStore): double-append fragments months into multiple partial
+    rows; compaction folds to one (month, bucket) row per pair via the
+    generation-swap commit, and both the per-month and the range serve
+    are unchanged."""
+    from olympic_athletes_etl_spark.operators.store import read_manifest
+    from olympic_athletes_etl_spark.plans.relational import (
+        _qhist_partials,
+        qhist_rollup_append,
+        qhist_rollup_compact,
+        qhist_rollup_serve,
+        qhist_rollup_serve_range,
+        qhist_rollup_store,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    b1 = F.col("o_orderkey") % 2 == 0  # months span both batches
+    path = str(tmp_path / "qhist")
+    qhist_rollup_store(_qhist_partials(orders.filter(b1)), path)
+    qhist_rollup_append(_qhist_partials(orders.filter(~b1)), path)
+    pre = sorted(tuple(r) for r in qhist_rollup_serve(spark, path).collect())
+    pre_range = qhist_rollup_serve_range(spark, path, "1995-01", "1995-12").collect()
+    assert read_manifest(path)["gen"] == 0
+
+    qhist_rollup_compact(spark, path)
+    assert read_manifest(path)["gen"] == 1
+    post = sorted(tuple(r) for r in qhist_rollup_serve(spark, path).collect())
+    assert post == pre and len(post) > 0
+    assert (
+        qhist_rollup_serve_range(spark, path, "1995-01", "1995-12").collect()
+        == pre_range
+    )
+    # quantile sanity: p50 <= p95, both positive bucket caps
+    for _m, n, p50, p95 in post:
+        assert 0 < p50 <= p95 and n > 0
