@@ -333,6 +333,36 @@ def store_phase_timings(spark, sf_dir: str) -> dict[str, float]:
         "serve:a_hll_rollup_range",
         lambda: hll_rollup_serve_range(spark, hp, _HLL_RANGE_LO, _HLL_RANGE_HI),
     )
+
+    # quantile-histogram rollup (round 10)
+    from olympic_athletes_etl_spark.plans.relational import (
+        _qhist_partials,
+        qhist_rollup_append,
+        qhist_rollup_compact,
+        qhist_rollup_serve,
+        qhist_rollup_serve_range,
+        qhist_rollup_store,
+    )
+
+    qp = os.path.join(tempfile.mkdtemp(prefix="bench_qhist_"), "qhist")
+    timed(
+        "build:qhist_rollup_store",
+        lambda: qhist_rollup_store(
+            _qhist_partials(orders.filter(F.col("d") < _INCR_SPLIT)), qp
+        ),
+    )
+    timed(
+        "append:qhist_rollup",
+        lambda: qhist_rollup_append(
+            _qhist_partials(orders.filter(F.col("d") >= _INCR_SPLIT)), qp
+        ),
+    )
+    timed("compact:qhist_rollup", lambda: qhist_rollup_compact(spark, qp))
+    timed("serve:a_qhist_rollup_stored", lambda: qhist_rollup_serve(spark, qp))
+    timed(
+        "serve:a_qhist_rollup_range",
+        lambda: qhist_rollup_serve_range(spark, qp, "1995-01", "1995-12"),
+    )
     return out
 
 

@@ -494,47 +494,97 @@ def stream_rollup_ingest(
     return q
 
 
-# checkpoint dir -> last query started on it, so stream_rollup_compact can
-# refuse to run concurrently with a live fold in this process
+# checkpoint dir -> last query started on it, so the streaming compactors
+# can refuse to run concurrently with a live fold in this process
 _ROLLUP_STREAMS: dict = {}
 
 # reserved partition the streaming compactor folds committed batches into;
 # real micro-batch ids are Spark epoch ids, always >= 0
 _STREAM_ROLLUP_FOLDED = -1
-_STREAM_ROLLUP_COLS = ("month", "n_orders", "total_cents", "batch_id")
 
 
-def _stream_rollup_store(store_path: str):
+class StreamFoldFamily:
+    """One exactly-once streaming fold family: how a micro-batch reduces
+    to mergeable partial rows, how partial rows merge, and the partial
+    schema (without batch_id). The batch_id-partition + dynamic-
+    overwrite + compaction-high-water-mark machinery is family-agnostic
+    — any NON-idempotent semigroup (counts, sums, histograms) gets
+    exactly-once streaming ingestion by supplying these three pieces;
+    idempotent families (HLL register-max) don't need it at all."""
+
+    def __init__(self, name, partials, merge, columns):
+        self.name = name
+        self.partials = partials  # batch DataFrame -> partial rows
+        self.merge = merge        # partial rows -> one merged row per key
+        self.columns = tuple(columns)
+
+
+def _rollup_family() -> StreamFoldFamily:
+    from olympic_athletes_etl_spark.plans.relational import (
+        _monthly_partials,
+        _rollup_merge,
+    )
+
+    return StreamFoldFamily(
+        "rollup", _monthly_partials, _rollup_merge,
+        ("month", "n_orders", "total_cents"),
+    )
+
+
+def _qhist_family() -> StreamFoldFamily:
+    from olympic_athletes_etl_spark.plans.relational import (
+        _qhist_merge,
+        _qhist_partials,
+    )
+
+    return StreamFoldFamily(
+        "qhist", _qhist_partials, _qhist_merge, ("month", "bucket", "n")
+    )
+
+
+def _stream_fold_store(store_path: str, fam: StreamFoldFamily):
     from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
 
     return GenStore(
         store_path,
-        [TableSpec(name="", columns=_STREAM_ROLLUP_COLS, partition_by=("batch_id",))],
+        [
+            TableSpec(
+                name="",
+                columns=(*fam.columns, "batch_id"),
+                partition_by=("batch_id",),
+            )
+        ],
     )
 
 
-def rollup_fold_batch(batch: DataFrame, batch_id: int, store_path: str) -> None:
-    """The stream_rollup_ingest fold body, callable directly (tests
-    simulate checkpoint replays with it): idempotent exactly-once fold
-    of one micro-batch's monthly partials into its own batch_id
-    partition via dynamic partition overwrite — skipping batches at or
-    below the store's compaction high-water mark, which are already
-    folded into the reserved partition and must not re-materialize."""
-    from olympic_athletes_etl_spark.plans.relational import _monthly_partials
-
-    store = _stream_rollup_store(store_path)
+def stream_fold_batch(
+    batch: DataFrame, batch_id: int, store_path: str, fam: StreamFoldFamily
+) -> None:
+    """The generic exactly-once fold body (tests simulate checkpoint
+    replays by calling it directly): idempotent fold of one
+    micro-batch's partials into its own batch_id partition via dynamic
+    partition overwrite — skipping batches at or below the store's
+    compaction high-water mark, which are already folded into the
+    reserved partition and must not re-materialize."""
+    store = _stream_fold_store(store_path, fam)
     store.ensure()
     hwm = (store.manifest() or {}).get("hwm")
     if hwm is not None and batch_id <= hwm:
         return  # replay of a batch the compactor already folded: no-op
     (
-        _monthly_partials(batch)
+        fam.partials(batch)
         .withColumn("batch_id", F.lit(batch_id))
         .write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(store.data_dir())
     )
+
+
+def rollup_fold_batch(batch: DataFrame, batch_id: int, store_path: str) -> None:
+    """stream_rollup_ingest's fold body — stream_fold_batch with the
+    (count, sum) monthly-rollup family."""
+    stream_fold_batch(batch, batch_id, store_path, _rollup_family())
 
 
 def _checkpoint_committed_hwm(checkpoint_dir: str) -> int | None:
@@ -574,37 +624,81 @@ def stream_rollup_compact(
     mis-classifies) — stream_rollup_ingest registers its queries so the
     check is exact; across processes, single-maintenance-writer
     discipline applies as with every store family."""
+    stream_fold_compact(spark, store_path, checkpoint_dir, _rollup_family())
+
+
+def stream_fold_compact(
+    spark: SparkSession,
+    store_path: str,
+    checkpoint_dir: str,
+    fam: StreamFoldFamily,
+) -> None:
+    """The generic replay-safe streaming-store compactor (see
+    stream_rollup_compact for the protocol): fold committed batches +
+    prior folded state into the reserved partition, keep uncommitted
+    batches overwritable, commit fold + high-water mark in one atomic
+    manifest swap."""
     import os
 
     key = os.path.normpath(checkpoint_dir)
     q = _ROLLUP_STREAMS.get(key)
     if q is not None and q.isActive:
         raise RuntimeError(
-            "stream_rollup_compact: a streaming query is live on this "
+            "stream_fold_compact: a streaming query is live on this "
             "checkpoint; compaction must run between stream runs"
         )
     hwm = _checkpoint_committed_hwm(checkpoint_dir)
     if hwm is None:
         return  # nothing committed yet → nothing safe to fold
-    store = _stream_rollup_store(store_path)
+    store = _stream_fold_store(store_path, fam)
+    cols = (*fam.columns, "batch_id")
 
     def fold(df: DataFrame) -> DataFrame:
         committed = F.col("batch_id") <= F.lit(hwm)
-        folded = (
-            df.filter(committed)
-            .groupBy("month")
-            .agg(
-                F.sum("n_orders").cast("long").alias("n_orders"),
-                F.sum("total_cents").cast("long").alias("total_cents"),
-            )
-            .withColumn("batch_id", F.lit(_STREAM_ROLLUP_FOLDED))
+        folded = fam.merge(df.filter(committed)).withColumn(
+            "batch_id", F.lit(_STREAM_ROLLUP_FOLDED)
         )
         rest = df.filter(~committed).repartition("batch_id")
-        return folded.select(*_STREAM_ROLLUP_COLS).unionByName(
-            rest.select(*_STREAM_ROLLUP_COLS)
-        )
+        return folded.select(*cols).unionByName(rest.select(*cols))
 
     store.compact(spark, merge_overrides={"": fold}, extra={"hwm": hwm})
+
+
+def stream_qhist_ingest(
+    orders: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming continuous aggregate for the QUANTILE-histogram family
+    (plans/relational.py:_qhist_partials): each micro-batch folds its
+    (month, bucket) counts into its own batch_id partition with the
+    same exactly-once machinery as stream_rollup_ingest — histogram
+    counts are a non-idempotent semigroup, so they need the dynamic-
+    overwrite + high-water-mark protocol, and they get it from the
+    shared StreamFoldFamily plumbing. Serve with
+    plans.relational.qhist_rollup_serve/serve_range over the store
+    (the batch_id column is ignored by the (month, bucket) merge);
+    compact between runs with stream_qhist_compact."""
+    import os
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        stream_fold_batch(batch, batch_id, store_path, _qhist_family())
+
+    q = (
+        orders.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _ROLLUP_STREAMS[os.path.normpath(checkpoint_dir)] = q
+    return q
+
+
+def stream_qhist_compact(
+    spark: SparkSession, store_path: str, checkpoint_dir: str
+) -> None:
+    """stream_fold_compact with the quantile-histogram family."""
+    stream_fold_compact(spark, store_path, checkpoint_dir, _qhist_family())
 
 
 def dedup_within_watermark(

@@ -703,3 +703,70 @@ def test_stream_rollup_compact_enforces_replay_high_water_mark(
     # replay of batch 2 post-compaction: no-op again
     rollup_fold_batch(orders.filter(F.col("o_orderkey") % 97 == 3), 2, store)
     assert sorted(tuple(r) for r in rollup_serve(spark, store).collect()) == got
+
+
+def test_stream_qhist_ingest_matches_batch_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """The generalized exactly-once fold (StreamFoldFamily) applied to
+    the round-10 quantile-histogram family: two micro-batches of orders
+    fold (month, bucket) counts into batch_id partitions; the served
+    p50/p95 equal the one-shot batch build. After stream_qhist_compact,
+    a replayed fold is a no-op (same high-water-mark protocol as the
+    exact rollup — proving the machinery is family-agnostic, not
+    rollup-specific)."""
+    from olympic_athletes_etl_spark.operators.store import read_manifest
+    from olympic_athletes_etl_spark.plans.relational import (
+        _qhist_partials,
+        qhist_rollup_serve,
+        qhist_rollup_serve_range,
+        qhist_rollup_store,
+    )
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.streaming.pipeline import (
+        _qhist_family,
+        stream_fold_batch,
+        stream_qhist_compact,
+        stream_qhist_ingest,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    b1 = F.col("o_orderkey") % 2 == 0
+    store = str(tmp_path / "qhist")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "orders_stream")
+
+    def run_batch(pred):
+        orders.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        q = stream_qhist_ingest(stream, store, ckpt)
+        q.awaitTermination(120)
+
+    run_batch(b1)
+    run_batch(~b1)
+
+    got = sorted(tuple(r) for r in qhist_rollup_serve(spark, store).collect())
+    one_shot = str(tmp_path / "oneshot")
+    qhist_rollup_store(_qhist_partials(orders), one_shot)
+    want = sorted(
+        tuple(r) for r in qhist_rollup_serve(spark, one_shot).collect()
+    )
+    assert got == want and len(got) > 0
+    # the range serve also reads the streaming store directly
+    assert (
+        qhist_rollup_serve_range(spark, store, "1995-01", "1995-12").collect()
+        == qhist_rollup_serve_range(spark, one_shot, "1995-01", "1995-12").collect()
+    )
+
+    stream_qhist_compact(spark, store, ckpt)
+    assert read_manifest(store)["hwm"] == 1
+    assert sorted(
+        tuple(r) for r in qhist_rollup_serve(spark, store).collect()
+    ) == want
+    # replay of batch 0 after compaction: no-op under the hwm guard
+    stream_fold_batch(orders.filter(b1), 0, store, _qhist_family())
+    assert sorted(
+        tuple(r) for r in qhist_rollup_serve(spark, store).collect()
+    ) == want
