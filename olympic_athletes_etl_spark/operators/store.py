@@ -45,9 +45,17 @@ generation, so literal PartitionFilters are untouched).  The transient 2×
 disk during a compaction is the standard cost of any copy-on-write
 rewrite (Delta OPTIMIZE, Iceberg rewrite_data_files); it buys crash
 safety and lets readers proceed against the old generation throughout.
-Single maintenance writer per store assumed (as documented on every
-family's append path); concurrent APPENDS to the current generation are
-plain parquet appends and remain safe.
+
+SINGLE WRITER per store assumed (as documented on every family's append
+path): appends and maintenance passes must be serialized by the caller.
+In particular an append that lands in the current generation AFTER a
+concurrent compaction has read its input would be missing from the new
+generation and swept with the old one — the same write-skew any
+copy-on-write rewrite has; Delta/Iceberg detect it at commit via
+optimistic conflict checks, and the plain-parquet analogue is "one
+maintenance writer, appends paused during compaction" (the streaming
+fold enforces this in-process by refusing to compact while a query is
+live on the checkpoint).
 """
 
 from __future__ import annotations
