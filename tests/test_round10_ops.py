@@ -6,6 +6,7 @@ frame, not a NULL estimate.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -82,3 +83,58 @@ def test_qhist_rollup_compact_is_serve_invariant(spark, sf_dir, tmp_path):
     # quantile sanity: p50 <= p95, both positive bucket caps
     for _m, n, p50, p95 in post:
         assert 0 < p50 <= p95 and n > 0
+
+
+def test_bm25_compact_killed_between_tables_serves_consistently(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The BM25 store's one-manifest-for-three-tables claim: kill the
+    compaction AFTER postings and dlen are rewritten but BEFORE the
+    stats table lands — the store must keep serving the complete
+    PRE-compaction index (no mixed-generation read where merged
+    postings pair with old stats), and a retry must converge."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from olympic_athletes_etl_spark.operators.store import read_manifest
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import (
+        _BM25_TERMS,
+        _BM25_TOPN,
+        bm25_index_append,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_store,
+        bm25_serve,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    bm25_index_store(bm25_index_build(docs.filter(F.col("doc_id") < 25)), path)
+    bm25_index_append(docs.filter(F.col("doc_id") >= 25), path)
+    want = [
+        tuple(r) for r in bm25_serve(spark, path, _BM25_TERMS, _BM25_TOPN).collect()
+    ]
+
+    real_parquet = DataFrameWriter.parquet
+
+    def die_on_stats(self, p, **kw):
+        if "gen-1" in p and p.rstrip("/").endswith("stats"):
+            raise RuntimeError("simulated crash before stats rewrite")
+        return real_parquet(self, p, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", die_on_stats)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        bm25_index_compact(spark, path)
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    assert read_manifest(path)["gen"] == 0  # commit never happened
+    got = [
+        tuple(r) for r in bm25_serve(spark, path, _BM25_TERMS, _BM25_TOPN).collect()
+    ]
+    assert got == want  # consistent pre-compaction serve
+
+    bm25_index_compact(spark, path)  # retry sweeps the orphan and commits
+    assert read_manifest(path)["gen"] == 1
+    assert [
+        tuple(r) for r in bm25_serve(spark, path, _BM25_TERMS, _BM25_TOPN).collect()
+    ] == want
