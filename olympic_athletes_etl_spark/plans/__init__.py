@@ -28,25 +28,34 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 # of the registry (~50 queries), so promote the queries that most need a
 # FRESH driver row this round (round 10 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
-# live there and in git history). Round 10 executes the pre-generated
-# oldest-first rotation from the COVERAGE.md freshness ledger verbatim:
+# live there and in git history). Round 10:
+#   0. the two NEW registrations (a_qhist_rollup_stored/range — the
+#      quantile-histogram continuous aggregate) take first driver rows;
 #   1. the ten queries whose latest driver row is still r4
 #      (a_cardinality_sketch … g_pagerank) — the last r4 residue, so
 #      after this round the oldest driver row registry-wide is r5;
-#   2. the r5-stale tranche (t_feature_hashing … a_mad_spend), oldest
+#   2. the r5-stale tranche (t_feature_hashing … q_abc_analysis), oldest
 #      first, covering textstats, dedup/similarity probes, the events
 #      analytics family, multimodal hashes, validation scores, the q_*
 #      business tranche, and joins/aggregates residue.
-# Prefix math (driver audits 50): 10 + 40 = exactly 50. Everything
-# demoted stays covered locally by tools/check_parity.py regardless of
-# order. New round-10 work (crash-safe generation-swap compaction, the
-# streaming high-water-mark guard, the unified store-lifecycle helper)
-# changes the PHYSICAL store layout only — every stored-family gate
-# (d_neardup_stored/compacted, s_ann_ivfpq_stored/compacted,
-# r_rollup_stored/slice, t_bm25_stored, a_hll_rollup_stored/range,
-# w_dense_id_stored, s_knn_graph_stored) keeps its oracle and is
-# re-proven by the full-registry local sweeps rather than consuming
-# fresh driver-prefix slots.
+# Prefix math (driver audits 50): 2 new + 10 + 38 = exactly 50 — the two
+# round-10 registrations (the quantile-histogram continuous aggregate)
+# take first driver rows per the standing new-queries-first rule,
+# displacing the rotation's last two entries (q_share_hierarchy,
+# a_mad_spend → rolled to the r11 front). Everything demoted stays
+# covered locally by tools/check_parity.py regardless of order (the
+# three r10 sweeps ran at this final registry). The round's other work
+# (crash-safe generation-swap compaction, the streaming high-water-mark
+# guard, the unified store-lifecycle helper) changes the PHYSICAL store
+# layout only — every stored-family gate (d_neardup_stored/compacted,
+# s_ann_ivfpq_stored/compacted, r_rollup_stored/slice, t_bm25_stored,
+# a_hll_rollup_stored/range, w_dense_id_stored, s_knn_graph_stored)
+# keeps its oracle and is re-proven by those sweeps rather than
+# consuming fresh driver-prefix slots.
+NEW_PLANS_R10 = [
+    "a_qhist_rollup_stored",
+    "a_qhist_rollup_range",
+]
 STALE_R4_LEDGER_R10 = [
     "a_cardinality_sketch",
     "t_heavy_hitters",
@@ -98,10 +107,10 @@ STALE_R5_LEDGER_R10 = [
     "w_backward_fill",
     "q_revenue_bridge",
     "q_abc_analysis",
-    "q_share_hierarchy",
-    "a_mad_spend",
+    # (q_share_hierarchy and a_mad_spend displaced by NEW_PLANS_R10,
+    # rolled to the r11 front)
 ]
-AUDIT_PREFIX = STALE_R4_LEDGER_R10 + STALE_R5_LEDGER_R10
+AUDIT_PREFIX = NEW_PLANS_R10 + STALE_R4_LEDGER_R10 + STALE_R5_LEDGER_R10
 
 _promote(AUDIT_PREFIX)
 
