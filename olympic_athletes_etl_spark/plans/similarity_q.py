@@ -807,50 +807,78 @@ def _pq_code_col(cents: list[tuple[int, list[int]]], j: int) -> F.Column:
 def _pq_fit(
     n: DataFrame, train_mod: int = 1
 ) -> dict[int, list[tuple[int, list[int]]]]:
-    """Train one spherical-k-means codebook per subspace (driver loop —
-    each round is a shuffle-free broadcast assignment pass plus a
-    bounded (k·subdim)-row aggregate, independent of table size).
-    ``train_mod`` fits every codebook on the vec_id-modulus sample (see
-    _train_sample); the default full fit keeps the literal
-    ``vec_id < ksub`` init the oracles unroll."""
+    """Train one spherical-k-means codebook per subspace. The training
+    math per subspace is a broadcast argmax-assignment pass plus a
+    bounded (k·subdim)-row aggregate; ALL ``_PQ_M`` subspaces batch into
+    each Spark job (one init collect + one combined assignment/sum job
+    per Lloyd round) instead of 16 separate per-subspace jobs — the
+    per-job scheduling overhead dominated the old loop (~32 tiny jobs),
+    and the batched form is bit-identical: the init rows are the same
+    ``vec_id``-ordered subvector slices, the assignment expression is
+    the same sequential-dot cosine argmax per subspace, and the
+    per-(subspace, code, dim) sums are integer-exact (quantized
+    components are integer-valued doubles far below 2^53), so summation
+    grouping/order cannot change a single bit. ``train_mod`` fits every
+    codebook on the vec_id-modulus sample (see _train_sample); the
+    default full fit keeps the literal ``vec_id < ksub`` init the
+    oracles unroll."""
     n = _train_sample(n, train_mod)
-    books: dict[int, list[tuple[int, list[int]]]] = {}
-    for j in range(_PQ_M):
-        sub = n.select("vec_id", F.expr(_pq_sub_sql(j)).alias("sq")).withColumn(
-            "sqn", F.sqrt(F.expr(_DOT.format(a="sq", b="sq")))
+    # ONE init job for all subspaces: the per-subspace init rows are the
+    # same vec_ids for every j (first ksub by vec_id), so collect those
+    # rows' full quantized vectors once and slice driver-side
+    if train_mod == 1:
+        init_rows = (
+            n.filter(F.col("vec_id") < _PQ_KSUB).select("vec_id", "vq").collect()
         )
-        if train_mod == 1:
-            cent_rows = (
-                sub.filter(F.col("vec_id") < _PQ_KSUB).select("vec_id", "sq").collect()
-            )
-        else:
-            cent_rows = (
-                sub.orderBy(F.asc("vec_id")).limit(_PQ_KSUB).select("vec_id", "sq").collect()
-            )
-        cents = sorted(
-            (int(r["vec_id"]), [int(x) for x in r["sq"]]) for r in cent_rows
+    else:
+        init_rows = (
+            n.orderBy(F.asc("vec_id")).limit(_PQ_KSUB).select("vec_id", "vq").collect()
         )
-        for _ in range(_PQ_ITERS):
-            asg = sub.withColumn(
-                "code",
-                F.element_at(_sim_desc_sorted(_pq_entries(cents, "sq", "sqn")), 1)[
-                    "c_id"
-                ],
+    init = sorted((int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in init_rows)
+    books: dict[int, list[tuple[int, list[int]]]] = {
+        j: [
+            (vid, full[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM])
+            for vid, full in init
+        ]
+        for j in range(_PQ_M)
+    }
+    for _ in range(_PQ_ITERS):
+        # ONE combined job: per subspace a (j, code, subvector) struct,
+        # exploded to (j, code, dim, x) and summed — ≤ M·k·subdim result
+        # rows regardless of table size
+        entries = []
+        for j in range(_PQ_M):
+            sq = _pq_sub_sql(j)
+            sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
+            code = F.element_at(
+                _sim_desc_sorted(_pq_entries(books[j], sq, sqn)), 1
+            )["c_id"]
+            entries.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    code.alias("code"),
+                    F.expr(sq).alias("sq"),
+                )
             )
-            sums = (
-                asg.select("code", F.posexplode("sq").alias("d", "x"))
-                .groupBy("code", "d")
-                .agg(F.sum("x").alias("s"))
-                .collect()  # bounded: ≤ k·subdim rows regardless of data size
-            )
-            by_code: dict[int, dict[int, int]] = {}
-            for r in sums:
-                by_code.setdefault(int(r["code"]), {})[int(r["d"])] = int(r["s"])
-            cents = sorted(
+        sums = (
+            n.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.j", "e.code", F.posexplode("e.sq").alias("d", "x"))
+            .groupBy("j", "code", "d")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        by_j: dict[int, dict[int, dict[int, int]]] = {}
+        for r in sums:
+            by_j.setdefault(int(r["j"]), {}).setdefault(int(r["code"]), {})[
+                int(r["d"])
+            ] = int(r["s"])
+        books = {
+            j: sorted(
                 (c_id, [comp[d] for d in range(_PQ_SUBDIM)])
-                for c_id, comp in by_code.items()
+                for c_id, comp in by_j[j].items()
             )
-        books[j] = cents
+            for j in range(_PQ_M)
+        }
     return books
 
 
