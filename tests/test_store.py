@@ -186,3 +186,81 @@ def test_contract_enforced_on_create_and_load(spark, sf_dir, tmp_path):
         store.create({"": orders})
     with pytest.raises(FileNotFoundError, match="_STORE"):
         resolve_data_dir(str(tmp_path / "nope"))
+
+
+def test_random_lifecycles_with_crashes_always_serve_model(
+    spark, tmp_path, monkeypatch
+):
+    """Model-based lifecycle check: a random interleaving of append /
+    compact / crash-killed-compact / snapshot-replace against a tiny
+    (k, n) sum-store must always serve exactly what a pure-Python dict
+    model says — crashes (writes killed inside the staged generation)
+    must never change the served answer. Deterministic op sequences
+    (seeded) rather than hypothesis: each op costs Spark jobs, so the
+    budget goes to op-sequence LENGTH over example count."""
+    import random
+
+    import olympic_athletes_etl_spark.operators.store as store_mod
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    rng = random.Random(1009)
+    spec = TableSpec(
+        name="",
+        columns=("k", "n"),
+        partition_by=("k",),
+        merge=lambda df: df.groupBy("k").agg(F.sum("n").cast("long").alias("n")),
+    )
+    store = GenStore(str(tmp_path / "s"), [spec])
+    model: dict[int, int] = {}
+
+    def mk_batch():
+        rows = [
+            (rng.randrange(4), rng.randrange(1, 100))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        return rows, spark.createDataFrame(rows, "k int, n long")
+
+    def served():
+        return {
+            r["k"]: r["n"]
+            for r in store.load(spark)[""]
+            .groupBy("k")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .collect()
+        }
+
+    rows, df = mk_batch()
+    store.create({"": df})
+    for k, n in rows:
+        model[k] = model.get(k, 0) + n
+
+    real_parquet = DataFrameWriter.parquet
+    for step in range(14):
+        op = rng.choice(["append", "append", "compact", "killed", "replace"])
+        if op == "append":
+            rows, df = mk_batch()
+            store.append({"": df})
+            for k, n in rows:
+                model[k] = model.get(k, 0) + n
+        elif op == "compact":
+            store.compact(spark)
+        elif op == "killed":
+            gen = store.manifest()["gen"]
+
+            def die(self, p, **kw):
+                if f"gen-{gen + 1}" in p:
+                    raise RuntimeError("killed")
+                return real_parquet(self, p, **kw)
+
+            monkeypatch.setattr(DataFrameWriter, "parquet", die)
+            with pytest.raises(RuntimeError, match="killed"):
+                store.compact(spark)
+            monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+        else:  # replace: re-snapshot the whole model state
+            snap = spark.createDataFrame(
+                [(k, n) for k, n in model.items()] or [(0, 0)], "k int, n long"
+            )
+            store.create({"": snap})
+            if not model:
+                model[0] = 0
+        assert served() == model, f"step {step} op {op}"
