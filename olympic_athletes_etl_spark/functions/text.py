@@ -13,6 +13,9 @@ SURVEY.md §2.8 with the §7 decision-log semantics:
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -71,3 +74,61 @@ def split_range(col: Column | str, sep: str = r"\s*-\s*") -> tuple[Column, Colum
     start = F.trim(parts.getItem(0))
     end = F.when(F.size(parts) > 1, F.trim(F.element_at(parts, 2)))
     return start, end
+
+
+#: mojibake repair table — the common UTF-8-bytes-read-as-Windows-1252
+#: sequences (ftfy's core fix applied as a fixed lookup so the same
+#: pairs are expressible as chained `replace` in a SQL oracle).
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("Ã©", "é"),  # Ã©  -> é
+    ("Ã¨", "è"),  # Ã¨  -> è
+    ("Ã¡", "á"),  # Ã¡  -> á
+    ("Ã³", "ó"),  # Ã³  -> ó
+    ("Ã±", "ñ"),  # Ã±  -> ñ
+    ("â€™", "’"),  # â€™ -> right single quote
+    ("â€“", "–"),  # â€“ -> en dash
+)
+
+#: zero-width characters stripped outright (ZWSP/ZWNJ/ZWJ/BOM).
+ZERO_WIDTH_CLASS = "[​‌‍﻿]"
+#: non-breaking space family mapped to a plain space before collapsing.
+NBSP_CLASS = "[   ]"
+
+
+def repair_mojibake(col: Column | str) -> Column:
+    """Chained fixed-table mojibake repair (JVM-side `replace`, codegen).
+    The table is deliberately a finite lookup, not a byte-transcoding
+    round-trip, so a DuckDB oracle can express the identical repair."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_TABLE:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def clean_unicode(col: Column | str) -> Column:
+    """Mojibake repair + zero-width strip + NBSP→space + whitespace
+    collapse + trim. Everything here is JVM-side (scan-speed at 100 TB);
+    NFC composition itself needs ``nfc_normalize`` (Arrow UDF) because
+    Spark has no built-in UAX#15 normalizer."""
+    c = repair_mojibake(col)
+    c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
+    c = F.regexp_replace(c, NBSP_CLASS, " ")
+    c = F.regexp_replace(c, "[ \t\r\n\f]+", " ")
+    return F.trim(c)
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """UAX#15 NFC composition as an Arrow-batched pandas UDF — the one
+    step of unicode cleaning Spark cannot express JVM-side (no built-in
+    normalizer). Vectorized per Arrow batch; verified value-identical to
+    DuckDB's ``nfc_normalize`` (both implement UAX#15)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)

