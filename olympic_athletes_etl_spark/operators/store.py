@@ -46,16 +46,28 @@ disk during a compaction is the standard cost of any copy-on-write
 rewrite (Delta OPTIMIZE, Iceberg rewrite_data_files); it buys crash
 safety and lets readers proceed against the old generation throughout.
 
-SINGLE WRITER per store assumed (as documented on every family's append
-path): appends and maintenance passes must be serialized by the caller.
-In particular an append that lands in the current generation AFTER a
-concurrent compaction has read its input would be missing from the new
-generation and swept with the old one — the same write-skew any
-copy-on-write rewrite has; Delta/Iceberg detect it at commit via
-optimistic conflict checks, and the plain-parquet analogue is "one
-maintenance writer, appends paused during compaction" (the streaming
-fold enforces this in-process by refusing to compact while a query is
-live on the checkpoint).
+WRITER MUTUAL EXCLUSION (round 11): writes are serialized by a ``_LOCK``
+file taken with O_EXCL — the portable translation is the same as the
+manifest commit's (S3 If-None-Match PUT / GCS generation precondition).
+Before this the write-skew was only documented: an append that landed in
+the current generation AFTER a concurrent compaction had read its input
+was missing from the new generation and silently swept with the old one.
+Now any append/create/compact attempted while another writer holds the
+lock raises ``ConcurrentWriteError`` instead — loud refusal, never
+silent loss. A lock left by a crashed LOCAL process (dead pid) is broken
+automatically; a live holder is never pre-empted. As defense-in-depth
+(manual lock removal, cross-host writers the pid probe can't see),
+``create``/``compact`` ALSO re-read the manifest immediately before
+commit and refuse if the generation moved — the optimistic conflict
+check Delta/Iceberg run at log-append time.
+
+READER LIFETIME: ``_gc`` sweeps superseded generations at commit, so a
+lazy DataFrame obtained from ``load``/a ``*_load`` helper is INVALIDATED
+by the next create/compact on the same store (missing-file errors on the
+next action) — resolve-then-read-promptly, or construct the store with
+``keep_last > 1`` to retain N generations for in-flight readers (the
+Delta/Iceberg retention-window model; sweeping then lags by
+``keep_last - 1`` maintenance passes).
 """
 
 from __future__ import annotations
@@ -65,14 +77,29 @@ import os
 import re
 import shutil
 from collections.abc import Callable, Mapping, Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_STORE"
+LOCK_NAME = "_LOCK"
 _GEN_RE = re.compile(r"^gen-(\d+)$")
 
 MergeFn = Callable[[DataFrame], DataFrame]
+
+
+class StoreCorruptError(RuntimeError):
+    """The manifest exists but cannot be parsed — NOT the same as "no
+    store here": the data generations are likely intact and manual
+    recovery means pointing a fresh manifest at the newest complete
+    ``gen-N`` directory."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the store lock (or committed between this
+    writer's read and its commit). The attempted write did NOT commit;
+    retry after the other writer finishes."""
 
 
 @dataclass(frozen=True)
@@ -110,23 +137,43 @@ def gen_dir(path: str, gen: int) -> str:
 
 
 def read_manifest(path: str) -> dict | None:
-    """The store's commit record, or None for a path with no store yet."""
+    """The store's commit record, or None for a path with no store yet.
+
+    A PRESENT but unparseable manifest raises ``StoreCorruptError``
+    rather than masquerading as "no store" — auto-treating it as absent
+    would let the next ``create`` write gen-0 beside real data."""
     try:
         with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
             return json.load(f)
     except FileNotFoundError:
         return None
+    except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+        raise StoreCorruptError(
+            f"{path}/{MANIFEST_NAME} exists but is unreadable ({exc}); "
+            "the gen-N data directories are likely intact — recover by "
+            "writing a fresh manifest pointing at the newest complete "
+            "generation"
+        ) from exc
 
 
 def _commit_manifest(path: str, manifest: Mapping) -> None:
-    """Atomic pointer swap: write-temp + rename IS the commit. os.replace
-    is atomic on POSIX; the object-store equivalent is a conditional PUT
-    (S3 If-None-Match / GCS generation precondition) or a metastore row."""
+    """Atomic, DURABLE pointer swap: write-temp + fsync + rename IS the
+    commit, then the directory entry is fsynced so a power loss cannot
+    roll back (or truncate) an acknowledged commit. os.replace is atomic
+    on POSIX; the object-store equivalent is a conditional PUT (S3
+    If-None-Match / GCS generation precondition) or a metastore row."""
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(dict(manifest), f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def resolve_data_dir(path: str, table: str = "") -> str:
@@ -141,14 +188,98 @@ def resolve_data_dir(path: str, table: str = "") -> str:
 
 
 class GenStore:
-    """One family's store: a root path + its table specs."""
+    """One family's store: a root path + its table specs.
 
-    def __init__(self, path: str, tables: Sequence[TableSpec]):
+    ``keep_last`` retains the newest N generations at sweep time
+    (default 1 = sweep everything superseded at commit; raise it when
+    long-lived lazy readers must survive a concurrent maintenance
+    pass — see the module docstring's READER LIFETIME note)."""
+
+    def __init__(
+        self, path: str, tables: Sequence[TableSpec], keep_last: int = 1
+    ):
         self.path = path
         self.tables = tuple(tables)
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        self.keep_last = keep_last
         names = [t.name for t in self.tables]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate table names in store spec: {names}")
+
+    # -- writer lock -------------------------------------------------------
+    def _try_lock(self) -> int | None:
+        """One O_EXCL attempt; fd on success, None when held."""
+        try:
+            return os.open(
+                os.path.join(self.path, LOCK_NAME),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            return None
+
+    @contextmanager
+    def _writer_lock(self, op: str):
+        """Serialize writers via O_EXCL lock-file creation. A lock whose
+        recorded pid is a DEAD local process (crashed writer) is broken
+        and re-taken once; a live (or unidentifiable) holder raises
+        ``ConcurrentWriteError`` — loud refusal instead of the silent
+        append-during-compact write-skew."""
+        os.makedirs(self.path, exist_ok=True)
+        lock = os.path.join(self.path, LOCK_NAME)
+        fd = self._try_lock()
+        if fd is None:
+            holder: dict = {}
+            try:
+                with open(lock, encoding="utf-8") as f:
+                    holder = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass  # racing holder mid-write; treat as live
+            pid = holder.get("pid")
+            dead = False
+            if isinstance(pid, int) and pid > 0:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    dead = True
+                except PermissionError:
+                    pass  # alive, different user
+            if dead:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                fd = self._try_lock()
+            if fd is None:
+                raise ConcurrentWriteError(
+                    f"store {self.path!r}: another writer holds {LOCK_NAME}"
+                    f" ({holder.get('op', '?')} by pid {pid}); refusing"
+                    f" {op} — retry after it completes"
+                )
+        try:
+            os.write(
+                fd, json.dumps({"pid": os.getpid(), "op": op}).encode()
+            )
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _check_unmoved(self, expected_gen: int | None, op: str) -> None:
+        """Optimistic conflict check at commit time (defense-in-depth
+        under the lock): refuse if another writer moved the generation
+        pointer since this writer read it."""
+        man = self.manifest()
+        actual = None if man is None else man["gen"]
+        if actual != expected_gen:
+            raise ConcurrentWriteError(
+                f"store {self.path!r}: generation moved "
+                f"{expected_gen} -> {actual} during {op}; refusing to "
+                "commit over the concurrent writer's result"
+            )
 
     # -- manifest ----------------------------------------------------------
     def manifest(self) -> dict | None:
@@ -173,9 +304,17 @@ class GenStore:
         generation dir either way."""
         man = self.manifest()
         if man is None:
-            os.makedirs(gen_dir(self.path, 0), exist_ok=True)
-            man = {"gen": 0, **(extra or {})}
-            _commit_manifest(self.path, man)
+            try:
+                with self._writer_lock("ensure"):
+                    man = self.manifest()  # may exist by now
+                    if man is None:
+                        os.makedirs(gen_dir(self.path, 0), exist_ok=True)
+                        man = {"gen": 0, **(extra or {})}
+                        _commit_manifest(self.path, man)
+            except ConcurrentWriteError:
+                man = self.manifest()  # a racing writer created it
+                if man is None:
+                    raise
         return gen_dir(self.path, man["gen"])
 
     # -- frame validation ----------------------------------------------------
@@ -208,22 +347,40 @@ class GenStore:
         swept — a crash mid-write leaves the previous snapshot intact and
         served (the plain ``mode("overwrite")`` it replaces deleted the
         old copy before the new one existed)."""
-        man = self.manifest()
-        nxt = 0 if man is None else man["gen"] + 1
-        dst = gen_dir(self.path, nxt)
-        if os.path.exists(dst):  # leftover from a crashed attempt
-            shutil.rmtree(dst)
-        self._write(dst, frames, mode="errorifexists")
-        _commit_manifest(self.path, {**({} if man is None else man), "gen": nxt, **(extra or {})})
-        self._gc(keep=nxt)
+        with self._writer_lock("create"):
+            man = self.manifest()
+            expected = None if man is None else man["gen"]
+            nxt = 0 if man is None else man["gen"] + 1
+            dst = gen_dir(self.path, nxt)
+            if os.path.exists(dst):  # leftover from a crashed attempt
+                shutil.rmtree(dst)
+            self._write(dst, frames, mode="errorifexists")
+            self._check_unmoved(expected, "create")
+            _commit_manifest(
+                self.path,
+                {**({} if man is None else man), "gen": nxt, **(extra or {})},
+            )
+            self._gc(keep=nxt)
 
     def append(self, frames: Mapping[str, DataFrame]) -> None:
         """Fold an ingest batch in: plain parquet appends into the CURRENT
-        generation — no history is read or rewritten."""
-        self._write(gen_dir(self.path, self._require()["gen"]), frames, mode="append")
+        generation — no history is read or rewritten. Holds the writer
+        lock for the duration, so an append can no longer land in a
+        generation a concurrent compaction is about to sweep (it refuses
+        with ConcurrentWriteError instead)."""
+        with self._writer_lock("append"):
+            self._write(
+                gen_dir(self.path, self._require()["gen"]), frames, mode="append"
+            )
 
     def load(self, spark: SparkSession) -> dict[str, DataFrame]:
-        """Read every table of the current generation (contract-projected)."""
+        """Read every table of the current generation (contract-projected).
+
+        The returned DataFrames are LAZY and pinned to this generation's
+        files: a subsequent create/compact sweeps those files (unless
+        ``keep_last > 1``), failing any still-unmaterialized action with
+        missing-file errors — resolve-then-act promptly, or size
+        ``keep_last`` to the longest reader you run concurrently."""
         man = self._require()
         root = gen_dir(self.path, man["gen"])
         out: dict[str, DataFrame] = {}
@@ -261,6 +418,15 @@ class GenStore:
         generation; superseded generations are swept afterwards. A crash
         before the commit leaves the old generation current and complete;
         the orphan staging dir is removed by the next attempt."""
+        with self._writer_lock("compact"):
+            self._compact_locked(spark, merge_overrides, extra)
+
+    def _compact_locked(
+        self,
+        spark: SparkSession,
+        merge_overrides: Mapping[str, MergeFn] | None,
+        extra: Mapping | None,
+    ) -> None:
         man = self._require()
         cur, nxt = man["gen"], man["gen"] + 1
         src_root, dst_root = gen_dir(self.path, cur), gen_dir(self.path, nxt)
@@ -296,17 +462,22 @@ class GenStore:
                     f"compact verify failed for table {t.name!r}: refile "
                     "changed the row count"
                 )
+        self._check_unmoved(cur, "compact")
         _commit_manifest(self.path, {**man, "gen": nxt, **(extra or {})})
         self._gc(keep=nxt)
 
     def _gc(self, keep: int) -> None:
-        """Sweep superseded generation dirs (best-effort; failure leaves
-        unreferenced garbage, never a correctness problem)."""
+        """Sweep generation dirs older than the retained window
+        ``(keep - keep_last, keep]`` — best-effort (failure leaves
+        unreferenced garbage, never a correctness problem). Dirs numbered
+        ABOVE ``keep`` are always swept: they are crashed staging
+        attempts, not history."""
         try:
             entries = os.listdir(self.path)
         except FileNotFoundError:
             return
+        lo = keep - self.keep_last + 1
         for name in entries:
             m = _GEN_RE.match(name)
-            if m and int(m.group(1)) != keep:
+            if m and not (lo <= int(m.group(1)) <= keep):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -1504,12 +1504,12 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DOT,
         _km_base,
         _km_entries,
-        _km_fit,
+        _km_fit_for,
         _sim_desc_sorted,
     )
 
     n = _km_base(spark, sf_dir)
-    cents = _km_fit(n)
+    cents = _km_fit_for(spark, sf_dir)
     assigned = n.withColumn(
         "cluster",
         F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)["c_id"].cast(

@@ -1992,8 +1992,24 @@ def qhist_rollup_append(partials: DataFrame, path: str) -> None:
 
 def qhist_rollup_compact(spark: SparkSession, path: str) -> None:
     """Fold per-batch rows to one (month, bucket) row — sum-merge, the
-    same generation-swap commit as rollup_compact."""
-    _qhist_gen_store(path).compact(spark)
+    same generation-swap commit as rollup_compact.
+
+    BATCH stores only (same guard as rollup_compact): a store written by
+    stream_qhist_ingest is batch_id-partitioned and carries a replay
+    high-water mark — folding it here would merge the batch_id
+    partitions WITHOUT raising the hwm, so a checkpoint replay of any
+    batch committed since the last stream_qhist_compact would
+    re-materialize its partition and double-count, and later folds
+    would mix batch_id- and month-partitioned files in one generation."""
+    store = _qhist_gen_store(path)
+    if "batch_id" in spark.read.parquet(store.data_dir()).columns:
+        raise ValueError(
+            f"qhist_rollup_compact: {path} is a streaming qhist store "
+            "(batch_id-partitioned); use streaming.pipeline."
+            "stream_qhist_compact so replayed micro-batches can't "
+            "double-count folded partials"
+        )
+    store.compact(spark)
 
 
 def _qhist_quantiles(hist: DataFrame, group: list[str]) -> DataFrame:

@@ -955,14 +955,16 @@ def hll_rollup_store(partials: DataFrame, path: str, mode: str = "overwrite") ->
         )
     store = _hll_gen_store(path)
     if mode == "append":
+        # auto-create on a fresh path (first streaming micro-batch, or a
+        # direct mode="append" caller) — GenStore.append alone requires
+        # an existing manifest and would raise FileNotFoundError
+        store.ensure()
         store.append({"": partials})
     else:
         store.create({"": partials})
 
 
 def hll_rollup_append(partials: DataFrame, path: str) -> None:
-    store = _hll_gen_store(path)
-    store.ensure()  # first streaming micro-batch may create the store
     hll_rollup_store(partials, path, mode="append")
 
 

@@ -570,7 +570,23 @@ def stream_fold_batch(
     store.ensure()
     hwm = (store.manifest() or {}).get("hwm")
     if hwm is not None and batch_id <= hwm:
-        return  # replay of a batch the compactor already folded: no-op
+        # Replay of a batch the compactor already folded: no-op — but
+        # warn, because a RESET/SWAPPED checkpoint also lands here
+        # (batch ids restart at 0) and would silently drop every new
+        # batch until ids climb past the stored hwm. The store and its
+        # checkpoint are a PAIRED unit; never reset one without the
+        # other (stream_fold_compact refuses the mismatch outright).
+        import warnings
+
+        warnings.warn(
+            f"stream_fold_batch: skipping batch {batch_id} <= folded "
+            f"hwm {hwm} at {store_path} — expected only for checkpoint "
+            "replays; if the checkpoint was reset, new batches are "
+            "being DROPPED (restore the paired checkpoint or rebuild "
+            "the store)",
+            stacklevel=2,
+        )
+        return
     (
         fam.partials(batch)
         .withColumn("batch_id", F.lit(batch_id))
@@ -651,6 +667,17 @@ def stream_fold_compact(
     if hwm is None:
         return  # nothing committed yet → nothing safe to fold
     store = _stream_fold_store(store_path, fam)
+    prev_hwm = (store.manifest() or {}).get("hwm")
+    if prev_hwm is not None and hwm < prev_hwm:
+        raise RuntimeError(
+            f"stream_fold_compact: checkpoint {checkpoint_dir} has "
+            f"committed hwm {hwm} BELOW the store's folded hwm "
+            f"{prev_hwm} — the checkpoint was reset or swapped. "
+            "Committing the lower mark would re-admit replays of "
+            "already-folded batch ids (double counts). The store and "
+            "its checkpoint are a paired unit: restore the original "
+            "checkpoint, or rebuild the store from source."
+        )
     cols = (*fam.columns, "batch_id")
 
     def fold(df: DataFrame) -> DataFrame:

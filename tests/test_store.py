@@ -264,3 +264,160 @@ def test_random_lifecycles_with_crashes_always_serve_model(
             if not model:
                 model[0] = 0
         assert served() == model, f"step {step} op {op}"
+
+
+# --------------------------------------------------------------------------
+# Round 11: multi-writer refusal (writer lock + commit-time CAS),
+# durable/corrupt manifests, and the keep_last retention window.
+# --------------------------------------------------------------------------
+
+
+def test_append_during_compaction_refuses_loudly(spark, sf_dir, tmp_path):
+    """The r10 write-skew, now DETECTED: an append attempted while a
+    compaction holds the writer lock raises ConcurrentWriteError (it
+    previously landed in the generation about to be swept — silent
+    loss). The compaction itself completes and serves the pre-append
+    answer; the refused append can then be retried and survives."""
+    from olympic_athletes_etl_spark.operators.store import ConcurrentWriteError
+
+    orders = _orders(spark, sf_dir)
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    b1 = F.col("o_orderkey") % 2 == 0
+    store.create({"": _partials(orders.filter(b1))})
+    want = _served(spark, store)
+    late = _partials(orders.filter(~b1))
+    hit = {}
+
+    def merge_and_interleave(df):
+        # runs INSIDE compact's staging, writer lock held
+        with pytest.raises(ConcurrentWriteError):
+            store.append({"": late})
+        hit["raised"] = True
+        return _SPEC.merge(df)
+
+    store.compact(spark, merge_overrides={"": merge_and_interleave})
+    assert hit["raised"]
+    assert _served(spark, store) == want  # nothing lost, nothing doubled
+    store.append({"": late})  # retry after the compaction: survives
+    assert _served(spark, store) == _served_frames(spark, orders)
+
+
+def _served_frames(spark, orders):
+    return sorted(tuple(r) for r in _partials(orders).collect())
+
+
+def test_concurrent_compactions_refuse(spark, sf_dir, tmp_path):
+    from olympic_athletes_etl_spark.operators.store import ConcurrentWriteError
+
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(_orders(spark, sf_dir))})
+
+    def merge_and_reenter(df):
+        with pytest.raises(ConcurrentWriteError):
+            store.compact(spark)
+        return _SPEC.merge(df)
+
+    store.compact(spark, merge_overrides={"": merge_and_reenter})
+    assert read_manifest(store.path)["gen"] == 1
+
+
+def test_dead_pid_lock_is_broken(spark, sf_dir, tmp_path):
+    """A lock left by a crashed writer (dead pid) must not brick the
+    store: the next writer breaks it and proceeds."""
+    import json
+
+    from olympic_athletes_etl_spark.operators.store import LOCK_NAME
+
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(_orders(spark, sf_dir))})
+    # pid 2**22+5 is far above pid_max defaults; ensure it's dead anyway
+    dead_pid = 2**22 + 5
+    with pytest.raises(ProcessLookupError):
+        os.kill(dead_pid, 0)
+    with open(os.path.join(store.path, LOCK_NAME), "w") as f:
+        json.dump({"pid": dead_pid, "op": "compact"}, f)
+    store.compact(spark)  # breaks the stale lock and commits
+    assert read_manifest(store.path)["gen"] == 1
+    assert not os.path.exists(os.path.join(store.path, LOCK_NAME))
+
+
+def test_live_lock_refuses_and_is_released_on_error(spark, sf_dir, tmp_path):
+    """A lock held by a LIVE pid refuses; a failed write releases its
+    lock so the next writer is not blocked."""
+    import json
+
+    from olympic_athletes_etl_spark.operators.store import (
+        ConcurrentWriteError,
+        LOCK_NAME,
+    )
+
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(_orders(spark, sf_dir))})
+    lock = os.path.join(store.path, LOCK_NAME)
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "op": "append"}, f)  # alive: us
+    with pytest.raises(ConcurrentWriteError):
+        store.compact(spark)
+    os.unlink(lock)
+    # now make the compact itself die mid-write: the lock must not leak
+    def boom(df):
+        raise RuntimeError("killed mid-staging")
+
+    with pytest.raises(RuntimeError, match="killed mid-staging"):
+        store.compact(spark, merge_overrides={"": boom})
+    assert not os.path.exists(lock)
+    store.compact(spark)  # and the store still works
+
+
+def test_commit_cas_refuses_when_generation_moved(spark, sf_dir, tmp_path):
+    """Defense-in-depth under the lock: if the manifest generation moves
+    between a writer's read and its commit (lock bypassed/broken by
+    hand), the commit refuses rather than overwriting the other
+    writer's result."""
+    from olympic_athletes_etl_spark.operators import store as store_mod
+    from olympic_athletes_etl_spark.operators.store import ConcurrentWriteError
+
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(_orders(spark, sf_dir))})
+
+    def move_gen(df):
+        # simulate a foreign writer landing a commit mid-staging
+        man = read_manifest(store.path)
+        store_mod._commit_manifest(store.path, {**man, "gen": man["gen"] + 7})
+        os.makedirs(os.path.join(store.path, f"gen-{man['gen'] + 7}"), exist_ok=True)
+        return _SPEC.merge(df)
+
+    with pytest.raises(ConcurrentWriteError, match="generation moved"):
+        store.compact(spark, merge_overrides={"": move_gen})
+
+
+def test_corrupt_manifest_raises_distinct_error(spark, sf_dir, tmp_path):
+    """A truncated/corrupt manifest is a LOUD, recoverable error naming
+    the gen-N recovery path — not FileNotFoundError (which would let
+    the next create() write gen-0 beside real data)."""
+    from olympic_athletes_etl_spark.operators.store import StoreCorruptError
+
+    store = GenStore(str(tmp_path / "s"), [_SPEC])
+    store.create({"": _partials(_orders(spark, sf_dir))})
+    with open(os.path.join(store.path, "_STORE"), "w") as f:
+        f.write('{"gen": 0')  # power loss mid-write without fsync
+    with pytest.raises(StoreCorruptError, match="newest complete"):
+        store.load(spark)
+    with pytest.raises(StoreCorruptError):
+        store.create({"": _partials(_orders(spark, sf_dir))})
+
+
+def test_keep_last_retains_reader_window(spark, sf_dir, tmp_path):
+    """keep_last=2 keeps the superseded generation through one
+    maintenance pass — a lazy reader resolved pre-compact still
+    materializes afterwards — and sweeps it on the NEXT pass."""
+    orders = _orders(spark, sf_dir)
+    store = GenStore(str(tmp_path / "s"), [_SPEC], keep_last=2)
+    store.create({"": _partials(orders)})
+    reader = store.load(spark)[""]  # lazy, pinned to gen-0 files
+    store.compact(spark)
+    assert os.path.exists(os.path.join(store.path, "gen-0"))  # retained
+    assert reader.count() > 0  # in-flight reader survives the swap
+    store.compact(spark)
+    assert not os.path.exists(os.path.join(store.path, "gen-0"))  # aged out
+    assert os.path.exists(os.path.join(store.path, "gen-1"))
