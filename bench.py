@@ -184,12 +184,14 @@ def bpe_phase_timings(spark, sf_dir: str) -> dict[str, float]:
     word-count scan plus a driver-local merge loop (merge count barely
     moves it — the synthetic vocab saturates well under the requested
     2000), and the pandas encoder's plan is constant-size in the rule
-    count. The fold encoder is timed at the registered 4-rule form
-    only (plan cost grows per rule; measured crossover n≈16). The
-    registered-query twin of the fold number is t_bpe_encode_fixed in
+    count. The JVM encoder (r11: delimiter-doubled string rewrite —
+    the key keeps its historical ``fold`` name for round-over-round
+    comparability) is timed at the registered 4-rule form only (one
+    replace pass per rule; measured crossover n≈16, SCALE.md r11). The
+    registered-query twin of that number is t_bpe_encode_fixed in
     the extended section; ``train:bpe_distributed`` is deliberately
-    absent — it is one Spark job per merge and exists as the oracle
-    twin, not the production path."""
+    absent — it is one Spark job per merge and is yardstick-only, not
+    the production path."""
     from olympic_athletes_etl_spark.plans.tables import load
     from olympic_athletes_etl_spark.plans.textstats import (
         _BPE_FIXED_MERGES,

@@ -1861,14 +1861,17 @@ def _adjacent_pairs(syms_col: str = "syms") -> F.Column:
     )
 
 
-def _apply_merge(a: str, b: str) -> F.Column:
-    """Left-to-right greedy merge of adjacent (a, b) → a||b over the
-    ``syms`` array, as a single fold — the exact semantics every BPE
-    implementation uses (a symbol consumed by a merge can't start the
-    next match). Literals go through F.lit so arbitrary text symbols
-    (quotes, backslashes) can't break out of the expression."""
+def _apply_merge_expr(arr: F.Column, a: str, b: str) -> F.Column:
+    """Left-to-right greedy merge of adjacent (a, b) → a||b over a
+    symbol-array COLUMN EXPRESSION, as a single fold — the exact
+    semantics every BPE implementation uses (a symbol consumed by a
+    merge can't start the next match). Literals go through F.lit so
+    arbitrary text symbols (quotes, backslashes) can't break out of
+    the expression. Expression-valued so it nests inside higher-order
+    functions (bpe_encode folds per word INSIDE a transform over the
+    document's word array)."""
     return F.aggregate(
-        "syms",
+        arr,
         F.array().cast("array<string>"),
         # try_element_at: ANSI element_at raises on the empty-array
         # index even behind a size(acc) > 0 conjunct (no short-circuit
@@ -1886,12 +1889,27 @@ def _apply_merge(a: str, b: str) -> F.Column:
     )
 
 
+def _apply_merge(a: str, b: str) -> F.Column:
+    """_apply_merge_expr over the ``syms`` column (the trainer's vocab
+    table shape)."""
+    return _apply_merge_expr(F.col("syms"), a, b)
+
+
 def bpe_learn_merges(
     docs: DataFrame, n_merges: int = 8
 ) -> list[tuple[str, str, int]]:
-    """Distributed BPE tokenizer training: learn ``n_merges`` merge
-    rules over (doc_id, text), returning [(left, right, pair_count)]
-    in merge order.
+    """YARDSTICK-ONLY distributed BPE trainer — NOT the production
+    API. Use ``bpe_learn_merges_local`` (pinned bit-identical): it pays
+    the same single corpus scan and then runs the merge loop
+    driver-local, where this form pays one Spark job + localCheckpoint
+    PER MERGE (32k jobs at a real vocab; the measured crossover in
+    SCALE.md says local wins from n=1 because the per-merge cost here
+    is scheduler latency, not compute). This form exists as the
+    all-Spark semantic twin that cross-checks the local trainer's
+    incremental-pair-count bookkeeping.
+
+    Learns ``n_merges`` merge rules over (doc_id, text), returning
+    [(left, right, pair_count)] in merge order.
 
     Construction per iteration (the classic word-count formulation —
     Sennrich et al., ACL 2016, "Neural Machine Translation of Rare
@@ -2006,19 +2024,19 @@ def _bpe_fixed_oracle() -> str:
 @query("t_bpe_encode_fixed", oracle=_bpe_fixed_oracle())
 def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, encoded) — every document tokenized with a FROZEN
-    literal merge list, space-joined in document order. This is the
-    static-oracle gate for the fold encoder's semantics, the way
-    t_char_pair_freq gates the trainer's iteration-0 statistic: with
-    the merge list fixed, the encode is fully SQL-expressible, and the
-    DuckDB twin implements greedy left-to-right merging via a
-    completely different mechanism (delimiter-doubled string rewrite —
-    see _bpe_fixed_oracle), so any drift in the fold's overlap or
-    consumed-symbol semantics hash-mismatches. The list exercises the
-    hard cases: a three-step cascade builds 'data' ((a,t) → (d,at) →
+    literal merge list, space-joined in document order. The
+    static-oracle gate for the JVM encoder, the way t_char_pair_freq
+    gates the trainer's iteration-0 statistic: with the merge list
+    fixed, the encode is fully SQL-expressible. Since the r11 rewrite
+    both engines use the delimiter-doubled replace mechanism (see
+    bpe_encode — it is the fastest JVM form by 5×), so this gate pins
+    the construction cross-ENGINE (regexp/replace/split semantics,
+    whole-doc vs per-word application); the cross-MECHANISM pin moved
+    to t_bpe_encode_arrow (Python greedy FOLD vs SQL rewrite) plus the
+    per-doc fold-equality pytest pins. The list exercises the hard
+    cases: a three-step cascade builds 'data' ((a,t) → (d,at) →
     (dat,a) — later rules consume earlier rules' outputs) plus an
-    independent (s,t) rule. Same scan-bound chained-fold plan as
-    bpe_encode; document order restored by the carried word position
-    on both sides."""
+    independent (s,t) rule."""
     docs = load(spark, sf_dir, "documents")
     return bpe_encode(docs, _BPE_FIXED_MERGES).select(
         "doc_id", F.array_join("tokens", " ").alias("encoded")
@@ -2265,38 +2283,79 @@ def bpe_encode(
 ) -> DataFrame:
     """(doc_id, tokens) — tokenize every document with an already-learned
     merge list: per word, start from characters and apply the merges IN
-    LEARNED ORDER as chained fold projections (each merge is one narrow
-    map over the token arrays — no shuffle; the whole encode is a single
-    scan however many merges there are, since Catalyst collapses the
-    chained projections). This is the serving half of bpe_learn_merges:
-    train once on the word-count table, encode any corpus with the
-    frozen rules — at 100 TB the encode is scan-bound and embarrassingly
-    parallel. Exactness vs the reference Python encoder is pinned in
-    test_round8_ops (same fold semantics as _apply_merge, per word).
-    The chained projections grow the Catalyst tree linearly in
-    n_merges — past the measured crossover (SCALE.md) use
-    bpe_encode_pandas, the constant-plan-size Arrow-batched twin
-    (pinned equal in test_round9_ops)."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split("text", r"\s+"), lambda w: F.length(w) > 0)
-        ).alias("pos", "w"),
-    ).select("doc_id", "pos", F.split("w", "").alias("syms"))
-    for m in merges:
-        a, b = m[0], m[1]
-        toks = toks.withColumn("syms", _apply_merge(a, b))
-    # collect_list is order-nondeterministic across partitions — the
-    # carried word position restores the document order (struct
-    # array_sort compares field-by-field, so pos leads).
-    return toks.groupBy("doc_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "syms"))),
-                lambda s: s["syms"],
-            )
-        ).alias("tokens")
+    LEARNED ORDER, each merge one fold over the word's symbol array.
+    The whole encode is ROW-LOCAL — split the document into its word
+    array, fold every word in place (transform), flatten — so the plan
+    is a single narrow projection over the scan: no explode, no
+    shuffle, no per-document regroup. (The pre-r11 form exploded to one
+    row per word and reassembled with groupBy + collect_list +
+    array_sort — a full token-level shuffle that cost 12× the Arrow
+    encoder at sf0.1 even at 4 rules; word order is now simply the
+    array order, no position bookkeeping.) This is the serving half of
+    bpe_learn_merges: train once on the word-count table, encode any
+    corpus with the frozen rules — at 100 TB the encode is scan-bound
+    and embarrassingly parallel.
+
+    Mechanism (r11): the delimiter-doubled string rewrite — the same
+    construction the DuckDB oracle uses, because it is the FASTEST
+    JVM-side form: the whole document becomes one ``\\x1f``-delimited
+    symbol string (adjacent symbols share a DOUBLED delimiter; words
+    are separated by ``D<space>D``, which no merge pattern can span
+    since symbols contain no spaces), and each merge is ONE literal
+    ``replace`` whose non-overlapping left-to-right scan reproduces
+    the greedy fold's consumed-symbol rule exactly. Zero higher-order
+    functions, zero arrays until the final token split, zero shuffle —
+    pure whole-stage-codegen string ops. (The pre-r11 explode+fold
+    form paid a token-level shuffle plus an interpreted O(len²)
+    array fold per word: 12× slower at sf0.1 even at 4 rules.)
+    Requires ``\\x1f`` absent from the corpus (docstring contract; the
+    cleaning pipeline strips control chars). Exactness vs the
+    reference Python FOLD encoder is pinned per-doc in
+    test_round8_ops/test_round9_ops — fold semantics vs rewrite
+    mechanism is the strongest in-repo cross-implementation pin.
+    Token-less documents (empty or whitespace-only text) produce no
+    output row, matching bpe_encode_pandas. The chained replaces still
+    grow the plan linearly in n_merges — past the measured crossover
+    (SCALE.md) use bpe_encode_pandas, the constant-plan-size
+    Arrow-batched twin, or bpe_encode_auto which dispatches on the
+    rule count."""
+    d = "\x1f"
+    s = F.regexp_replace(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+        r"(?<=\S)(?=\S)",
+        d + d,
     )
+    s = F.concat(F.lit(d), s, F.lit(d))
+    s = F.replace(s, F.lit(" "), F.lit(d + " " + d))
+    for m in merges:
+        a, b = str(m[0]), str(m[1])
+        s = F.replace(s, F.lit(d + a + d + d + b + d), F.lit(d + a + b + d))
+    encoded = F.replace(F.replace(s, F.lit(d + d), F.lit(" ")), F.lit(d), F.lit(""))
+    tokens = F.filter(
+        F.split(encoded, " "), lambda t: F.length(t) > 0
+    )
+    return docs.select("doc_id", tokens.alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+
+
+#: measured fold-vs-Arrow crossover in rule count (SCALE.md): past this
+#: the chained fold's linear plan growth loses to the constant-size
+#: Arrow encoder even before worker warmup amortizes.
+BPE_FOLD_MAX_MERGES = 16
+
+
+def bpe_encode_auto(
+    docs: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+) -> DataFrame:
+    """Dispatching encoder: the JVM fold for small rule lists (≤
+    ``BPE_FOLD_MAX_MERGES`` — zero Python, whole-stage codegen), the
+    Arrow-batched bpe_encode_pandas past the crossover (constant plan
+    size at real vocab counts). Safe to dispatch on because the two
+    encoders are pinned byte-identical (test_round9_ops)."""
+    if len(merges) > BPE_FOLD_MAX_MERGES:
+        return bpe_encode_pandas(docs, merges)
+    return bpe_encode(docs, merges)
 
 
 # --------------------------------------------------------------------------
