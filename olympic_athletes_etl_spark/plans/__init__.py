@@ -29,24 +29,28 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 # FRESH driver row this round (round 11 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
 # live there and in git history). Round 11:
-#   0. the NEW registration (t_unicode_normalize — NFC + mojibake-repair
-#      text cleaning) takes the first driver row per the standing
-#      new-queries-first rule;
+#   0. the NEW registrations (t_unicode_normalize — NFC + mojibake-repair
+#      text cleaning; t_doc_entropy — per-doc unigram entropy quality
+#      signal; d_url_dedup — URL-canonicalization dedup) take the first
+#      driver rows per the standing new-queries-first rule;
 #   1. the two entries displaced by the r10 new-query promotions
 #      (q_share_hierarchy, a_mad_spend — their latest driver row is r5);
 #   2. the remaining r5/r6-stale ledger oldest-first: sketch algebra,
 #      graph analytics, text mixtures/BM25, the dedup/similarity core,
 #      the TPC-H business tranche, and the joins/aggregates/window/
 #      reshape residue (a_sketch_algebra … c_regex_extract).
-# Prefix math (driver audits 50): 1 new + 2 + 47 = exactly 50 — the
-# suggested-r11 tail entry c_split_element is displaced by the new
-# registration and rolls to the r12 front. Everything demoted stays
+# Prefix math (driver audits 50): 3 new + 2 + 45 = exactly 50 — the
+# suggested-r11 tail entries c_regex_clean / c_regex_extract /
+# c_split_element are displaced by the new registrations and roll to
+# the r12 front. Everything demoted stays
 # covered locally by tools/check_parity.py regardless of order (the
 # three r11 sweeps run at this final registry). After this round the
 # oldest driver row registry-wide is r6, putting whole-registry
 # freshness <=2 rounds in reach at r12.
 NEW_PLANS_R11 = [
     "t_unicode_normalize",
+    "t_doc_entropy",
+    "d_url_dedup",
 ]
 DISPLACED_R10_LEDGER_R11 = [
     "q_share_hierarchy",
@@ -98,9 +102,8 @@ STALE_LEDGER_R11 = [
     "a_cube_counts",
     "r_merge_upsert",
     "a_percentiles",
-    "c_regex_clean",
-    "c_regex_extract",
-    # (c_split_element displaced by NEW_PLANS_R11, rolled to the r12 front)
+    # (c_regex_clean, c_regex_extract, c_split_element displaced by the
+    #  three NEW_PLANS_R11 registrations, rolled to the r12 front)
 ]
 AUDIT_PREFIX = NEW_PLANS_R11 + DISPLACED_R10_LEDGER_R11 + STALE_LEDGER_R11
 

@@ -1987,3 +1987,109 @@ def d_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.filter(F.col("doc_id") >= _STORED_SPLIT),
         lsh_postings_load(spark, path),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup — the standard web-crawl ingest step: one
+# logical page arrives under many raw URLs (scheme/host case, a www.
+# prefix, tracking query params, fragments, trailing slashes) and must
+# collapse to ONE canonical key before content dedup even starts. The
+# driver testdata has no URL column, so the query first constructs the
+# raw URL DETERMINISTICALLY from (source, doc_id) with four dirty
+# variants, the same way t_unicode_normalize constructs its dirty text —
+# the gate then exercises every canonicalization rule instead of hashing
+# an identity transform.
+# --------------------------------------------------------------------------
+_URL_PATH_MOD = 25
+
+
+def _url_oracle() -> str:
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE (doc_id % 7) % 4 WHEN 2 THEN 'HTTPS://' ELSE 'https://' END
+             || CASE (doc_id % 7) % 4 WHEN 3 THEN 'www.' ELSE '' END
+             || CASE (doc_id % 7) % 4 WHEN 1 THEN upper(source) ELSE source END
+             || '.example.com/items/' || (doc_id % {_URL_PATH_MOD})
+             || CASE (doc_id % 7) % 4
+                  WHEN 1 THEN '/'
+                  WHEN 2 THEN '?utm_source=feed&utm_campaign=crawl'
+                  WHEN 3 THEN '#section-2'
+                  ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   '\\?utm_[^#]*', ''),
+                 '^(https://)www\\.', '\\1'),
+               '/$', '') AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           count(*) AS n_dups,
+           count(DISTINCT url) AS n_raw_variants,
+           min(doc_id) AS keep_doc_id
+    FROM canon GROUP BY curl
+    """
+
+
+@query("d_url_dedup", oracle=_url_oracle())
+def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: lowercase, strip fragment, strip
+    utm_* tracking params, strip a www. prefix, strip the trailing
+    slash, then collapse to one row per canonical URL with the dup
+    count, the raw-variant count, and the min-doc_id survivor (the
+    usual keep-first policy).
+
+    At 100 TB this is the cheapest dedup pass in the pipeline and runs
+    FIRST for exactly that reason: the canonical key is a pure narrow
+    map (five JVM regexp/string ops, whole-stage codegen, no Python),
+    and the single hash-aggregate shuffles one short string + two longs
+    per row — orders of magnitude less than shingling. Skewed hot URLs
+    combine map-side before the exchange."""
+    docs = load(spark, sf_dir, "documents")
+    # variant selector: (doc_id % 7) % 4, NOT doc_id % 4 — canonical
+    # groups are arithmetic progressions in doc_id whose stride is a
+    # multiple of 4, so a mod-4 selector would pick the SAME dirty
+    # variant for every member and the gate would never see two raw
+    # variants of one canonical URL; mod 7 is coprime to the stride.
+    m4 = (F.col("doc_id") % 7) % 4
+    raw = F.concat(
+        F.when(m4 == 2, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(m4 == 3, F.lit("www.")).otherwise(F.lit("")),
+        F.when(m4 == 1, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/items/"),
+        (F.col("doc_id") % _URL_PATH_MOD).cast("string"),
+        F.when(m4 == 1, F.lit("/"))
+        .when(m4 == 2, F.lit("?utm_source=feed&utm_campaign=crawl"))
+        .when(m4 == 3, F.lit("#section-2"))
+        .otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(raw), r"#.*$", ""),
+                r"\?utm_[^#]*",
+                "",
+            ),
+            r"^(https://)www\.",
+            "$1",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        docs.select(
+            "doc_id", raw.alias("url"), curl.alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

@@ -2436,3 +2436,82 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").alias("n_chars_norm"),
         F.md5(F.col("s").cast("binary")).alias("norm_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document unigram entropy (information-density quality signal)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "t_doc_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, token, count(*) AS c
+      FROM tok GROUP BY doc_id, token
+    ),
+    agg AS (
+      SELECT doc_id,
+             sum(c) AS n_tokens,
+             count(*) AS n_distinct,
+             sum(c * log2(c)) AS clog
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           n_distinct,
+           round(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 4)
+             AS entropy_bits,
+           CASE WHEN n_distinct > 1 THEN
+             round((log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens)
+                   / log2(CAST(n_distinct AS DOUBLE)), 4)
+           END AS entropy_norm
+    FROM agg
+    """,
+)
+def t_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-density
+    quality signal pretraining filters use alongside the Gopher gates
+    (low entropy = boilerplate/spam/keyword stuffing; see Rae et al.
+    2021 §A1.2's repetition rationale). Shape: explode tokens → one
+    hash-aggregate per (doc, token) → one per-doc aggregate; identical
+    to t_gopher_quality's two-shuffle plan, so it scales the same way
+    (token explode is a narrow map, both aggregates combine map-side).
+
+    Numeric form is entropy = log2(N) - sum(c*log2 c)/N over the integer
+    counts c — every log2 argument is an exact integer in BOTH engines,
+    so the only cross-engine float variance is the summation order of
+    sum(c*log2 c), ~1 ulp against a 4-decimal rounding granule.
+    entropy_norm (entropy / log2(n_distinct)) is null for single-token
+    vocabularies, where normalization is undefined."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    clog2 = F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(clog2).alias("clog"),
+    )
+    ent = F.log2(F.col("n_tokens").cast("double")) - F.col("clog") / F.col(
+        "n_tokens"
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent, 4).alias("entropy_bits"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(ent / F.log2(F.col("n_distinct").cast("double")), 4),
+        ).alias("entropy_norm"),
+    )

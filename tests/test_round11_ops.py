@@ -250,3 +250,75 @@ def test_bpe_encode_rewrite_edge_cases(spark):
     assert got == want
     assert set(got) == {1, 4}  # token-less docs omitted on both paths
     assert got[1][:2] == ["aa", "a"]  # greedy non-overlapping (a,a)
+
+
+# --------------------------------------------------------------------------
+# Round-11 registrations 2/3: per-doc unigram entropy + URL-canonical
+# dedup. The parity gate hashes them against DuckDB; these pins check
+# the SEMANTICS against a pure-Python reference / the rule invariants.
+# --------------------------------------------------------------------------
+
+
+def test_doc_entropy_matches_python_reference(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from olympic_athletes_etl_spark.plans.tables import load
+    from olympic_athletes_etl_spark.plans.textstats import t_doc_entropy
+
+    out = {
+        r["doc_id"]: r
+        for r in t_doc_entropy(spark, sf_dir).orderBy("doc_id").limit(8).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    }
+    for doc_id, text in texts.items():
+        c = Counter(text.split(" "))
+        n = sum(c.values())
+        ent = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        row = out[doc_id]
+        assert row["n_tokens"] == n
+        assert row["n_distinct"] == len(c)
+        assert abs(row["entropy_bits"] - round(ent, 4)) < 1e-9
+        if len(c) > 1:
+            assert abs(
+                row["entropy_norm"] - round(ent / math.log2(len(c)), 4)
+            ) < 1e-9
+        else:
+            assert row["entropy_norm"] is None
+
+
+def test_doc_entropy_bounds(spark, sf_dir):
+    import math
+
+    from olympic_athletes_etl_spark.plans.textstats import t_doc_entropy
+
+    for r in t_doc_entropy(spark, sf_dir).collect():
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-4
+        if r["entropy_norm"] is not None:
+            assert -1e-9 <= r["entropy_norm"] <= 1 + 1e-9
+
+
+def test_url_dedup_canonical_invariants(spark, sf_dir):
+    from olympic_athletes_etl_spark.plans.dedup_q import d_url_dedup
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    rows = d_url_dedup(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    # every doc lands in exactly one canonical group
+    assert sum(r["n_dups"] for r in rows) == n_docs
+    for r in rows:
+        u = r["canonical_url"]
+        assert u == u.lower()
+        assert "#" not in u and "utm" not in u
+        assert not u.endswith("/")
+        assert "://www." not in u
+        assert u.startswith("https://")
+        assert r["n_raw_variants"] <= r["n_dups"]
+    # the canonicalization actually merges distinct raw variants
+    assert max(r["n_raw_variants"] for r in rows) > 1
