@@ -66,6 +66,17 @@ def main() -> int:
             return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --rows-only-for a,b,c: run the SPARK side of the named queries and
+    # record their row counts, but skip their DuckDB oracle. For
+    # out-of-gate scale-up sweeps where the ORACLE (an unrolled-CTE /
+    # recompute-from-scratch SQL) is the thing that does not scale, not
+    # the engine — the value-hash gate for those queries stands at the
+    # largest feasible oracle scale (recorded in the sweep JSON).
+    rows_only_for: set[str] = set()
+    if "--rows-only-for" in argv:
+        i = argv.index("--rows-only-for")
+        rows_only_for = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -74,6 +85,16 @@ def main() -> int:
 
     spark = get_spark(app_name="parity-check")
     con = duckdb.connect()
+    # bound the oracle's resource use: a runaway unrolled-CTE oracle at a
+    # scale-up SF should fail fast, not fill the disk with spill files
+    for pragma in (
+        "SET memory_limit='24GB'",
+        "SET max_temp_directory_size='40GB'",
+    ):
+        try:
+            con.execute(pragma)
+        except duckdb.Error:
+            pass
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -97,6 +118,10 @@ def main() -> int:
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
             statuses[name] = f"rows_only:{len(s_rows)}"
+            continue
+        if name in rows_only_for:
+            print(f"rows  {name}: {len(s_rows)} rows (oracle descaled — rows-only)")
+            statuses[name] = f"rows_only_descaled_oracle:{len(s_rows)}"
             continue
         try:
             res = con.execute(oracles[name])
@@ -135,6 +160,7 @@ def main() -> int:
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "n_checked": len(statuses),
             "all_green": not failures,
+            "rows_only_for": sorted(rows_only_for) or None,
             "queries": statuses,
         }
         with open(json_out, "w") as fh:
