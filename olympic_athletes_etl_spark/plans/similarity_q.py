@@ -2478,10 +2478,13 @@ def s_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY q.vec_id, q.label
     ),
     stats AS (
+      -- moments stay HUGEINT: m*sxx overflows BIGINT past ~1e5-row
+      -- labels (caught by the r11 sf1 sweep); only OUTPUT columns are
+      -- narrowed, per the no-widened-outputs lint
       SELECT label,
-             CAST(count(*) AS BIGINT) AS m,
-             CAST(sum(milli) AS BIGINT) AS sx,
-             CAST(sum(milli * milli) AS BIGINT) AS sxx
+             count(*) AS m,
+             sum(milli) AS sx,
+             sum(milli * milli) AS sxx
       FROM dots GROUP BY label
     )
     SELECT d.vec_id, d.label, d.milli AS centroid_dot_milli,
@@ -2513,8 +2516,12 @@ def s_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized at any corpus scale — then two
     map-side-combinable groupBys (per-vector dot, per-label moments).
     Overflow: qc ~ 1e6, s ~ n_label x 1e6, so sum(qc*s) holds to
-    ~1e5 vectors per label in BIGINT before the dot descaling; beyond
-    that quantize at 1e4 (documented headroom)."""
+    ~1e5 vectors per label in BIGINT before the dot descaling (beyond
+    that quantize at 1e4); the per-label MOMENTS (m*sxx ~ m^3 x 1e12)
+    pass BIGINT far sooner — the r11 sf1 sweep caught m=1990
+    overflowing — so they are carried in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), good to ~1e12-row labels, with outputs still
+    BIGINT/DOUBLE."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -2538,12 +2545,18 @@ def s_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(qc * s) div 1000000 AS BIGINT)").alias("milli")
         )
     )
+    # moment arithmetic in DECIMAL(38,0): milli ~ 1e6 * n_label, so
+    # m*sxx passes BIGINT's 9.2e18 at ~1e5-row labels (the r11 sf1
+    # sweep caught exactly that); decimal38 holds to ~1e12-row labels.
+    # The VALUES are unchanged — same exact integers, wider carrier —
+    # so the sf0.01/sf0.1 gate hashes are identical.
+    mdec = F.col("milli").cast("decimal(38,0)")
     stats = dots.groupBy("label").agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("milli").alias("sx"),
-        F.sum(F.col("milli") * F.col("milli")).alias("sxx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(mdec).alias("sx"),
+        F.sum(mdec * mdec).alias("sxx"),
     )
-    dev = F.col("m") * F.col("milli") - F.col("sx")
+    dev = F.col("m") * F.col("milli").cast("decimal(38,0)") - F.col("sx")
     var_num = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
         dots.join(F.broadcast(stats), "label")
