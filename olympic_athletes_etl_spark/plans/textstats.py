@@ -2456,7 +2456,7 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT doc_id,
-             sum(c) AS n_tokens,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
              count(*) AS n_distinct,
              sum(c * log2(c)) AS clog
       FROM cnt GROUP BY doc_id
