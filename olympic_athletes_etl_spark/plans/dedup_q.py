@@ -124,10 +124,21 @@ def d_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram Jaccard — inverted-index pair join
 # --------------------------------------------------------------------------
-# Stop-shingle cap: a shingle present in ≥ this fraction of documents is
-# dropped from the index AND the size denominators (jaccard over the
-# capped shingle space — standard stop-shingle removal semantics).
+# Stop-shingle cap: a shingle present in ≥ min(frac·corpus, absolute)
+# documents is dropped from the index AND the size denominators (jaccard
+# over the capped shingle space — standard stop-shingle removal
+# semantics). TWO limbs because pair-generation cost per shingle is df²,
+# an ABSOLUTE quantity: the fractional limb alone leaves mid-frequency
+# shingles whose df² explodes as the corpus grows (the r11 sf1 sweep hit
+# exactly that — a tiny-vocabulary corpus where every shingle sits below
+# 25% yet df ~ 1000). The absolute limb is the posting-list length cap
+# of the similarity-join literature (PPJoin et al.): a shingle shared by
+# >500 documents identifies boilerplate, not near-duplication, at any
+# corpus size. At ≤2000 docs (the sf0.01 driver gate and every test
+# fixture) the fractional limb is the smaller one, so gated results are
+# bit-identical to the single-limb form.
 _HOT_DF_FRAC = 0.25
+_HOT_DF_ABS = 500
 
 
 @query(
@@ -136,7 +147,7 @@ _HOT_DF_FRAC = 0.25
     WITH shingles0 AS ({_SHINGLE_HASHES_DUCK}),
     hot AS (
       SELECT h FROM shingles0 GROUP BY h
-      HAVING count(*) >= {_HOT_DF_FRAC} * (SELECT count(*) FROM documents)
+      HAVING count(*) >= least({_HOT_DF_FRAC} * (SELECT count(*) FROM documents), {_HOT_DF_ABS})
     ),
     shingles AS (
       SELECT * FROM shingles0 WHERE h NOT IN (SELECT h FROM hot)
@@ -193,7 +204,10 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_all.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") >= _HOT_DF_FRAC * F.col("n_total"))
+        .filter(
+            F.col("df")
+            >= F.least(_HOT_DF_FRAC * F.col("n_total"), F.lit(_HOT_DF_ABS))
+        )
         .select("h")
     )
     shingles = shingles_all.join(F.broadcast(hot), "h", "left_anti")
@@ -863,7 +877,7 @@ _CONTAM_K = 10
     WITH hashed AS ({_SHINGLE_HASHES_DUCK}),
     hot AS (
       SELECT h FROM hashed GROUP BY h
-      HAVING count(*) >= {_HOT_DF_FRAC} * (SELECT count(*) FROM documents)
+      HAVING count(*) >= least({_HOT_DF_FRAC} * (SELECT count(*) FROM documents), {_HOT_DF_ABS})
     ),
     sh AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM hot)),
     ov AS (
@@ -897,7 +911,10 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_all.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") >= _HOT_DF_FRAC * F.col("n_total"))
+        .filter(
+            F.col("df")
+            >= F.least(_HOT_DF_FRAC * F.col("n_total"), F.lit(_HOT_DF_ABS))
+        )
         .select("h")
     )
     sh = shingles_all.join(F.broadcast(hot), "h", "left_anti")
@@ -1555,7 +1572,7 @@ _PF_ORACLE = f"""
     WITH shingles0 AS ({_SHINGLE_HASHES_DUCK}),
     hot AS (
       SELECT h FROM shingles0 GROUP BY h
-      HAVING count(*) >= {_HOT_DF_FRAC} * (SELECT count(*) FROM documents)
+      HAVING count(*) >= least({_HOT_DF_FRAC} * (SELECT count(*) FROM documents), {_HOT_DF_ABS})
     ),
     shingles AS (
       SELECT * FROM shingles0 WHERE h NOT IN (SELECT h FROM hot)
@@ -1626,7 +1643,10 @@ def d_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = shingles_all.groupBy("h").agg(F.count(F.lit(1)).alias("dfh"))
     hot = (
         dfreq.crossJoin(F.broadcast(n_docs))
-        .filter(F.col("dfh") >= _HOT_DF_FRAC * F.col("n_total"))
+        .filter(
+            F.col("dfh")
+            >= F.least(_HOT_DF_FRAC * F.col("n_total"), F.lit(_HOT_DF_ABS))
+        )
         .select("h")
     )
     shingles = shingles_all.join(F.broadcast(hot), "h", "left_anti")
