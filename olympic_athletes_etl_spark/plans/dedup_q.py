@@ -2040,13 +2040,17 @@ def _url_oracle() -> str:
     ),
     canon AS (
       SELECT doc_id, url,
+             -- 'g' on every step: DuckDB replaces only the FIRST match
+             -- by default while Spark replaces ALL — equivalence must
+             -- not depend on each pattern matching at most once (r12
+             -- ADVICE fix; e.g. a URL with two utm_ segments)
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(lower(url), '#.*$', ''),
-                   '\\?utm_[^#]*', ''),
-                 '^(https://)www\\.', '\\1'),
-               '/$', '') AS curl
+                   regexp_replace(lower(url), '#.*$', '', 'g'),
+                   '\\?utm_[^#]*', '', 'g'),
+                 '^(https://)www\\.', '\\1', 'g'),
+               '/$', '', 'g') AS curl
       FROM raw
     )
     SELECT curl AS canonical_url,

@@ -2479,12 +2479,16 @@ def s_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       -- moments stay HUGEINT: m*sxx overflows BIGINT past ~1e5-row
-      -- labels (caught by the r11 sf1 sweep); only OUTPUT columns are
-      -- narrowed, per the no-widened-outputs lint
+      -- labels (caught by the r11 sf1 sweep); the milli*milli PRODUCT
+      -- must itself be HUGEINT — DuckDB multiplies BIGINTs in INT64
+      -- BEFORE sum() widens, overflowing at |milli| ~ 3e9 (labels only
+      -- a few times sf1 scale). m is widened too so m*milli / m*sxx
+      -- downstream never touch INT64. Only OUTPUT columns are
+      -- narrowed, per the no-widened-outputs lint.
       SELECT label,
-             count(*) AS m,
-             sum(milli) AS sx,
-             sum(milli * milli) AS sxx
+             CAST(count(*) AS HUGEINT) AS m,
+             sum(CAST(milli AS HUGEINT)) AS sx,
+             sum(CAST(milli AS HUGEINT) * milli) AS sxx
       FROM dots GROUP BY label
     )
     SELECT d.vec_id, d.label, d.milli AS centroid_dot_milli,
@@ -2520,7 +2524,15 @@ def s_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     that quantize at 1e4); the per-label MOMENTS (m*sxx ~ m^3 x 1e12)
     pass BIGINT far sooner — the r11 sf1 sweep caught m=1990
     overflowing — so they are carried in DECIMAL(38,0) (Spark) /
-    HUGEINT (DuckDB), good to ~1e12-row labels, with outputs still
+    HUGEINT (DuckDB), with the DuckDB products (milli*milli, m*milli,
+    m*sxx) explicitly pre-widened because DuckDB multiplies BIGINTs in
+    INT64 BEFORE sum() widens (r12 ADVICE fix; |milli| ~ 2e9 already
+    at sf1). Headroom with 38-digit carriers, unit vectors (milli <~
+    1e6*m by Cauchy-Schwarz): the moments themselves (~1e12*m^3) hold
+    to ~4e8-row labels, but the cross-multiplied 2-sigma screen is
+    m^4-order (dev^2 ~ 4e12*m^4), so the binding limit is ~1e6-row
+    labels — beyond that re-quantize milli to coarser units (each
+    10x unit coarsening buys ~3x label headroom). Outputs still
     BIGINT/DOUBLE."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
@@ -2547,9 +2559,10 @@ def s_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # moment arithmetic in DECIMAL(38,0): milli ~ 1e6 * n_label, so
     # m*sxx passes BIGINT's 9.2e18 at ~1e5-row labels (the r11 sf1
-    # sweep caught exactly that); decimal38 holds to ~1e12-row labels.
-    # The VALUES are unchanged — same exact integers, wider carrier —
-    # so the sf0.01/sf0.1 gate hashes are identical.
+    # sweep caught exactly that); decimal38 holds the m^4-order screen
+    # to ~1e6-row labels (see docstring for the derivation). The
+    # VALUES are unchanged — same exact integers, wider carrier — so
+    # the sf0.01/sf0.1 gate hashes are identical.
     mdec = F.col("milli").cast("decimal(38,0)")
     stats = dots.groupBy("label").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),

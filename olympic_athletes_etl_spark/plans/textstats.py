@@ -2458,16 +2458,20 @@ def t_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(sum(c) AS BIGINT) AS n_tokens,
              count(*) AS n_distinct,
-             sum(c * log2(c)) AS clog
+             CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS clog_micro
       FROM cnt GROUP BY doc_id
     )
     SELECT doc_id,
            n_tokens,
            n_distinct,
-           round(log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens, 4)
+           clog_micro,
+           round(log2(CAST(n_tokens AS DOUBLE))
+                 - (clog_micro / 1000000.0) / n_tokens, 4)
              AS entropy_bits,
            CASE WHEN n_distinct > 1 THEN
-             round((log2(CAST(n_tokens AS DOUBLE)) - clog / n_tokens)
+             round((log2(CAST(n_tokens AS DOUBLE))
+                    - (clog_micro / 1000000.0) / n_tokens)
                    / log2(CAST(n_distinct AS DOUBLE)), 4)
            END AS entropy_norm
     FROM agg
@@ -2482,12 +2486,23 @@ def t_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     to t_gopher_quality's two-shuffle plan, so it scales the same way
     (token explode is a narrow map, both aggregates combine map-side).
 
-    Numeric form is entropy = log2(N) - sum(c*log2 c)/N over the integer
-    counts c — every log2 argument is an exact integer in BOTH engines,
-    so the only cross-engine float variance is the summation order of
-    sum(c*log2 c), ~1 ulp against a 4-decimal rounding granule.
-    entropy_norm (entropy / log2(n_distinct)) is null for single-token
-    vocabularies, where normalization is undefined."""
+    Numeric form (r12, per the registry's integer-exact determinism
+    convention): each term c*log2(c) is quantized to MICRO-BIT integers
+    at the (doc, token) row — round(c * log2(c) * 1e6) — and summed as
+    BIGINT, so the per-doc accumulation is order-independent (a plain
+    double sum's value depends on Spark's nondeterministic partition
+    merge order, and per-doc error grows with token count — the r11
+    ADVICE flake risk). Every log2 argument is an exact integer in BOTH
+    engines (single libm call per distinct count, no accumulation);
+    clog_micro is gated exactly, and the entropy_bits/entropy_norm
+    doubles are single deterministic expressions over the exact
+    integers (n_tokens, n_distinct, clog_micro). Quantization bias is
+    bounded by 0.5e-6 * n_distinct/N <= 0.5e-6 bits — three orders
+    below the 4-decimal output granule. Overflow headroom: a term is
+    ~c*log2(c)*1e6 <= N*log2(N)*1e6, so BIGINT holds per-doc sums to
+    ~1e8-token documents. entropy_norm (entropy / log2(n_distinct)) is
+    null for single-token vocabularies, where normalization is
+    undefined."""
     docs = load(spark, sf_dir, "documents")
     cnt = (
         docs.select(
@@ -2496,19 +2511,22 @@ def t_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    clog2 = F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+    clog_q = F.expr(
+        "CAST(round(c * log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.sum(clog2).alias("clog"),
+        F.sum(clog_q).alias("clog_micro"),
     )
-    ent = F.log2(F.col("n_tokens").cast("double")) - F.col("clog") / F.col(
-        "n_tokens"
-    )
+    ent = F.log2(F.col("n_tokens").cast("double")) - (
+        F.col("clog_micro") / F.lit(1000000.0)
+    ) / F.col("n_tokens")
     return agg.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
+        "clog_micro",
         F.round(ent, 4).alias("entropy_bits"),
         F.when(
             F.col("n_distinct") > 1,

@@ -280,11 +280,25 @@ def test_doc_entropy_matches_python_reference(spark, sf_dir):
     for doc_id, text in texts.items():
         c = Counter(text.split(" "))
         n = sum(c.values())
-        ent = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        # mirror the r12 quantized spec: per-term micro-bit integers
+        # (order-independent integer sum), then one double expression
+        clog_micro = sum(
+            int(
+                (lambda x: math.floor(x + 0.5))(v * math.log2(v) * 1000000)
+            )
+            for v in c.values()
+        )
+        ent = math.log2(n) - (clog_micro / 1000000.0) / n
+        ent_exact = math.log2(n) - sum(
+            v * math.log2(v) for v in c.values()
+        ) / n
         row = out[doc_id]
         assert row["n_tokens"] == n
         assert row["n_distinct"] == len(c)
+        assert row["clog_micro"] == clog_micro
         assert abs(row["entropy_bits"] - round(ent, 4)) < 1e-9
+        # quantization bias vs the exact double entropy stays sub-granule
+        assert abs(row["entropy_bits"] - ent_exact) < 1e-4 + 1e-6
         if len(c) > 1:
             assert abs(
                 row["entropy_norm"] - round(ent / math.log2(len(c)), 4)

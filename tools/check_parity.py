@@ -75,6 +75,11 @@ def main() -> int:
     rows_only_for: set[str] = set()
     if "--rows-only-for" in argv:
         i = argv.index("--rows-only-for")
+        if i + 1 >= len(argv):
+            print("usage: check_parity.py [sf_dir] [query ...] "
+                  "[--rows-only-for a,b,c] [--skip a,b,c] [--json OUT]",
+                  file=sys.stderr)
+            return 2
         rows_only_for = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
     # --skip a,b,c: do not run the named queries AT ALL, recording a
@@ -88,6 +93,11 @@ def main() -> int:
     skip: set[str] = set()
     if "--skip" in argv:
         i = argv.index("--skip")
+        if i + 1 >= len(argv):
+            print("usage: check_parity.py [sf_dir] [query ...] "
+                  "[--rows-only-for a,b,c] [--skip a,b,c] [--json OUT]",
+                  file=sys.stderr)
+            return 2
         skip = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
@@ -95,6 +105,18 @@ def main() -> int:
 
     from olympic_athletes_etl_spark.plans import oracle_sql, queries
     from olympic_athletes_etl_spark.session import get_spark
+
+    # A typo'd name in --rows-only-for/--skip would be SILENTLY ignored
+    # while the real query runs with its full oracle — at sf1+ that is
+    # the disk-filling/quadratic failure these flags exist to prevent.
+    # Fail fast on any name not in the registry (r12 ADVICE fix).
+    _unknown = (rows_only_for | skip | only) - set(queries())
+    if _unknown:
+        print(
+            "unknown query name(s): " + ", ".join(sorted(_unknown)),
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark(app_name="parity-check")
     con = duckdb.connect()
