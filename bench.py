@@ -90,14 +90,16 @@ EXTENDED_QUERIES = [
 def ann_phase_timings(spark, sf_dir: str) -> dict[str, float]:
     """Train-vs-serve split for the learned-index ANN queries.
 
-    The registered forms re-fit their quantizers per run, so their
-    extended-section numbers are TRAINING-dominated (~_KM_ITERS coarse +
-    _PQ_M×_PQ_ITERS codebook full-corpus passes before a sub-second
-    search) — a serving-path regression would be invisible under that
-    noise. This section times each phase through the same factored
-    helpers the queries call: the fits once (they're one-per-index-build
-    at deployment; IVFPQ's training is km+pq, reported as the sum), then
-    each serving path against the pre-fitted parameters. Serve timings
+    Without this split the registered forms' numbers would be
+    TRAINING-dominated (~_KM_ITERS coarse + _PQ_M×_PQ_ITERS codebook
+    full-corpus passes before the search) — a serving-path regression
+    would be invisible under that noise. This section times each phase
+    through the same factored helpers the queries call: the fits once,
+    cold, through the process memo (they're one-per-index-build at
+    deployment; IVFPQ's training is km+pq, reported as the sum), then
+    each serving path against the pre-fitted parameters. Because this
+    runs BEFORE the extended section (r12), the registered ANN rows
+    there inherit the warm memo and report serve cost. Serve timings
     include DataFrame construction (the graph build's eager checkpoint
     IS its work) and end in a noop sink like the extended section."""
     import tempfile
@@ -107,12 +109,12 @@ def ann_phase_timings(spark, sf_dir: str) -> dict[str, float]:
         _ivfpq_search_stored,
         _km_ann_search,
         _km_base,
-        _km_fit,
+        _km_fit_for,
         _km_probe_lists,
         _knn_graph_ivf_build,
         _N_PROBE,
         _pq_ann_search,
-        _pq_fit,
+        _pq_fit_for,
         _QUERY_VEC_ID,
         ivfpq_index_build,
         ivfpq_index_load,
@@ -122,11 +124,18 @@ def ann_phase_timings(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     n = _km_base(spark, sf_dir)
+    # Fit through the harness memo (_FIT_CACHE): ann_phases runs BEFORE
+    # the extended section (r12), so the one-per-index-build training
+    # cost lands HERE, on the train: rows — and every registered
+    # IVF/PQ-family query timed afterwards hits the warm memo and shows
+    # its serve cost, which is what it would pay in deployment (the r11
+    # verdict's bench-economics item). Cold-cache timing is preserved:
+    # this is the process's first fit.
     t0 = time.perf_counter()
-    cents = _km_fit(n)
+    cents = _km_fit_for(spark, sf_dir)
     t_km = time.perf_counter() - t0
     t0 = time.perf_counter()
-    books = _pq_fit(n)
+    books = _pq_fit_for(spark, sf_dir)
     t_pq = time.perf_counter() - t0
     out["train:km_fit"] = round(t_km, 3)
     out["train:pq_fit"] = round(t_pq, 3)
@@ -419,6 +428,15 @@ def main() -> None:
 
     timings = median_timings(BENCH_QUERIES, iters)
     ext_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_ITERS", "1")))
+    # Phase splits run BEFORE the extended section (r12): the ANN fits
+    # land on the train: rows and warm the process-level _FIT_CACHE, so
+    # the registered IVF/PQ-family rows below report SERVE cost — the
+    # number a deployment pays per query — instead of re-timing the
+    # one-per-index-build training under every row (the r11 verdict's
+    # bench-economics item; r11 and earlier BENCH records timed the
+    # extended rows cold, so compare r12+ extended ANN rows against the
+    # r11 serve: keys, not its extended rows).
+    ann_phases = ann_phase_timings(spark, sf_dir) if extended_on else {}
     extended = (
         median_timings(EXTENDED_QUERIES, ext_iters, include_build=True)
         if extended_on
@@ -438,7 +456,7 @@ def main() -> None:
     if extended:
         out["extended"] = extended
         out["extended_total"] = round(sum(extended.values()), 3)
-        out["ann_phases"] = ann_phase_timings(spark, sf_dir)
+        out["ann_phases"] = ann_phases
         out["bpe_phases"] = bpe_phase_timings(spark, sf_dir)
         out["store_phases"] = store_phase_timings(spark, sf_dir)
     print(json.dumps(out))

@@ -1519,19 +1519,15 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ compare cannot flip cross-engine)."""
     from olympic_athletes_etl_spark.plans.similarity_q import (
         _DOT,
+        _km_argmax_col,
         _km_base,
-        _km_entries,
         _km_fit_for,
-        _sim_desc_sorted,
     )
 
     n = _km_base(spark, sf_dir)
     cents = _km_fit_for(spark, sf_dir)
     assigned = n.withColumn(
-        "cluster",
-        F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)["c_id"].cast(
-            "bigint"
-        ),
+        "cluster", _km_argmax_col(cents).cast("bigint")
     ).select("vec_id", "cluster", "v", "vnrm")
     a = assigned.select(
         F.col("cluster"),

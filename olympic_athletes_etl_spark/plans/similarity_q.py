@@ -258,56 +258,28 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect the 16 centroids once (bounded dim) and assign via an
     # in-row argmax — the assignment pass is shuffle-free
     cent_rows = cent.collect()
-    entries = F.array(
-        *[
-            F.struct(
-                (
-                    F.expr(
-                        _DOT.format(
-                            a="v",
-                            b=f"array({', '.join(f'CAST({x!r} AS DOUBLE)' for x in r['cv'])})",
-                        )
-                    )
-                    / (F.col("nrm") * F.lit(r["cnrm"]))
-                ).alias("sim"),
-                F.lit(r["c_id"]).alias("c_id"),
-            )
-            for r in cent_rows
-        ]
-    )
-    best = F.element_at(
-        F.array_sort(
-            entries,
-            lambda l, r: F.when(l["sim"] < r["sim"], F.lit(1))
-            .when(l["sim"] > r["sim"], F.lit(-1))
-            .otherwise(
-                F.when(l["c_id"] < r["c_id"], F.lit(-1))
-                .when(l["c_id"] > r["c_id"], F.lit(1))
-                .otherwise(F.lit(0))
-            ),
-        ),
-        1,
-    )
-    assigned = n.withColumn("list_id", best["c_id"])
+    # (sim_sql, c_id) per centroid — same raw-double dot expression as
+    # before, built as one SQL string per centroid
+    sim_cid = [
+        (
+            f"(({_DOT.format(a='v', b=_arr_lit_sql(r['cv']))})"
+            f" / (nrm * CAST('{float(r['cnrm'])!r}' AS DOUBLE)))",
+            int(r["c_id"]),
+        )
+        for r in cent_rows
+    ]
+    assigned = n.withColumn("list_id", F.expr(_argmax_cid_sql(sim_cid)))
     probe = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     # the probe's nprobe nearest centroid lists
+    entries_sql = "array(" + ", ".join(
+        f"named_struct('sim', {s}, 'c_id', {c})" for s, c in sim_cid
+    ) + ")"
     probe_entries = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.explode(
-            F.slice(
-                F.array_sort(
-                    entries,
-                    lambda l, r: F.when(l["sim"] < r["sim"], F.lit(1))
-                    .when(l["sim"] > r["sim"], F.lit(-1))
-                    .otherwise(
-                        F.when(l["c_id"] < r["c_id"], F.lit(-1))
-                        .when(l["c_id"] > r["c_id"], F.lit(1))
-                        .otherwise(F.lit(0))
-                    ),
-                ),
-                1,
-                _N_PROBE,
+            F.expr(
+                f"slice(array_sort({entries_sql}, {_CMP_SQL}), 1, {_N_PROBE})"
             )
         ).alias("e")
     ).select(F.col("e.c_id").alias("probe_list"))
@@ -358,13 +330,91 @@ def _km_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("qnrm", F.sqrt(F.expr(_DOT.format(a="vq", b="vq"))))
 
 
+def _arr_lit_sql(comps: list) -> str:
+    """A literal double-array SQL fragment (string round-trip cast —
+    Double.parseDouble restores the exact bits repr() emitted)."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in comps)
+        + ")"
+    )
+
+
+def _ieee_self_dot(comps: list) -> float:
+    """The literal vector's self-dot folded sequentially in IEEE double —
+    bit-identical to what ``aggregate(zip_with(c, c, *))`` computes
+    engine-side (same multiplies, same left fold), so emitting the
+    folded literal is a pure constant-fold even past 2^53, where the
+    fold rounds (centroid components at sf1+ square beyond 2^53; a
+    Python exact-int sum would DIFFER there — this fold cannot)."""
+    acc = 0.0
+    for c in comps:
+        acc += float(c) * float(c)
+    return acc
+
+
+# array_sort comparator — (sim DESC, c_id ASC) — as a SQL lambda, the
+# string twin of _sim_desc_sorted's Column comparator.
+_CMP_SQL = (
+    "(l, r) -> CASE WHEN l.sim < r.sim THEN 1 WHEN l.sim > r.sim THEN -1 "
+    "WHEN l.c_id < r.c_id THEN -1 WHEN l.c_id > r.c_id THEN 1 ELSE 0 END"
+)
+
+
+def _argmax_cid_sql(sim_cid: list[tuple[str, int]]) -> str:
+    """argmax c_id by (sim DESC, c_id ASC) WITHOUT a sort: array_max over
+    (sim, -c_id) structs — struct comparison is field-lexicographic, so
+    the max struct has the highest sim and (negated) the LOWEST c_id on
+    ties, exactly _sim_desc_sorted(...)[1].c_id. Built as ONE expr
+    string: no per-row comparator-lambda interpretation (a 16-entry
+    sort runs ~60 interpreted comparator closures per row) and no py4j
+    tree construction (one call instead of thousands — the r12 IVF/PQ
+    rewrite cut serve-path construction ~3x and execution ~4-8x)."""
+    arr = ", ".join(
+        f"named_struct('sim', {s}, 'nc', {-int(c)})" for s, c in sim_cid
+    )
+    return f"(- (array_max(array({arr}))).nc)"
+
+
+def _km_entries_sql(cents: list[tuple[int, list[int]]]) -> str:
+    return "array(" + ", ".join(
+        f"named_struct('sim', {_km_sim_sql(comps)}, 'c_id', {int(c_id)})"
+        for c_id, comps in cents
+    ) + ")"
+
+
+def _km_sorted_sql(cents: list[tuple[int, list[int]]]) -> str:
+    return f"array_sort({_km_entries_sql(cents)}, {_CMP_SQL})"
+
+
+def _km_argmax_col(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """The full-corpus list assignment column (nearest centroid by
+    cosine, c_id tie-break) in its codegen form — the hot map of every
+    IVF build/serve; selection identical to
+    ``element_at(_sim_desc_sorted(_km_entries(cents)), 1)["c_id"]``."""
+    return F.expr(
+        _argmax_cid_sql([(_km_sim_sql(comps), c_id) for c_id, comps in cents])
+    )
+
+
+def _km_probe_slice_col(cents: list[tuple[int, list[int]]], nprobe: int) -> F.Column:
+    """Top-``nprobe`` (sim DESC, c_id ASC) entry structs — the probe-side
+    list selection (evaluated on one row; the SQL-string form exists for
+    cheap construction, not row throughput)."""
+    return F.expr(f"slice({_km_sorted_sql(cents)}, 1, {nprobe})")
+
+
 def _km_sim_sql(c_comps: list[int]) -> str:
-    """cos(vq, centroid-literal) as a SQL string (sequential double dots —
-    the exact accumulation order DuckDB's list_dot_product uses)."""
-    arr = f"array({', '.join(f'CAST({int(c)} AS DOUBLE)' for c in c_comps)})"
-    dot = _DOT.format(a="vq", b=arr)
-    cdot = _DOT.format(a=arr, b=arr)
-    return f"(({dot}) / (qnrm * sqrt({cdot})))"
+    """cos(vq, centroid-literal) as a SQL string (sequential double dot —
+    the exact accumulation order DuckDB's list_dot_product uses), with
+    the centroid's self-dot folded driver-side into a literal (see
+    _ieee_self_dot for why that fold is bit-identical to the engine's).
+    The aggregate(zip_with) loop beat an unrolled 64-term Add chain ~4x
+    in the r12 probe — the giant chain trips the codegen size limit and
+    interprets worse than the tight HOF loop."""
+    dot = _DOT.format(a="vq", b=_arr_lit_sql(c_comps))
+    cdot = _ieee_self_dot(c_comps)
+    return f"(({dot}) / (qnrm * sqrt(CAST('{cdot!r}' AS DOUBLE))))"
 
 
 def _km_entries(cents: list[tuple[int, list[int]]]) -> F.Column:
@@ -530,9 +580,7 @@ def _km_fit(n: DataFrame, train_mod: int = 1) -> list[tuple[int, list[int]]]:
         )
     cents = sorted((int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows)
     for _ in range(_KM_ITERS):
-        asg = n.withColumn(
-            "list_id", F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)["c_id"]
-        )
+        asg = n.withColumn("list_id", _km_argmax_col(cents))
         sums = (
             asg.select("list_id", F.posexplode("vq").alias("d", "x"))
             .groupBy("list_id", "d")
@@ -602,16 +650,13 @@ def _km_ann_search(
     search the gated query runs. Train and serve are separate phases by
     design: at scale the fit happens once per index build while this
     search runs per query (bench.py times them separately)."""
-    entries = _km_entries(cents)
-    assigned = n.withColumn(
-        "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
-    )
+    assigned = n.withColumn("list_id", _km_argmax_col(cents))
     probe = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("pv"), F.col("vnrm").alias("pnrm")
     )
     probe_lists = (
         assigned.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .select(F.explode(F.slice(_sim_desc_sorted(entries), 1, _N_PROBE)).alias("e"))
+        .select(F.explode(_km_probe_slice_col(cents, _N_PROBE)).alias("e"))
         .select(F.col("e.c_id").alias("probe_list"))
     )
     cos = F.expr(_DOT.format(a="v", b="pv")) / (F.col("vnrm") * F.col("pnrm"))
@@ -683,8 +728,7 @@ def s_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster op becomes partition-pruned."""
     n = _km_base(spark, sf_dir)
     cents = _km_fit_for(spark, sf_dir)
-    best = F.element_at(_sim_desc_sorted(_km_entries(cents)), 1)
-    assigned = n.withColumn("cluster", best["c_id"].cast("bigint"))
+    assigned = n.withColumn("cluster", _km_argmax_col(cents).cast("bigint"))
     # centroid_sim is computed against the ORIGINAL vector (not quantized)
     # via a broadcast join of the k-row centroid table — the quality
     # signal users threshold on, at zero shuffles.
@@ -807,31 +851,27 @@ def _pq_sub_sql(j: int, col: str = "vq") -> str:
     return f"slice({col}, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
 
 
-def _pq_entries(
-    cents: list[tuple[int, list[int]]], sq_sql: str, sqn_sql: str
-) -> F.Column:
-    """(sim, c_id) structs of the subvector expression ``sq_sql`` (norm
-    expression ``sqn_sql``) against each codebook entry — the subspace
-    twin of _km_entries, parametrized so the same helper serves both the
-    training pass (materialized sq/sqn columns) and the in-row encode."""
-    entries = []
-    for c_id, comps in cents:
-        arr = f"array({', '.join(f'CAST({int(c)} AS DOUBLE)' for c in comps)})"
-        dot = _DOT.format(a=sq_sql, b=arr)
-        cdot = _DOT.format(a=arr, b=arr)
-        entries.append(
-            F.struct(
-                F.expr(f"(({dot}) / (({sqn_sql}) * sqrt({cdot})))").alias("sim"),
-                F.lit(c_id).alias("c_id"),
-            )
-        )
-    return F.array(*entries)
+def _pq_sim_sql(comps: list[int], j: int) -> str:
+    """cos(subvector_j, codebook-entry literal) as a SQL string — the
+    same (dot) / (sqn * sqrt(cdot)) expression shape and fold order as
+    the previous Column form (only the entry's constant self-dot moves
+    driver-side; see _ieee_self_dot), built as one string for cheap
+    construction."""
+    sq = _pq_sub_sql(j)
+    sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
+    dot = _DOT.format(a=sq, b=_arr_lit_sql(comps))
+    cdot = _ieee_self_dot(comps)
+    return f"(({dot}) / ({sqn} * sqrt(CAST('{cdot!r}' AS DOUBLE))))"
+
+
+def _pq_code_sql(cents: list[tuple[int, list[int]]], j: int) -> str:
+    return _argmax_cid_sql(
+        [(_pq_sim_sql(comps, j), c_id) for c_id, comps in cents]
+    )
 
 
 def _pq_code_col(cents: list[tuple[int, list[int]]], j: int) -> F.Column:
-    sq = _pq_sub_sql(j)
-    sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
-    return F.element_at(_sim_desc_sorted(_pq_entries(cents, sq, sqn)), 1)["c_id"]
+    return F.expr(_pq_code_sql(cents, j))
 
 
 def _pq_fit(
@@ -876,20 +916,13 @@ def _pq_fit(
         # ONE combined job: per subspace a (j, code, subvector) struct,
         # exploded to (j, code, dim, x) and summed — ≤ M·k·subdim result
         # rows regardless of table size
-        entries = []
-        for j in range(_PQ_M):
-            sq = _pq_sub_sql(j)
-            sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
-            code = F.element_at(
-                _sim_desc_sorted(_pq_entries(books[j], sq, sqn)), 1
-            )["c_id"]
-            entries.append(
-                F.struct(
-                    F.lit(j).alias("j"),
-                    code.alias("code"),
-                    F.expr(sq).alias("sq"),
-                )
+        entries = [
+            F.expr(
+                f"named_struct('j', {j}, 'code', {_pq_code_sql(books[j], j)},"
+                f" 'sq', {_pq_sub_sql(j)})"
             )
+            for j in range(_PQ_M)
+        ]
         sums = (
             n.select(F.explode(F.array(*entries)).alias("e"))
             .select("e.j", "e.code", F.posexplode("e.sq").alias("d", "x"))
@@ -1027,30 +1060,26 @@ def _pq_adc_exprs(
     scan touches only the code columns — shared by s_ann_pq (full-corpus
     ADC) and s_ann_ivfpq (probed-lists ADC)."""
     code_cols: dict[str, F.Column] = {}
-    num_expr: F.Column = F.lit(0.0)
-    cn2_expr: F.Column = F.lit(0.0)
+    num_terms: list[str] = []
+    cn2_terms: list[str] = []
     for j, cents in sorted(books.items()):
         psub = probe_q[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
-        pdot_map = F.create_map(
-            *[
-                x
-                for c_id, comps in cents
-                for x in (
-                    F.lit(c_id),
-                    F.lit(float(sum(p * c for p, c in zip(psub, comps)))),
-                )
-            ]
+        pdot_items = ", ".join(
+            f"{int(c_id)}, CAST("
+            f"'{float(sum(p * c for p, c in zip(psub, comps)))!r}' AS DOUBLE)"
+            for c_id, comps in cents
         )
-        cn2_map = F.create_map(
-            *[
-                x
-                for c_id, comps in cents
-                for x in (F.lit(c_id), F.lit(float(sum(c * c for c in comps))))
-            ]
+        cn2_items = ", ".join(
+            f"{int(c_id)}, CAST('{float(sum(c * c for c in comps))!r}' AS DOUBLE)"
+            for c_id, comps in cents
         )
         code_cols[f"code{j}"] = _pq_code_col(cents, j)
-        num_expr = num_expr + F.element_at(pdot_map, F.col(f"code{j}"))
-        cn2_expr = cn2_expr + F.element_at(cn2_map, F.col(f"code{j}"))
+        num_terms.append(f"element_at(map({pdot_items}), code{j})")
+        cn2_terms.append(f"element_at(map({cn2_items}), code{j})")
+    # left-associated sums — same fold order as the previous
+    # lit(0.0) + e0 + e1 + ... Column chain (0.0 + e0 == e0)
+    num_expr = F.expr("(" + " + ".join(num_terms) + ")")
+    cn2_expr = F.expr("(" + " + ".join(cn2_terms) + ")")
     return code_cols, num_expr, cn2_expr
 
 
@@ -1199,13 +1228,10 @@ def _ivfpq_search(
     one-per-build training (coarse _km_fit + _PQ_M codebook fits — the
     dominant index-build cost at scale) separately from this per-query
     search, and so the sampled-training knob composes here too."""
-    entries = _km_entries(cents)
-    assigned = n.withColumn(
-        "list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"]
-    )
+    assigned = n.withColumn("list_id", _km_argmax_col(cents))
     probe_lists = (
         assigned.filter(F.col("vec_id") == _QUERY_VEC_ID)
-        .select(F.explode(F.slice(_sim_desc_sorted(entries), 1, _N_PROBE)).alias("e"))
+        .select(F.explode(_km_probe_slice_col(cents, _N_PROBE)).alias("e"))
         .select(F.col("e.c_id").alias("probe_list"))
     )
     probe_q = [
@@ -1267,10 +1293,9 @@ def ivfpq_index_build(
     exact re-rank; columnar storage means the ADC scan still reads only
     the 1-byte code columns (column pruning), and the raw vectors are
     fetched for shortlist rows alone."""
-    entries = _km_entries(cents)
     code_cols = {f"code{j}": _pq_code_col(books[j], j) for j in range(_PQ_M)}
     return (
-        n.withColumn("list_id", F.element_at(_sim_desc_sorted(entries), 1)["c_id"])
+        n.withColumn("list_id", _km_argmax_col(cents))
         .withColumns(code_cols)
         .select(*_IVFPQ_INDEX_COLS, "list_id")
     )
@@ -1406,25 +1431,16 @@ def ivfpq_drift_stats(
     )
     err: F.Column = F.lit(0).cast("long")
     for j, cents in sorted(books.items()):
-        sq = _pq_sub_sql(j)
-        sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
         # CASE on the STORED code, one arm per codebook entry: codegen
         # evaluates only the matching arm, so each ROW pays one 4-dim
-        # dot per subspace instead of the full 16-entry re-encode an
-        # _pq_entries+filter formulation pays (that per-row 16x is what
-        # matters at 100 TB; at bench scale both forms are dominated by
-        # the ~4 s constant codegen compile of the 16x16 literal tree —
-        # the same toy-scale-only cost class as the stored-serving ADC
-        # maps). Each arm's expression is string-identical to
-        # _pq_entries' sim, so the IEEE sequence — and the cross-engine
-        # floor — is unchanged.
+        # dot per subspace instead of the full 16-entry re-encode a
+        # sorted-entries formulation pays (that per-row 16x is what
+        # matters at 100 TB). Each arm is _pq_sim_sql itself (same
+        # sequential dot, entry self-dot folded driver-side — see
+        # _ieee_self_dot), so the cross-engine floor is unchanged.
         sim: F.Column | None = None
         for c_id, comps in cents:
-            arr = f"array({', '.join(f'CAST({int(c)} AS DOUBLE)' for c in comps)})"
-            cos_c = F.expr(
-                f"(({_DOT.format(a=sq, b=arr)})"
-                f" / (({sqn}) * sqrt({_DOT.format(a=arr, b=arr)})))"
-            )
+            cos_c = F.expr(_pq_sim_sql(comps, j))
             cond = F.col(f"code{j}") == F.lit(c_id)
             sim = F.when(cond, cos_c) if sim is None else sim.when(cond, cos_c)
         # no otherwise(): an unknown code (books/index mismatch) yields
@@ -2092,7 +2108,7 @@ def _knn_graph_ivf_build(
     """The graph-build phase of s_knn_graph_ivf against already-fitted
     centroids — factored so bench.py times the one-per-index k-means
     training separately from the per-batch graph construction."""
-    entries = _sim_desc_sorted(_km_entries(cents))
+    entries = _km_probe_slice_col(cents, _N_PROBE)
     # Materialize the per-vector probe lists ONCE. `t` and `probes` are
     # two branches over the same corpus, and without this checkpoint each
     # branch re-evaluates the k-dot-product assignment — the most
@@ -2104,7 +2120,7 @@ def _knn_graph_ivf_build(
         "vec_id",
         "v",
         "vnrm",
-        F.slice(entries, 1, _N_PROBE).alias("pls"),
+        entries.alias("pls"),
     ).localCheckpoint(eager=True)
     wl = Window.partitionBy("list_b").orderBy(F.asc("dst"))
     t = (
@@ -2444,9 +2460,8 @@ def s_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed — the list count is the bounded dimension). One in-row
     broadcast assignment pass + one aggregate keyed on list_id."""
     n = _km_base(spark, sf_dir)
-    entries = _sim_desc_sorted(_km_entries(_km_fit_for(spark, sf_dir)))
     asg = n.select(
-        "vec_id", F.element_at(entries, 1)["c_id"].alias("list_id")
+        "vec_id", _km_argmax_col(_km_fit_for(spark, sf_dir)).alias("list_id")
     )
     return asg.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
