@@ -2113,3 +2113,114 @@ def d_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sentence-level exact dedup — the CCNet / RefinedWeb LINE-dedup pass
+# (Wenzek et al. 2020 §2.1 "deduplicating paragraphs"; Penedo et al.
+# 2023 §3.3 line-wise filtering): before any document-level MinHash, a
+# crawl pipeline removes the individual sentences/lines that repeat
+# across documents (navigation chrome, cookie banners, boilerplate).
+# The driver corpus has no newline structure, so a "sentence" is the
+# deterministic proxy both engines can compute identically: consecutive
+# NON-overlapping 12-token segments (contrast d_substring_dup's
+# stride-1 windows — that is the unaligned-substring detector; this is
+# the segment-level removal pass with a keep-first policy).
+# --------------------------------------------------------------------------
+_SENT_LEN = 12
+
+
+def _sentence_oracle() -> str:
+    return f"""
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(toks)/{_SENT_LEN}.0) AS INT) - 1),
+               i -> struct_pack(
+                 h := md5(array_to_string(
+                        list_slice(toks, i*{_SENT_LEN}+1, i*{_SENT_LEN}+{_SENT_LEN}),
+                        ' ')),
+                 l := len(list_slice(toks, i*{_SENT_LEN}+1,
+                                     i*{_SENT_LEN}+{_SENT_LEN}))))) AS e
+      FROM sp
+    ),
+    x AS (SELECT doc_id, e.h AS h, e.l AS l FROM s),
+    g AS (
+      SELECT h, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS keeper
+      FROM x GROUP BY h
+    )
+    SELECT x.doc_id,
+           count(*) AS n_sentences,
+           CAST(count(*) FILTER (WHERE g.ndocs >= 2) AS BIGINT)
+             AS n_dup_sentences,
+           CAST(sum(CASE WHEN g.ndocs = 1 OR g.keeper = x.doc_id
+                         THEN x.l ELSE 0 END) AS BIGINT) AS kept_tokens,
+           round(CAST(count(*) FILTER (WHERE g.ndocs >= 2) AS DOUBLE)
+                 / count(*), 4) AS dup_sentence_ratio
+    FROM x JOIN g USING (h)
+    GROUP BY 1
+    """
+
+
+@query("d_sentence_dedup", oracle=_sentence_oracle())
+def d_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sentence-level exact dedup with a keep-first
+    policy — the line-dedup pass every crawl pipeline runs BEFORE
+    doc-level MinHash (CCNet's paragraph dedup, RefinedWeb's line-wise
+    correction). Per document: its sentence count, how many of its
+    sentences also occur verbatim in ANOTHER document, the tokens it
+    would retain after dropping every cross-doc-duplicated sentence it
+    does not own (owner = min doc_id, the registry's keep-first
+    survivor convention, cf. d_url_dedup), and the dup-sentence ratio
+    (the CCNet signal for chrome-heavy pages).
+
+    Sentences are non-overlapping 12-token segments (see module note:
+    the corpus has no newline/punctuation structure, so the segment is
+    the deterministic cross-engine sentence proxy); the trailing
+    partial segment is kept — dropping it would hide tail boilerplate.
+    Within-doc repeats (ndocs == 1) are NOT flagged: this pass targets
+    cross-document chrome; d_substring_dup's stride-1 windows cover
+    unaligned/intra-doc repetition.
+
+    Plan shape (identical scale story to d_substring_dup): in-row
+    segment + md5 (one narrow map, whole-stage codegen), ONE shuffle
+    keyed on the 16-byte sentence hash (uniform by construction — never
+    on doc_id) for the distinct-doc count + keeper, a hash-keyed join
+    back, then the per-doc aggregate. A boilerplate sentence shared by
+    millions of docs is ONE group row on the build side and combines
+    map-side on the count side, so the hot-key story is the hash-agg
+    one, not a pair-join blowup — this pass generates NO pairs, which
+    is exactly why it runs first at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    seg = (
+        f"transform(sequence(0, CAST(ceil(size(toks)/{_SENT_LEN}.0) AS INT) - 1), "
+        f"i -> named_struct("
+        f"'h', md5(CAST(array_join(slice(toks, i*{_SENT_LEN}+1, {_SENT_LEN}), ' ') AS BINARY)), "
+        f"'l', size(slice(toks, i*{_SENT_LEN}+1, {_SENT_LEN}))))"
+    )
+    x = (
+        docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+        .select("doc_id", F.explode(F.expr(seg)).alias("e"))
+        .select("doc_id", F.col("e.h").alias("h"), F.col("e.l").alias("l"))
+    )
+    g = x.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("ndocs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    dup = F.col("ndocs") >= 2
+    kept = F.when(~dup | (F.col("keeper") == F.col("doc_id")), F.col("l")).otherwise(
+        F.lit(0)
+    )
+    return (
+        x.join(g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(dup.cast("int")).cast("bigint").alias("n_dup_sentences"),
+            F.sum(kept).cast("bigint").alias("kept_tokens"),
+            F.round(
+                F.sum(dup.cast("int")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_sentence_ratio"),
+        )
+    )

@@ -86,3 +86,68 @@ def test_prefix_filter_join_equals_exact_inverted_index(spark, sf_dir):
     }
     assert pruned == exact
     assert exact  # non-vacuous at the test SF
+
+
+def test_sentence_dedup_recall_vs_stride1_windows(spark, sf_dir):
+    """Sentence-segment dedup (d_sentence_dedup's candidate layer) vs
+    the EXACT stride-1 window form at the same length (_SENT_LEN):
+
+    - recall: every doc pair sharing ANY 12-token stride-1 window must
+      also share an aligned sentence on this corpus (duplicated spans
+      in the driver testdata are offset-aligned, so the pigeonhole
+      holds empirically; assert >= 0.95 so a segmentation bug — wrong
+      stride, dropped tail — fails loudly);
+    - precision: every shared FULL-LENGTH sentence IS a stride-1 window
+      by construction, so full-sentence pairs ⊆ window pairs EXACTLY
+      (shorter trailing segments may legitimately pair docs the window
+      form cannot see — they are the tail-boilerplate catches)."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.dedup_q import _SENT_LEN
+    from olympic_athletes_etl_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ", -1).alias("toks")
+    )
+    sent = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks)/{_SENT_LEN}.0) AS INT) - 1),"
+                f" i -> named_struct("
+                f"'h', md5(CAST(array_join(slice(toks, i*{_SENT_LEN}+1, {_SENT_LEN}), ' ') AS BINARY)),"
+                f" 'l', size(slice(toks, i*{_SENT_LEN}+1, {_SENT_LEN}))))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.h").alias("h"), F.col("e.l").alias("l"))
+    win = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {_SENT_LEN} THEN"
+                f" transform(sequence(1, size(toks) - {_SENT_LEN} + 1),"
+                f" s -> md5(CAST(array_join(slice(toks, s, {_SENT_LEN}), ' ') AS BINARY)))"
+                f" ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("h"),
+    )
+
+    def pairs(df):
+        a = df.select(F.col("doc_id").alias("x"), "h")
+        b = df.select(F.col("doc_id").alias("y"), "h")
+        return {
+            (r["x"], r["y"])
+            for r in a.join(b, "h")
+            .filter(F.col("x") < F.col("y"))
+            .select("x", "y")
+            .distinct()
+            .collect()
+        }
+
+    spairs = pairs(sent.select("doc_id", "h"))
+    fullpairs = pairs(sent.filter(F.col("l") == _SENT_LEN).select("doc_id", "h"))
+    wpairs = pairs(win)
+    assert len(wpairs) > 0  # vacuous yardstick proves nothing
+    assert fullpairs <= wpairs  # aligned full segment ⇒ stride-1 window
+    recall = len(spairs & wpairs) / len(wpairs)
+    assert recall >= 0.95, f"sentence recall {recall:.3f} < 0.95"
