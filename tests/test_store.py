@@ -421,3 +421,44 @@ def test_keep_last_retains_reader_window(spark, sf_dir, tmp_path):
     store.compact(spark)
     assert not os.path.exists(os.path.join(store.path, "gen-0"))  # aged out
     assert os.path.exists(os.path.join(store.path, "gen-1"))
+
+
+def test_keep_last_reader_survives_concurrent_compact_midscan(
+    spark, sf_dir, tmp_path
+):
+    """The r11 ADVICE reader-vs-GC contract, driven end-to-end: a reader
+    that is MID-MATERIALIZATION when a concurrent maintenance process
+    (a second GenStore handle on the same path — its own lock cycle,
+    like a real compactor) commits gen-1 must still drain to exactly
+    the gen-0 content under keep_last=2; and once the retention window
+    ages gen-0 out, re-materializing that stale plan fails LOUDLY
+    (missing files), which is the documented size-keep_last-to-your-
+    longest-reader contract — not silent wrong answers."""
+    import pytest
+
+    orders = _orders(spark, sf_dir)
+    store = GenStore(str(tmp_path / "s"), [_SPEC], keep_last=2)
+    store.create({"": _partials(orders)})
+    reader = store.load(spark)[""]  # lazy plan pinned to gen-0 files
+    expected = sorted(tuple(r) for r in reader.collect())
+    assert len(expected) > 1
+
+    it = reader.toLocalIterator()  # partition-at-a-time materialization
+    first = tuple(next(it))  # gen-0 scan is now in flight
+    # a SEPARATE handle compacts mid-scan (merge folds partials, so the
+    # new generation's content layout differs from gen-0's)
+    GenStore(str(tmp_path / "s"), [_SPEC], keep_last=2).compact(spark)
+    assert os.path.exists(os.path.join(store.path, "gen-1"))
+    drained = sorted([first] + [tuple(r) for r in it])
+    assert drained == expected  # mid-scan reader saw ONLY gen-0
+
+    # the same lazy plan fully re-materializes inside the window...
+    assert sorted(tuple(r) for r in reader.collect()) == expected
+    # ...and fails loudly once the window moves past gen-0
+    store.compact(spark)
+    assert not os.path.exists(os.path.join(store.path, "gen-0"))
+    with pytest.raises(Exception):
+        reader.count()
+    # new loads are unaffected: they resolve the current generation
+    fresh = store.load(spark)[""]
+    assert fresh.count() > 0
