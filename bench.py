@@ -409,16 +409,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    spreads: dict[str, dict[str, float]] = {}
+
     def median_timings(
         names: list[str], n_iters: int, include_build: bool = False
     ) -> dict[str, float]:
         # Round-robin over the query list (not back-to-back repeats of
         # one query) so iteration i of every query sees comparable
-        # JVM/GC state.
+        # JVM/GC state. Min/max across iterations land in ``spreads``
+        # (reported as "<section>_spread" when n_iters > 1) so a
+        # round-over-round delta can be attributed: a regression inside
+        # the prior round's spread band is load noise, outside it is
+        # real (the r11 d_dup_clusters_star ±30% lesson).
         samples: dict[str, list[float]] = {name: [] for name in names}
         for _ in range(n_iters):
             for name in names:
                 samples[name].append(run(name, include_build))
+        if n_iters > 1:
+            for name, ts in samples.items():
+                spreads[name] = {
+                    "min": round(min(ts), 3),
+                    "max": round(max(ts), 3),
+                }
         return {
             name: round(statistics.median(ts), 3)
             for name, ts in samples.items()
@@ -453,6 +465,8 @@ def main() -> None:
         "load1": _load1(),
         "load1_ambient": load1_ambient,
     }
+    if spreads:
+        out["query_spread"] = dict(spreads)
     if extended:
         out["extended"] = extended
         out["extended_total"] = round(sum(extended.values()), 3)
