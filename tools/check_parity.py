@@ -100,6 +100,27 @@ def main() -> int:
             return 2
         skip = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
+    # --count-only-for a,b,c: run BOTH engines but compare row counts
+    # only (Spark .count(), the oracle wrapped in SELECT count(*)).
+    # For scale-up sweeps where the OUTPUT is data-proportional (pair
+    # lists, per-lineitem projections — 10M-150M rows at sf10): the
+    # bottleneck is the driver/Python round-trip of the collect-based
+    # value compare, not either engine. The VALUE gate for these stands
+    # at the largest collectable scale (sf1 collected up to 15M rows);
+    # a scale bug still fails loudly here (ANSI overflow errors, count
+    # divergence). Note Spark's count() can prune projection work for
+    # narrow-map queries — this records engine-runs + cardinality
+    # parity, not value parity, and the sweep JSON says so.
+    count_only: set[str] = set()
+    if "--count-only-for" in argv:
+        i = argv.index("--count-only-for")
+        if i + 1 >= len(argv):
+            print("usage: check_parity.py [sf_dir] [query ...] "
+                  "[--count-only-for a,b,c] [--json OUT]",
+                  file=sys.stderr)
+            return 2
+        count_only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -110,7 +131,7 @@ def main() -> int:
     # while the real query runs with its full oracle — at sf1+ that is
     # the disk-filling/quadratic failure these flags exist to prevent.
     # Fail fast on any name not in the registry (r12 ADVICE fix).
-    _unknown = (rows_only_for | skip | only) - set(queries())
+    _unknown = (rows_only_for | skip | count_only | only) - set(queries())
     if _unknown:
         print(
             "unknown query name(s): " + ", ".join(sorted(_unknown)),
@@ -148,6 +169,56 @@ def main() -> int:
             print(f"skip  {name} (documented quadratic yardstick at this scale)")
             statuses[name] = "skipped_at_scale"
             continue
+        if name in count_only:
+            try:
+                s_n = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                failures.append(
+                    f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}"
+                )
+                print(f"FAIL  {name} (spark error)")
+                statuses[name] = "spark_error"
+                continue
+            try:
+                d_n = con.execute(
+                    f"SELECT count(*) FROM ({oracles[name]}) AS _t"
+                ).fetchone()[0]
+            except Exception as e:  # noqa: BLE001
+                failures.append(
+                    f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:400]}"
+                )
+                print(f"FAIL  {name} (oracle error)")
+                statuses[name] = "oracle_error"
+                continue
+            if s_n != d_n:
+                failures.append(
+                    f"{name}: rowcount spark={s_n} duckdb={d_n} (count-only)"
+                )
+                print(f"FAIL  {name} (count mismatch)")
+                statuses[name] = f"mismatch: rowcount {s_n} vs {d_n}"
+            else:
+                print(f"cnt   {name}: {s_n} rows (count-only at this scale)")
+                statuses[name] = f"count_only_at_scale:{s_n}"
+            continue
+        if name in rows_only_for:
+            # Spark-side .count() — the full plan executes (these are
+            # join/aggregate shapes, not bare projections), but the row
+            # OBJECTS never round-trip to the Python driver: at sweep
+            # scales a quadratic candidate set (e.g. cross-replica
+            # near-dup pairs under K-fold replication) can be
+            # driver-memory-sized even when the engine handles it fine.
+            try:
+                s_n = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                failures.append(
+                    f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}"
+                )
+                print(f"FAIL  {name} (spark error)")
+                statuses[name] = "spark_error"
+                continue
+            print(f"rows  {name}: {s_n} rows (oracle descaled — rows-only)")
+            statuses[name] = f"rows_only_descaled_oracle:{s_n}"
+            continue
         try:
             sdf = fn(spark, sf_dir)
             s_names = list(sdf.columns)
@@ -160,10 +231,6 @@ def main() -> int:
         if name not in oracles:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only)")
             statuses[name] = f"rows_only:{len(s_rows)}"
-            continue
-        if name in rows_only_for:
-            print(f"rows  {name}: {len(s_rows)} rows (oracle descaled — rows-only)")
-            statuses[name] = f"rows_only_descaled_oracle:{len(s_rows)}"
             continue
         try:
             res = con.execute(oracles[name])
@@ -203,6 +270,7 @@ def main() -> int:
             "n_checked": len(statuses),
             "all_green": not failures,
             "rows_only_for": sorted(rows_only_for) or None,
+            "count_only_for": sorted(count_only) or None,
             "skipped_at_scale": sorted(skip) or None,
             "queries": statuses,
         }
