@@ -31,7 +31,8 @@ from olympic_athletes_etl_spark.plans.tables import load
     SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS VARCHAR) AS win_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -46,7 +47,10 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("string").alias("win_start"),
@@ -283,7 +287,8 @@ def e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(range(236676, 236689)) AS k)
     )
     SELECT w.win_id, count(e.event_id) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM wins w LEFT JOIN events e
       ON e.ts >= w.win_start AND e.ts < w.win_end
     GROUP BY w.win_id
@@ -320,7 +325,10 @@ def e_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("win_id").agg(
         F.count("event_id").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.expr(
+                "CAST(sum(CAST(round(value * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("total_value"),
     )
 
 

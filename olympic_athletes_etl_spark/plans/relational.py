@@ -754,7 +754,9 @@ def r_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(l_linestatus, '<all>') AS linestatus,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                // 100 AS DOUBLE) / 100.0 AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -766,10 +768,16 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded grouping id, not one job per level. NULL grouping cells are
     labeled so the oracle hash can't confuse them with real NULL data."""
     lineitem = load(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    # exact integer revenue units; DIV-truncate to cents (the r12
+    # sf10 double-sum lesson — see plans/tpch.py _REV_INT)
+    rev_sum = F.expr(
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+        " DIV 100 AS DOUBLE) / 100.0"
+    )
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .agg(rev_sum.alias("revenue"), F.count(F.lit(1)).alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),

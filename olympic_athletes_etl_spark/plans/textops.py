@@ -184,7 +184,8 @@ def c_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'high' END AS bucket,
            o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total
     FROM orders
     WHERE o_totalprice BETWEEN 1000 AND 500000
     GROUP BY 1, 2
@@ -208,7 +209,10 @@ def c_conditional_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("total"),
         )
     )
 

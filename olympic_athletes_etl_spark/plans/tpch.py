@@ -28,6 +28,36 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
+# Money SUMS accumulate in exact integer units and convert to dollars
+# once at the end (tpch_extra's _REV_INT convention, applied here after
+# the r12 sf10 sweep caught the raw-double-sum class on
+# c_conditional_bucket — the a_gini_spend/r5 failure one decade later):
+# price-cents x (100 - discount-cents) is an exact x1e4 integer per row
+# (the money columns carry exactly 2 decimals), bigint sums are
+# order-independent, and the dollar conversion is integer-DIV truncation
+# to cents followed by /100.0 — NEVER round() on a double, which Spark
+# evaluates on the shortest decimal repr while DuckDB uses the exact
+# binary value (they disagree on .xx5 boundaries; with 1.5M output
+# groups at sf10 some group always lands on one). Headroom: rev units
+# <= ~1.05e9/row -> BIGINT holds to ~8e9 rows (~sf1000); charge units
+# (x1e6, highest power of the money columns) are carried in
+# DECIMAL(38,0)/HUGEINT.
+_REV_INT = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+_REV_SUM_SPARK = f"CAST(sum({_REV_INT}) DIV 100 AS DOUBLE) / 100.0"
+_REV_SUM_SQL = f"CAST(sum({_REV_INT}) // 100 AS DOUBLE) / 100.0"
+_CHARGE_INT = (
+    f"CAST({_REV_INT} * (100 + CAST(round(l_tax * 100) AS BIGINT))"
+    " AS DECIMAL(38,0))"
+)
+
+
+def _rev_sum(alias: str = "revenue") -> F.Column:
+    return F.expr(_REV_SUM_SPARK).alias(alias)
+
+
 def flagship_region_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by lineitem revenue within each region.
 
@@ -48,7 +78,7 @@ def flagship_region_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
         .groupBy("r_name", "c_custkey", "c_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_rev_sum())
     )
     w = Window.partitionBy("r_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
@@ -63,7 +93,7 @@ query(
     oracle="""
     WITH per_customer AS (
       SELECT r_name, c_custkey, c_name,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100 AS DOUBLE) / 100.0 AS revenue
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -85,9 +115,16 @@ query(
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2)          AS sum_disc_price,
-           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+           CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                         AS HUGEINT))
+                // 10000 AS DOUBLE) / 100.0 AS sum_charge,
            round(avg(l_quantity), 4)                                    AS avg_qty,
            round(avg(l_extendedprice), 4)                               AS avg_price,
            round(avg(l_discount), 4)                                    AS avg_disc,
@@ -111,9 +148,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("sum_base_price"),
+            _rev_sum("sum_disc_price"),
+            F.expr(
+                f"CAST(sum({_CHARGE_INT}) DIV 10000 AS DOUBLE) / 100.0"
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -126,7 +168,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100 AS DOUBLE) / 100.0 AS revenue,
            CAST(o_orderdate AS VARCHAR) AS o_orderdate,
            o_orderpriority
     FROM customer
@@ -154,7 +196,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "inner")
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_rev_sum())
         .select(
             "l_orderkey",
             "revenue",
@@ -169,7 +211,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100 AS DOUBLE) / 100.0 AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -189,7 +231,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_rev_sum())
     )
 
 

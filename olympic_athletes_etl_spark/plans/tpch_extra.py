@@ -311,7 +311,8 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_bal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -343,7 +344,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.expr(
+                "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+                " AS DOUBLE) / 100.0"
+            ).alias("total_bal"),
         )
     )
 
