@@ -505,7 +505,17 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against the all-pairs yardstick. The candidate join carries
     only (vec_id, band, band_val) — vectors are fetched for verification
     by id afterwards, so the 8× banding explode never shuffles the
-    64-dim payload."""
+    64-dim payload.
+
+    SCALE BOUND (r12 sf10 finding): a FIXED 2-bit band has only 4
+    values, so bucket density is Θ(n²/4) per band regardless of data —
+    at 200k vectors the candidate join explodes engine-side. Band width
+    must scale with the corpus: size bits-per-band ≈ log2(n /
+    target_bucket_size) (and add bands to hold recall). This query
+    keeps the survey's fixed 2-bit form as the exact small-corpus
+    screen; the at-scale near-dup paths are d_minhash_lsh (stop-capped
+    postings), d_semantic_dedup (cluster-blocked), and the capped-bucket
+    kNN graph — all of which run at sf10. See SCALE.md."""
     n = _emb_norm(spark, sf_dir)
     band_entries = F.array(
         *[
