@@ -1985,7 +1985,13 @@ def _bpe_fixed_oracle() -> str:
     reproduce the fold's consumed-symbol rule (aaa under (a,a) gives
     [aa, a]; abab under (a,b) gives [ab, ab]). chr(31) never occurs in
     the corpus text (lowercase words + spaces), so the delimiter is
-    unambiguous."""
+    unambiguous.
+
+    ``enc AS MATERIALIZED``: DuckDB's fused pipeline — the 16-deep
+    replace projection feeding the ordered string_agg — OOMs past an
+    80GB cap at sf10 (27.5M words), while the same aggregate over a
+    materialized enc runs in the standard 24GB sweep cap (r13).
+    Materialization is a no-op for correctness."""
     d = "chr(31)"
 
     def lit(s: str) -> str:
@@ -2010,7 +2016,7 @@ def _bpe_fixed_oracle() -> str:
       SELECT doc_id, unnest(ws) AS w,
              unnest(range(1, len(ws) + 1)) AS pos
       FROM wl
-    ), enc AS (
+    ), enc AS MATERIALIZED (
       SELECT doc_id, pos,
              array_to_string(list_filter(string_split({enc}, {d}),
                              x -> len(x) > 0), ' ') AS toks

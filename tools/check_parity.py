@@ -50,6 +50,26 @@ def _canon(v: object) -> str:
     return str(v)
 
 
+def _run_full_plan(df) -> int:
+    """Execute the WHOLE plan (noop sink, as bench.py forces work) and
+    return the row count, observed on the stream feeding the sink.
+
+    ``.count()`` lets Catalyst prune the output projection under the
+    aggregate, so "the engine side runs at this scale" would be weaker
+    evidence than a real run (r12 ADVICE). ``observe`` computes the
+    count over the exact rows the sink receives — one pass, no driver
+    round-trip, no prunable shortcut.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return obs.get["n"]
+
+
 def _multiset(rows: list[tuple], names: list[str]) -> Counter:
     order = sorted(range(len(names)), key=lambda i: names[i])
     return Counter(tuple(_canon(r[i]) for i in order) for r in rows)
@@ -101,16 +121,17 @@ def main() -> int:
         skip = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
     # --count-only-for a,b,c: run BOTH engines but compare row counts
-    # only (Spark .count(), the oracle wrapped in SELECT count(*)).
+    # only (Spark via observe()+noop-sink — the full plan executes —
+    # and the oracle wrapped in SELECT count(*)).
     # For scale-up sweeps where the OUTPUT is data-proportional (pair
     # lists, per-lineitem projections — 10M-150M rows at sf10): the
     # bottleneck is the driver/Python round-trip of the collect-based
     # value compare, not either engine. The VALUE gate for these stands
     # at the largest collectable scale (sf1 collected up to 15M rows);
     # a scale bug still fails loudly here (ANSI overflow errors, count
-    # divergence). Note Spark's count() can prune projection work for
-    # narrow-map queries — this records engine-runs + cardinality
-    # parity, not value parity, and the sweep JSON says so.
+    # divergence). The observe()+noop-sink run means the whole plan
+    # executes (nothing prunable) — still, this records engine-runs +
+    # cardinality parity, not value parity, and the sweep JSON says so.
     count_only: set[str] = set()
     if "--count-only-for" in argv:
         i = argv.index("--count-only-for")
@@ -146,9 +167,14 @@ def main() -> int:
     # not fill the disk with spill files. OFF by default — the standard
     # sf0.1 gate has oracles (g_kcore) that legitimately spill more.
     if os.environ.get("SPARK_GRAFT_ORACLE_CAPS"):
+        # Budgets are overridable for dedicated single-query passes
+        # (e.g. the sf10 BPE-encode oracles OOM at 24GB but fit a
+        # bigger budget when the Spark driver heap is dialed down).
+        mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+        spill = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "40GB")
         for pragma in (
-            "SET memory_limit='24GB'",
-            "SET max_temp_directory_size='40GB'",
+            f"SET memory_limit='{mem}'",
+            f"SET max_temp_directory_size='{spill}'",
         ):
             try:
                 con.execute(pragma)
@@ -171,7 +197,7 @@ def main() -> int:
             continue
         if name in count_only:
             try:
-                s_n = fn(spark, sf_dir).count()
+                s_n = _run_full_plan(fn(spark, sf_dir))
             except Exception as e:  # noqa: BLE001
                 failures.append(
                     f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}"
@@ -201,14 +227,15 @@ def main() -> int:
                 statuses[name] = f"count_only_at_scale:{s_n}"
             continue
         if name in rows_only_for:
-            # Spark-side .count() — the full plan executes (these are
-            # join/aggregate shapes, not bare projections), but the row
-            # OBJECTS never round-trip to the Python driver: at sweep
-            # scales a quadratic candidate set (e.g. cross-replica
+            # Spark side runs via observe()+noop-sink write — the FULL
+            # plan executes (a bare .count() could let Catalyst prune
+            # projection work under the aggregate; r12 ADVICE), but the
+            # row OBJECTS never round-trip to the Python driver: at
+            # sweep scales a quadratic candidate set (e.g. cross-replica
             # near-dup pairs under K-fold replication) can be
             # driver-memory-sized even when the engine handles it fine.
             try:
-                s_n = fn(spark, sf_dir).count()
+                s_n = _run_full_plan(fn(spark, sf_dir))
             except Exception as e:  # noqa: BLE001
                 failures.append(
                     f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:400]}"
