@@ -464,9 +464,174 @@ def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.withColumn("nrm", F.sqrt(F.expr(_DOT_D.format(a="v", b="v"))))
 
 
-@query(
-    "d_embedding_neardup",
-    oracle=f"""
+# Corpus-sized banding (r13, replacing the fixed 2-bit form that is
+# Θ(n²/4) regardless of data — the r12 sf10 disk-fill): bits-per-band
+# follow the bucket rule r = ceil(log2(n / 64)) clamped to [2, 16], so
+# expected RANDOM bucket size stays ~64 at any corpus size; bands follow
+# the 99%-recall-at-threshold rule b(r) = ceil(ln .01 / ln(1 − p^r))
+# with p = 1 − acos(0.45)/π ≈ 0.6485, PRECOMPUTED as integers (both
+# engines must derive bit-identical parameters, so no float/libm calls
+# at plan time) and capped at 32 bands: past n ≈ 2¹⁶·64 the at-threshold
+# guarantee relaxes toward higher-similarity pairs (where recall only
+# improves) — the volume/recall trade every LSH deployment makes.
+_NB_TARGET_BUCKET = 64
+_NB_MIN_BITS = 2
+_NB_MAX_BITS = 16
+_NB_MAX_BANDS = 32
+_NB_B99 = {2: 9, 3: 15, 4: 24}  # r -> b for 99% at cos 0.45; r >= 5 caps at 32
+# Broadcast the verify sides only while the measured corpus is bounded
+# (~160 MB of vectors at this cap); a cluster-scale corpus falls back to
+# the planner's choice — never a blind hint on an SF-scaled table.
+_NB_BCAST_MAX_N = 300_000
+
+
+def _nb_params(n: int) -> tuple[int, int]:
+    """(bits_per_band, bands) for a corpus of ``n`` vectors — integer
+    arithmetic only (``bit_length`` is exactly ceil(log2) here), mirrored
+    by the integer CASE ladders in the oracle SQL."""
+    r = min(_NB_MAX_BITS, max(_NB_MIN_BITS, ((max(n, 1) - 1) // _NB_TARGET_BUCKET).bit_length()))
+    return r, min(_NB_MAX_BANDS, _NB_B99.get(r, _NB_MAX_BANDS))
+
+
+def _nb_plane_w_py(p: int, d: int) -> int:
+    """Python mirror of _NB_PLANE_W (same integer formula; pinned against
+    the SQL form by tests/test_dedup_recall.py)."""
+    return (((p + 1) * (d * d * 31 + d * 7919 + 1) + p * p * 104729) % 1997) - 998
+
+
+def _nb_adaptive_oracle() -> str:
+    p_expr = "(band * r + j)"
+    w = _NB_PLANE_W.format(p=p_expr)
+    plane = f"list_transform(range(0, {_EMB_DIM}), d -> CAST({w} AS DOUBLE))"
+    r_ladder = " ".join(
+        f"WHEN n <= {_NB_TARGET_BUCKET * (1 << k)} THEN {k}"
+        for k in range(_NB_MIN_BITS, _NB_MAX_BITS)
+    )
+    b_ladder = " ".join(f"WHEN r = {r} THEN {b}" for r, b in sorted(_NB_B99.items()))
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    pp AS (
+      SELECT r, CASE {b_ladder} ELSE {_NB_MAX_BANDS} END AS b
+      FROM (SELECT CASE {r_ladder} ELSE {_NB_MAX_BITS} END AS r FROM nn)
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), banded AS (
+      SELECT vec_id, band,
+             list_sum(list_transform(range(0, r),
+               j -> CASE WHEN list_dot_product(v, {plane}) > 0
+                         THEN (1 << j) ELSE 0 END)) AS band_val
+      FROM n, pp, (SELECT unnest(range({_NB_MAX_BANDS})) AS band) bands
+      WHERE band < b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.band_val = b2.band_val
+       AND a.vec_id < b2.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM cand c
+    JOIN n na ON na.vec_id = c.vec_a
+    JOIN n nb ON nb.vec_id = c.vec_b
+    WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {_EMB_THRESHOLD}
+    """
+
+
+@query("d_embedding_neardup", oracle=_nb_adaptive_oracle())
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45), candidate-then-
+    verify with CORPUS-SIZED banding: r = ceil(log2(n/64)) sign bits per
+    band (so random-pair bucket sizes stay ~64 at any n — the r12 sf10
+    lesson: fixed-width bands have Θ(n²/2^bits) bucket density no matter
+    the data), b = min(32, b99(r)) bands holding ≈99% recall at the
+    threshold up to the 32-band cap. Candidates come from an equi-join
+    on (band, band_val) — never a cross product — then exact-cosine
+    verification. Parameters derive from one count() by pure integer
+    rules mirrored in the oracle's CASE ladders (a real deployment would
+    read n from table stats instead of a count job).
+
+    Hashing is one mapInPandas pass: numpy accumulates the plane dot
+    products dimension-by-dimension in float64 — the SAME left-fold
+    order as the engine-side aggregate/zip_with and DuckDB's
+    list_dot_product, so sign bits are bit-identical cross-engine
+    (pinned by tests/test_dedup_recall.py). The candidate join carries
+    only (vec_id, band, band_val); vectors are re-attached for
+    verification by id, broadcast only while the measured corpus is
+    bounded (<= {_NB_BCAST_MAX_N} vectors).
+
+    The survey's fixed 2-bit form lives on unregistered as
+    d_embedding_neardup_fixed2 (small-corpus yardstick), next to the
+    all-pairs yardstick d_embedding_neardup_allpairs; recall of THIS
+    banding vs all-pairs is pinned by tests/test_dedup_recall.py."""
+    n_df = _emb_norm(spark, sf_dir)
+    n_vec = n_df.count()
+    r, b = _nb_params(n_vec)
+    dim = _EMB_DIM
+    planes = [
+        [float(_nb_plane_w_py(p, d)) for d in range(dim)] for p in range(b * r)
+    ]
+
+    def _hash_bands(batches):
+        import numpy as np
+        import pandas as pd
+
+        pl = np.asarray(planes, dtype=np.float64)  # (b*r) x dim
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype=np.float64)  # rows x dim
+            acc = np.zeros((len(pdf), pl.shape[0]), dtype=np.float64)
+            for d in range(dim):  # sequential over dims == the fold order
+                acc += vm[:, d, None] * pl[None, :, d]
+            bits = acc > 0.0
+            vals = np.zeros((len(pdf), b), dtype=np.int64)
+            for band in range(b):
+                for j in range(r):
+                    vals[:, band] |= bits[:, band * r + j].astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), b),
+                    "band": np.tile(np.arange(b, dtype=np.int32), len(pdf)),
+                    "band_val": vals.reshape(-1),
+                }
+            )
+
+    banded = n_df.select("vec_id", "v").mapInPandas(
+        _hash_bands, "vec_id long, band int, band_val long"
+    )
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates()
+    )
+    na = n_df.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("nrm_a")
+    )
+    nb = n_df.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nrm_b")
+    )
+    if n_vec <= _NB_BCAST_MAX_N:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    cos = F.expr(_DOT_D.format(a="va", b="vb")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _EMB_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+_UNREGISTERED_FIXED2_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS (
@@ -492,30 +657,18 @@ def _emb_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN n na ON na.vec_id = c.vec_a
     JOIN n nb ON nb.vec_id = c.vec_b
     WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= {_EMB_THRESHOLD}
-    """,
-)
-def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.45), candidate-then-
-    verify: 16 hyperplane sign bits → 8 bands × 2 bits → pairs colliding
-    in ANY band (equi-join keyed on (band, band_val) — never a cross
-    product) → exact cosine verification on candidates only. Hyperplane
-    LSH gives P(bit match) = 1 − θ/π ≈ 0.65 at cos 0.45, so 8 bands of 2
-    catch ≈ 99% of threshold pairs and the banding is strictly better for
-    anything more similar; tests/test_dedup_recall.py measures actual
-    recall against the all-pairs yardstick. The candidate join carries
-    only (vec_id, band, band_val) — vectors are fetched for verification
-    by id afterwards, so the 8× banding explode never shuffles the
-    64-dim payload.
+    """
 
-    SCALE BOUND (r12 sf10 finding): a FIXED 2-bit band has only 4
-    values, so bucket density is Θ(n²/4) per band regardless of data —
-    at 200k vectors the candidate join explodes engine-side. Band width
-    must scale with the corpus: size bits-per-band ≈ log2(n /
-    target_bucket_size) (and add bands to hold recall). This query
-    keeps the survey's fixed 2-bit form as the exact small-corpus
-    screen; the at-scale near-dup paths are d_minhash_lsh (stop-capped
-    postings), d_semantic_dedup (cluster-blocked), and the capped-bucket
-    kNN graph — all of which run at sf10. See SCALE.md."""
+
+def d_embedding_neardup_fixed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY UNREGISTERED small-corpus yardstick: the survey's
+    original fixed 16-bit/8×2-band form of d_embedding_neardup. A FIXED
+    2-bit band has only 4 values, so bucket density is Θ(n²/4) per band
+    regardless of data — at 200k vectors (r12 sf10) the candidate join
+    explodes engine-side. The registered query now sizes bits-per-band
+    from the corpus; this form remains as the recall/equivalence
+    yardstick at test scale (its DuckDB mirror is
+    _UNREGISTERED_FIXED2_ORACLE)."""
     n = _emb_norm(spark, sf_dir)
     band_entries = F.array(
         *[

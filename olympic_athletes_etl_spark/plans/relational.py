@@ -146,12 +146,14 @@ def f_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j_left_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left equi-join on a single key (J1; reference:
-    data_clean_II_glue.py:68). Customer is the small side → broadcast hint
-    (J5) turns this into a shuffle-free map-side join at any fact scale."""
+    data_clean_II_glue.py:68). Customer scales with the fact, so no hard
+    broadcast hint — the planner/AQE picks broadcast while customer fits
+    the threshold and falls back to a shuffle join at scale (J5's hint
+    belongs on bounded dims like nation/region only; r13)."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        customer, orders.o_custkey == customer.c_custkey, "left"
     ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
 
 
@@ -1280,9 +1282,9 @@ def v_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li_counts = (
         li.select("l_partkey", "l_suppkey", "l_orderkey")
-        .join(F.broadcast(part.select("p_partkey")),
+        .join(part.select("p_partkey"),
               F.col("p_partkey") == F.col("l_partkey"), "left")
-        .join(F.broadcast(supplier.select("s_suppkey")),
+        .join(supplier.select("s_suppkey"),
               F.col("s_suppkey") == F.col("l_suppkey"), "left")
         .join(orders.select("o_orderkey"),
               F.col("o_orderkey") == F.col("l_orderkey"), "left")
@@ -1304,7 +1306,7 @@ def v_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact: DataFrame, dim: DataFrame, fk: str, pk: str, label: str) -> DataFrame:
         return (
-            fact.join(F.broadcast(dim), F.col(fk) == F.col(pk), "left_anti")
+            fact.join(dim, F.col(fk) == F.col(pk), "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )

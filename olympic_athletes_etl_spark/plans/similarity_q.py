@@ -369,9 +369,19 @@ def _argmax_cid_sql(sim_cid: list[tuple[str, int]]) -> str:
     string: no per-row comparator-lambda interpretation (a 16-entry
     sort runs ~60 interpreted comparator closures per row) and no py4j
     tree construction (one call instead of thousands — the r12 IVF/PQ
-    rewrite cut serve-path construction ~3x and execution ~4-8x)."""
+    rewrite cut serve-path construction ~3x and execution ~4-8x).
+
+    sim is coalesced to -inf: a zero-norm (degenerate) vector's sim is
+    NULL, which struct-ordered array_max would rank BELOW every real
+    sim while the comparator form treats NULL comparisons as ties — the
+    sentinel makes the NULL policy explicit (a degenerate vector loses
+    to any real sim; all-degenerate falls back to the c_id tie-break)
+    instead of an ordering accident (r12 ADVICE). Gated corpora have
+    nrm > 0 everywhere, so this changes nothing on real data."""
     arr = ", ".join(
-        f"named_struct('sim', {s}, 'nc', {-int(c)})" for s, c in sim_cid
+        f"named_struct('sim', coalesce({s}, CAST('-Infinity' AS DOUBLE)),"
+        f" 'nc', {-int(c)})"
+        for s, c in sim_cid
     )
     return f"(- (array_max(array({arr}))).nc)"
 

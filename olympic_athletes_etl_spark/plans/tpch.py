@@ -5,8 +5,12 @@ reference pipeline composes (SURVEY.md §2: S1, F2/F5, J1/J5, A1, W1, O1-O3)
 on the driver's TPC-H-ish tables. They are also the bench.py workload, so
 they are written the way we'd want the 100 TB plan to look:
 
-- dimension joins carry explicit ``F.broadcast`` hints (region/nation/
-  customer/supplier are small relative to the fact tables at every SF);
+- BOUNDED dimension joins carry explicit ``F.broadcast`` hints
+  (region/nation are fixed-size at every SF; scalar aggregates likewise).
+  SF-scaled tables — customer/supplier/part, even when "small relative to
+  the fact" — get NO hard hint: the planner/AQE broadcasts them while
+  they fit the threshold and falls back to a shuffle join at cluster
+  scale, where a forced 100 GB broadcast would OOM every executor (r13);
 - aggregation happens BEFORE the window (shrink first, rank second);
 - windows partition by a real key — never a global Window.orderBy on a
   fact table (SURVEY.md §4 anti-pattern);
@@ -46,6 +50,12 @@ _REV_INT = (
     "CAST(round(l_extendedprice * 100) AS BIGINT)"
     " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
 )
+# PRECONDITION sum >= 0: the truncating conversions pair Spark DIV
+# (truncation toward zero) with DuckDB // (floor division) — identical
+# for non-negative sums, one cent apart on negative ones. Every current
+# use sums revenue terms that are provably >= 0 (price >= 0, discount
+# <= 100%); a signed money column (e.g. acctbal deltas) must NOT reuse
+# these templates as-is — use a sign-safe truncation on both sides.
 _REV_SUM_SPARK = f"CAST(sum({_REV_INT}) DIV 100 AS DOUBLE) / 100.0"
 _REV_SUM_SQL = f"CAST(sum({_REV_INT}) // 100 AS DOUBLE) / 100.0"
 _CHARGE_INT = (
@@ -74,7 +84,7 @@ def flagship_region_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 
     per_customer = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
         .groupBy("r_name", "c_custkey", "c_name")
@@ -126,8 +136,10 @@ query(
                          AS HUGEINT))
                 // 10000 AS DOUBLE) / 100.0 AS sum_charge,
            round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+                // count(*) AS DOUBLE) / 10000.0                        AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) * 100
+                // count(*) AS DOUBLE) / 10000.0                        AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -157,8 +169,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(sum({_CHARGE_INT}) DIV 10000 AS DOUBLE) / 100.0"
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # money AVGs truncate exact integer units to 4dp (sum >= 0;
+            # quantity avg stays raw — integer-valued doubles are exact)
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100"
+                " DIV count(*) AS DOUBLE) / 10000.0"
+            ).alias("avg_price"),
+            F.expr(
+                "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) * 100"
+                " DIV count(*) AS DOUBLE) / 10000.0"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -227,7 +247,7 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -237,23 +257,30 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_order_share_window",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1.0 - l_discount)
-                 / sum(l_extendedprice * (1.0 - l_discount))
-                   OVER (PARTITION BY l_orderkey), 6) AS order_share
+           CAST(({_REV_INT} * 1000000)
+                // sum({_REV_INT}) OVER (PARTITION BY l_orderkey)
+                AS DOUBLE) / 1000000.0 AS order_share
     FROM lineitem
     """,
 )
 def q_order_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-over-window (W3): each lineitem's share of its order's
     revenue — the reference's per-group-median-broadcast shape
-    (data_clean_II_glue.py:80-92) on a fact-table key."""
+    (data_clean_II_glue.py:80-92) on a fact-table key.
+
+    The share truncates exact integer revenue units to 6dp:
+    rev_int·1e6 DIV Σrev_int over the order — a raw-double window sum
+    is accumulation-order-dependent and its round(,6) can flip
+    cross-engine (r12 money-sum class). rev_int >= 0 and every order
+    has a positive total in this schema (price >= 1 cent, discount
+    <= 100%), so DIV==// and the denominator is never zero."""
     lineitem = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey")
-    rev = _revenue()
-    return lineitem.select(
+    return lineitem.selectExpr(
         "l_orderkey",
         "l_linenumber",
-        F.round(rev / F.sum(rev).over(w), 6).alias("order_share"),
+        f"CAST(({_REV_INT} * 1000000)"
+        f" DIV sum({_REV_INT}) OVER (PARTITION BY l_orderkey)"
+        " AS DOUBLE) / 1000000.0 AS order_share",
     )

@@ -166,7 +166,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -541,7 +541,7 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     sup = (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_type", "l_suppkey")
         .agg(F.expr(
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) DIV 100"
@@ -603,13 +603,13 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     rev_div = f"CAST(sum({_REV_INT}) DIV 100 AS BIGINT)"
     sells = (
-        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.col("s_nationkey").alias("nk_s"))
         .agg(F.expr(rev_div).alias("sell_cents"))
     )
     buys = (
         lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(F.col("c_nationkey").alias("nk_b"))
         .agg(F.expr(rev_div).alias("buy_cents"))
     )

@@ -136,7 +136,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
@@ -228,7 +228,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (100.0 * F.sum(promo) / F.sum(F.expr(_REV_INT))).alias(
                 "promo_revenue_pct"
@@ -301,7 +301,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(_rev_sum())
     )
@@ -314,7 +314,10 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
              AS total_bal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= DATE '2000-01-01')
@@ -327,15 +330,24 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     2000 — in this synthetic data every customer has some order, so the
     unrestricted form is vacuously empty). The scalar average is a 1-row
     broadcast; the NOT EXISTS is a left-anti join whose right side is
-    filtered BEFORE the join — the filter prunes the anti-join build."""
+    filtered BEFORE the join — the filter prunes the anti-join build.
+
+    The above-average filter compares EXACT integers: bal > Σbal/n is
+    evaluated as bal_cents·n > Σbal_cents (n > 0, so the inequality is
+    preserved for balances of either sign) — a raw-double avg differs
+    cross-engine in the last ulp and can flip a knife-edge customer
+    (the r12 sf10 money-sum class, applied to a threshold)."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+    bal_stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.expr("sum(CAST(round(c_acctbal * 100) AS BIGINT))").alias("bal_sum"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     return (
-        customer.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        customer.crossJoin(F.broadcast(bal_stats))
+        .filter(
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > bal_sum")
+        )
         .join(
             orders.filter(F.col("o_orderdate") >= "2000-01-01"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -400,7 +412,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
             F.col("r_regionkey") == F.col("cn_region"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("sn_key") == F.col("s_nationkey"))
     )
     target = F.when(F.col("supp_nation") == "NATION_1", rev_int).otherwise(
@@ -445,7 +457,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = srev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        F.broadcast(supplier)
+        supplier
         .join(srev, F.col("s_suppkey") == F.col("supplier_no"))
         .crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
@@ -473,7 +485,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q17 shape: revenue from below-half-average-quantity orders per
     part — the correlated per-part average becomes a self-aggregate +
     equi-join (the aggregate side is (partkey, sum, count): far smaller
-    than the fact, so it broadcasts). The below-half-average predicate is
+    than the fact, and the planner/AQE broadcasts it while it fits — no
+    hard hint, since it scales with the part count). The
+    below-half-average predicate is
     EXACT integer arithmetic (2·q·n < Σq — a double average differs
     between engines in the last bit and can flip boundary rows); revenue
     sums exact cents, ONE double division at the end."""
@@ -483,7 +497,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q_cents).alias("q_sum"), F.count(F.lit(1)).alias("n")
     )
     return (
-        lineitem.join(F.broadcast(pa), on="l_partkey")
+        lineitem.join(pa, on="l_partkey")
         .filter(
             (2 * q_cents * F.col("n") < F.col("q_sum"))
             & F.col("l_extendedprice").isNotNull()

@@ -9,9 +9,12 @@ gate alone can NOT detect recall loss — this file is the independent check.
 
 - d_simhash_banded: pigeonhole argument ⇒ recall must be EXACTLY 1.0
   (hamming ≤ 2 over 4 bands of 4 bits forces ≥ 2 band collisions).
-- d_embedding_neardup: probabilistic hyperplane LSH — expected ≈ 99%
-  recall at cos 0.45 (P(bit match) = 1 − θ/π ≈ 0.65, 8 bands × 2 bits);
+- d_embedding_neardup: probabilistic hyperplane LSH with CORPUS-SIZED
+  banding (r = ceil(log2(n/64)) bits per band, b = min(32, b99(r))
+  bands — ≈99% expected recall at cos 0.45 up to the band cap);
   asserted ≥ 0.9 with precision 1.0 (verify step is exact cosine).
+  Everything is deterministic (fixed planes, fixed data), so these are
+  exact pins, not flaky statistical tests.
 """
 
 from __future__ import annotations
@@ -41,14 +44,87 @@ def test_simhash_banded_recall_is_exactly_one(spark, sf_dir):
 def test_embedding_neardup_recall_and_precision(spark, sf_dir):
     """Hyperplane-LSH candidates + exact-cosine verify: precision is 1.0
     by construction (every emitted pair passed the exact threshold);
-    recall is probabilistic — assert the ≈99%-expected banding actually
-    delivers ≥ 0.9 on real data."""
+    recall is probabilistic — assert the ≈99%-expected corpus-sized
+    banding actually delivers ≥ 0.9 on real data (measured: 7/7 at
+    sf0.001, 14/14 at sf0.01, 141/144 at sf0.1)."""
     got = _pairs(d_embedding_neardup(spark, sf_dir), ("vec_a", "vec_b"))
     truth = _pairs(d_embedding_neardup_allpairs(spark, sf_dir), ("vec_a", "vec_b"))
     assert len(truth) > 0
     assert got <= truth  # precision 1.0: no pair below the exact threshold
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(got)}/{len(truth)})"
+
+
+def test_embedding_fixed2_yardstick_recall(spark, sf_dir):
+    """The demoted fixed 16-bit/8×2 form (the r12 sf10 quadratic) still
+    works as a small-corpus yardstick — keep its recall measured so the
+    corpus-sized form has a baseline to be compared against."""
+    from olympic_athletes_etl_spark.plans.dedup_q import d_embedding_neardup_fixed2
+
+    got = _pairs(d_embedding_neardup_fixed2(spark, sf_dir), ("vec_a", "vec_b"))
+    truth = _pairs(d_embedding_neardup_allpairs(spark, sf_dir), ("vec_a", "vec_b"))
+    assert got <= truth
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_embedding_band_hash_numpy_equals_jvm_fold(spark, sf_dir):
+    """The mapInPandas hasher accumulates plane dots dimension-by-
+    dimension in float64 — asserted BIT-IDENTICAL to the JVM
+    aggregate/zip_with left fold for every (vec, band) at the corpus's
+    own (r, b): a summation-order divergence would flip sign bits on
+    knife-edge dots and silently change candidates."""
+    from pyspark.sql import functions as F
+
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _DOT_D,
+        _EMB_DIM,
+        _NB_PLANE_W,
+        _emb_norm,
+        _nb_params,
+        _nb_plane_w_py,
+    )
+
+    n_df = _emb_norm(spark, sf_dir).select("vec_id", "v")
+    r, b = _nb_params(n_df.count())
+
+    def band_expr(band):
+        bits = []
+        for j in range(r):
+            p = band * r + j
+            plane = (
+                f"transform(sequence(0, {_EMB_DIM - 1}),"
+                f" d -> CAST({_NB_PLANE_W.format(p=p)} AS DOUBLE))"
+            )
+            dot = _DOT_D.format(a="v", b=plane)
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j}L ELSE 0L END)")
+        return " + ".join(bits)
+
+    jvm = {
+        (row["vec_id"], band): row[f"bv{band}"]
+        for row in n_df.select(
+            "vec_id", *[F.expr(band_expr(i)).alias(f"bv{i}") for i in range(b)]
+        ).collect()
+        for band in range(b)
+    }
+
+    import numpy as np
+
+    pl = np.asarray(
+        [[float(_nb_plane_w_py(p, d)) for d in range(_EMB_DIM)] for p in range(b * r)]
+    )
+    got = {}
+    for row in n_df.collect():
+        v = np.asarray(row["v"], dtype=np.float64)
+        acc = np.zeros(pl.shape[0])
+        for d in range(_EMB_DIM):
+            acc += v[d] * pl[:, d]
+        bits = acc > 0.0
+        for band in range(b):
+            val = 0
+            for j in range(r):
+                val |= int(bits[band * r + j]) << j
+            got[(row["vec_id"], band)] = val
+    assert got == jvm
 
 
 def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
