@@ -26,80 +26,83 @@ from olympic_athletes_etl_spark.plans import graph_q  # noqa: E402,F401
 
 # ORDER MATTERS for auditing: the driver's correctness gate samples a prefix
 # of the registry (~50 queries), so promote the queries that most need a
-# FRESH driver row this round (round 12 — the rotation recorded in
+# FRESH driver row this round (round 13 — the rotation recorded in
 # COVERAGE.md "Driver audit-prefix rotation log"; prior rounds' prefixes
-# live there and in git history). Round 12:
-#   0. the NEW registration (d_sentence_dedup — the CCNet/RefinedWeb
-#      cross-doc sentence/line-dedup pass) takes the first driver row
-#      per the standing new-queries-first rule;
-#   1. the r11 verdict's pre-generated r12 prefix, oldest-first: the
-#      C-family scalar pipelines + the r6/r7-stale text-lifecycle,
-#      dedup/similarity, events, multimodal, validation and TPC-H
-#      residue (c_regex_clean … q4_priority_late_ship).
-# Prefix math (driver audits 50): 1 new + 49 = exactly 50 — the
-# suggested-r12 tail entry q6_forecast_revenue is displaced by the new
-# registration and rolls to the r13 front. Everything demoted stays
-# covered locally by tools/check_parity.py regardless of order (the
-# r12 sweeps run at this final registry). After this round the oldest
-# driver row registry-wide is r7; whole-registry freshness <=2 rounds
-# is reached once the r13 rotation clears the residue.
-NEW_PLANS_R12 = [
-    "d_sentence_dedup",
-]
-STALE_LEDGER_R12 = [
-    "c_regex_clean",
-    "c_regex_extract",
-    "c_split_element",
-    "c_concat_label",
-    "c_rlike_flag",
-    "c_date_parse",
-    "c_conditional_bucket",
-    "c_coalesce_impute",
-    "c_math_ratio",
-    "c_length_check",
-    "c_cross_col_dates",
-    "t_token_count",
-    "t_quality_score",
-    "t_lang_id",
-    "t_fingerprint",
-    "t_bpe_token_count",
-    "t_stratified_sample",
-    "t_train_test_split",
-    "t_token_pack",
-    "t_gopher_quality",
-    "t_source_mix",
+# live there and in git history). Round 13:
+#   0. the 5 CHANGED-ORACLE queries take the first driver rows per the
+#      standing changed-plans-first rule: d_embedding_neardup (corpus-
+#      sized banding — new plan AND oracle), q1_pricing_summary (exact
+#      integer money avgs), q_order_share_window (integer-unit window
+#      share), t_bpe_encode_fixed/arrow (enc CTE materialized in the
+#      oracle after the sf10 mmap-exhaustion diagnosis);
+#   1. the r12 verdict's pre-generated r13 prefix, oldest-first,
+#      starting with the displaced q6_forecast_revenue — it includes
+#      q22_idle_customers, whose threshold this round also moved to
+#      exact integers, so that change is audited in its suggested slot.
+# Prefix math (driver audits 50): 5 changed + 45 = exactly 50 — the
+# five least-stale tail entries of the suggested list
+# (q2_min_cost_supplier, q9_product_profit, q11_important_stock,
+# q16_part_supplier_count, q20_excess_stock) roll to the r14 front.
+# Everything demoted stays covered locally by tools/check_parity.py
+# regardless of order (the r13 sweeps run at this final registry).
+CHANGED_PLANS_R13 = [
     "d_embedding_neardup",
-    "d_simhash_banded",
-    "d_dup_clusters_star",
-    "d_neardup_pipeline",
-    "s_ann_lsh",
-    "s_ann_lsh_multiprobe",
-    "s_ann_ivfpq",
-    "s_knn_graph",
-    "s_knn_graph_multiprobe",
-    "s_knn_graph_ivf",
-    "s_knn_graph_incr",
-    "s_bucket_stats",
-    "s_list_stats",
-    "s_graph_recall",
-    "e_tumbling_window",
-    "e_latest_per_key",
-    "e_json_extract",
-    "e_sliding_window",
-    "e_asof_join",
-    "e_range_join_buckets",
-    "e_funnel",
-    "e_cohort_retention",
-    "e_value_outliers",
-    "m_byte_features",
-    "m_frame_energy",
-    "v_rule_summary",
-    "v_failure_cases",
-    "q4_priority_late_ship",
-    # (q6_forecast_revenue displaced by the NEW_PLANS_R12 registration,
-    #  rolled to the r13 front)
+    "q1_pricing_summary",
+    "q_order_share_window",
+    "t_bpe_encode_fixed",
+    "t_bpe_encode_arrow",
 ]
-AUDIT_PREFIX = NEW_PLANS_R12 + STALE_LEDGER_R12
+STALE_LEDGER_R13 = [
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q12_priority_shipping",
+    "t_balanced_sample",
+    "t_corpus_prep",
+    "t_idf",
+    "t_chunk_split",
+    "t_ngram_freq",
+    "t_pii_scrub",
+    "t_unigram_commonness",
+    "t_chunk_overlap",
+    "t_char_pair_freq",
+    "d_simhash_wide",
+    "d_contamination",
+    "d_minhash_estimate",
+    "d_substring_dup",
+    "d_incremental_dedup",
+    "d_cluster_canonical",
+    "s_ann_ivf_kmeans",
+    "s_ann_ivf_sampled",
+    "s_kmeans_clusters",
+    "s_ann_pq",
+    "s_ann_ivfpq_stored",
+    "s_knn_graph_stored",
+    "s_dim_profile",
+    "d_neardup_stored",
+    "e_sessionize",
+    "e_rolling_1h",
+    "e_transition_matrix",
+    "e_value_histogram",
+    "e_gap_days",
+    "e_late_arrivals",
+    "e_dow_hour_profile",
+    "r_scd2_intervals",
+    "m_resize_plan",
+    "m_payload_dedup",
+    # (q2_min_cost_supplier, q9_product_profit, q11_important_stock,
+    #  q16_part_supplier_count, q20_excess_stock displaced by the
+    #  changed-plan slots, rolled to the r14 front)
+]
+AUDIT_PREFIX = CHANGED_PLANS_R13 + STALE_LEDGER_R13
 
 _promote(AUDIT_PREFIX)
 
