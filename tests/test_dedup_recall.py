@@ -67,6 +67,39 @@ def test_embedding_fixed2_yardstick_recall(spark, sf_dir):
     assert len(got & truth) / len(truth) >= 0.9
 
 
+def test_embedding_band_params_sql_ladder_matches_python():
+    """The oracle derives (r, b) from count(*) via integer CASE ladders;
+    the Spark side derives them in Python (_nb_params). A drift between
+    the two silently mis-pairs engine and oracle at exactly one corpus
+    size — sweep every size class boundary ±1 and a spread of interior
+    points through BOTH derivations."""
+    import re
+
+    import duckdb
+
+    from olympic_athletes_etl_spark.plans.dedup_q import (
+        _NB_MAX_BITS,
+        _NB_TARGET_BUCKET,
+        _nb_adaptive_oracle,
+        _nb_params,
+    )
+
+    sql = _nb_adaptive_oracle()
+    m = re.search(r"pp AS \(\s*(SELECT .*?FROM \(SELECT .*?\))\s*\)", sql, re.S)
+    assert m, "oracle pp CTE not found"
+    ladder = m.group(1)
+    con = duckdb.connect()
+    sizes = {1, 2, 63, 64, 65}
+    for k in range(2, _NB_MAX_BITS + 1):
+        t = _NB_TARGET_BUCKET * (1 << k)
+        sizes |= {t - 1, t, t + 1, t * 3 // 2}
+    for n in sorted(sizes):
+        r_sql, b_sql = con.execute(
+            ladder.replace("FROM nn", f"FROM (SELECT {n} AS n) nn")
+        ).fetchone()
+        assert (r_sql, b_sql) == _nb_params(n), f"n={n}: sql=({r_sql},{b_sql})"
+
+
 def test_embedding_band_hash_numpy_equals_jvm_fold(spark, sf_dir):
     """The mapInPandas hasher accumulates plane dots dimension-by-
     dimension in float64 — asserted BIT-IDENTICAL to the JVM
