@@ -80,31 +80,38 @@ def connected_components(
         .dropDuplicates()
         .withColumn("component", F.col("vertex"))
     )
+    prev_ckpt = labels
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["vertex"])
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the OLD label through the round's checkpoint so the
+        # fixpoint probe is a scan of the materialized blocks instead of
+        # a vertex-keyed JOIN of new-vs-old labels — one full shuffle
+        # join per round removed (guide §2.4); at scale the probe was
+        # the same size as the round's real work. Labels are identical:
+        # the extra column is projected away before the next round.
+        new_full = (
             labels.join(neighbor_min, on="vertex", how="left")
             .select(
                 "vertex",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_full.filter(F.col("component") != F.col("prev"))
             .limit(1)
             .count()
         )
-        _release_checkpoint(labels)  # superseded — keep ONE label table
-        labels = new_labels
+        _release_checkpoint(prev_ckpt)  # superseded — keep ONE label table
+        prev_ckpt = new_full
+        labels = new_full.select("vertex", "component")
         if changed == 0:
             break
     else:

@@ -84,8 +84,19 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) over the ``documents`` table — see shingle_hashes."""
-    return shingle_hashes(load(spark, sf_dir, "documents"))
+    """(doc_id, h) over the ``documents`` table — see shingle_hashes.
+
+    spread_on doc_id (tables.spread, guide §2.5): the bench layout's
+    single-row-group file would pin the tokenize+hash+explode derivation
+    to ONE populated scan task for every consumer; a no-op on any layout
+    that splits. Multi-consumer plans (d_ngram_jaccard reads this 4×)
+    also get the scan deduplicated via ReuseExchange on the identical
+    repartition subtree. Layout-invariance: every consumer aggregates
+    exactly (counts, integer min-hashes, ±1 bit votes) or joins on
+    set-shaped output — no result bit depends on partitioning."""
+    return shingle_hashes(
+        load(spark, sf_dir, "documents", spread_on="doc_id")
+    )
 
 
 _SHINGLE_HASHES_DUCK = f"""

@@ -121,8 +121,18 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user inactivity. lag → flag → running sum → per-session agg; all
     windows partition by user_id (one shuffle, reused across both window
     steps and the final agg — same key). Streaming twin:
-    ``session_window(ts, '30 minutes')``."""
-    events = load(spark, sf_dir, "events")
+    ``session_window(ts, '30 minutes')``.
+
+    The one shuffle is established by ``spread_on`` user_id (tables.
+    spread, guide §2.5/§2.4): its hash partitioning satisfies the
+    windows' and the final agg's required distribution, so the plan
+    still has exactly ONE exchange — but as an explicit
+    REPARTITION_BY_NUM it is not AQE-coalesced to a near-single
+    partition at bench scale the way the window's own exchange was
+    (measured −41%), and at any splitting layout it is a no-op and the
+    window inserts its usual exchange. Window order (ts, event_id) is
+    total per user, so values are partition-layout-invariant."""
+    events = load(spark, sf_dir, "events", spread_on="user_id")
     return (
         _sessionized(events)
         .groupBy("user_id", "session_id")

@@ -49,9 +49,20 @@ _EDGES_DUCK = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(pa, pb) with pa < pb — the supported co-purchase edge list."""
+    """(pa, pb) with pa < pb — the supported co-purchase edge list.
+
+    spread_on l_orderkey (tables.spread, guide §2.5): the bench layout's
+    single-row-group fact file would pin the distinct's partial
+    aggregation AND the within-order self-join probe to ONE populated
+    scan task for every graph query built on this list; a no-op on any
+    layout that splits. The spread's hash partitioning on l_orderkey
+    satisfies both the (l_orderkey, l_partkey) distinct clustering and
+    the self-join's l_orderkey distribution, so no further exchange is
+    needed until the (pa, pb) support aggregate (guide §2.4).
+    Layout-invariance: the edge list is set-shaped (distinct pairs with
+    an exact count filter) — no result bit depends on partitioning."""
     items = (
-        load(spark, sf_dir, "lineitem")
+        load(spark, sf_dir, "lineitem", spread_on="l_orderkey")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

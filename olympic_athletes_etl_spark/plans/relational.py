@@ -591,8 +591,16 @@ def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill (W5/R4; reference: athlete_scrape.py:143-156 ffills
     header-row values down an athlete's results). ``last(ignorenulls)`` over
     an explicit row-sequence column — partitioned by the entity key, so it
-    scales: no global sort, one shuffle on user_id."""
-    events = load(spark, sf_dir, "events")
+    scales: no global sort, one shuffle on user_id.
+
+    That one shuffle is established by ``spread_on`` user_id (tables.
+    spread, guide §2.5/§2.4): it satisfies the window's required
+    distribution (still exactly ONE exchange), and unlike the window's
+    own exchange a REPARTITION_BY_NUM is not AQE-coalesced to a
+    near-single partition at bench scale (measured −31%); a no-op on
+    any layout that splits. Window order event_id is unique, so values
+    are partition-layout-invariant."""
+    events = load(spark, sf_dir, "events", spread_on="user_id")
     v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
         F.round(F.col("value"), 2)
     )

@@ -42,7 +42,15 @@ _PLANE_W = "(((({p} + 1) * (d * d * 31 + d * 7919 + 1) + {p} * {p} * 104729) % 1
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
+    # spread_on vec_id (tables.spread, guide §2.5): the bench layout's
+    # single-row-group file would pin every downstream vector derivation
+    # (norms, quantization, ADC ladders, bucket hashes) to ONE populated
+    # scan task; a no-op on any layout that splits. Layout-invariance:
+    # serve paths are per-row deterministic expressions, and both fits
+    # (_km_fit/_pq_fit) accumulate integer-valued quantized components
+    # (exact far below 2^53) with set-shaped bounded collects — no
+    # result bit depends on partitioning.
+    return load(spark, sf_dir, "embeddings", spread_on="vec_id").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
@@ -1340,7 +1348,16 @@ def ivfpq_index_store(index: DataFrame, path: str) -> None:
             f"ivfpq_index_store: index is missing {missing}; build it "
             "with ivfpq_index_build"
         )
-    _ivfpq_store(path).create({"": index})
+    # Cluster by the partition key before the partitionBy write (guide
+    # §6 file sizing): without this every input partition writes its own
+    # file into every list_id dir it touches — a 32-partition encode
+    # input × 16 lists lands ~500 tiny files and the stored serve /
+    # drift diagnose pays a footer open per file (measured r13: the
+    # drift lifecycle went 10.4 s → 23 s when the encode input became
+    # 32-way parallel). One task per list = one file per list dir —
+    # exactly the layout ivfpq_index_compact restores. Content is
+    # row-identical; only file placement changes.
+    _ivfpq_store(path).create({"": index.repartition("list_id")})
 
 
 def ivfpq_index_load(spark: SparkSession, path: str) -> DataFrame:
@@ -1369,8 +1386,13 @@ def ivfpq_index_append(
     rebuilt-store serve with the same quantizers in test_round8_ops).
     Parquet append under the list_id partitioning; each append lands
     one file set per batch — run ivfpq_index_compact on a cadence to
-    fold them back to one file per list (serve-invariant, pinned)."""
-    _ivfpq_store(path).append({"": ivfpq_index_build(n_batch, cents, books)})
+    fold them back to one file per list (serve-invariant, pinned).
+    The batch is clustered by list_id before the write (guide §6) so
+    each append lands ONE file per touched list, not one per input
+    partition × list — see ivfpq_index_store."""
+    _ivfpq_store(path).append(
+        {"": ivfpq_index_build(n_batch, cents, books).repartition("list_id")}
+    )
 
 
 @query("s_ann_ivfpq_compacted", oracle=_ivfpq_oracle())

@@ -17,6 +17,9 @@ back as a long — a native timestamp column passes through untouched.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -37,7 +40,64 @@ TABLES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+@lru_cache(maxsize=None)
+def _scan_row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` — the atomic unit of scan
+    parallelism. Spark splits files by BYTE range, but a parquet reader
+    only emits rows for the split containing a row group's midpoint, so a
+    single-row-group file executes as ONE populated task no matter how
+    many splits cover it. Driver-side, one footer read per file, cached
+    for the life of the process (the bench re-plans each query every
+    iteration)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+
+
+def spread(
+    df: DataFrame, spark: SparkSession, path: str, *keys: str
+) -> DataFrame:
+    """Layout-adaptive redistribution for heavy post-scan work (guide
+    §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    When the scan's parquet layout yields fewer populated tasks (row
+    groups) than half the cluster parallelism, everything pipelined into
+    the scan stage — join probes, per-row derivations, partial
+    aggregates — runs on a handful of cores while the rest idle. This
+    helper hash-repartitions the scan output by ``keys`` (deterministic
+    under task retry, unlike rand-derived keys — guide §2.5) to
+    ``defaultParallelism`` partitions so downstream work parallelizes.
+
+    It is a NO-OP whenever the input already splits: at production scale
+    (many files / many row groups per file) the condition fails and no
+    shuffle is added — the plan is unchanged. The threshold derives from
+    the live session's core count, never a constant, so the driver's
+    reduced-core bench runs adapt with it.
+
+    Callers must only use this where the downstream result is
+    partition-order-insensitive (exact integer/min/max/count aggregates,
+    keyed windows, set-shaped output) — each call site documents why."""
+    par = spark.sparkContext.defaultParallelism
+    if _scan_row_groups(path) >= max(2, par // 2):
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_on: str | tuple[str, ...] | None = None,
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     tune_for_oracle(spark)
@@ -50,8 +110,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if spread_on is not None:
+        keys = (spread_on,) if isinstance(spread_on, str) else spread_on
+        df = spread(df, spark, path, *keys)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

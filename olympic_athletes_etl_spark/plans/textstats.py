@@ -107,8 +107,13 @@ _STOPWORDS = ("the", "a", "of", "and", "in")
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality gates for training-data filtering: stopword
     ratio, digit ratio, length band — the C4-style document filter a
-    pretraining pipeline applies before dedup."""
-    docs = load(spark, sf_dir, "documents")
+    pretraining pipeline applies before dedup.
+
+    spread_on doc_id (tables.spread, guide §2.5): parallelizes the
+    per-document regex/split scoring off the bench layout's single
+    populated scan task; no-op when the layout splits. Per-row
+    deterministic projection — partitioning cannot change any value."""
+    docs = load(spark, sf_dir, "documents", spread_on="doc_id")
     sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
     stop_ratio = F.expr(
         f"CAST(size(filter(split(text, '\\\\s+'), x -> x IN ({sw}))) AS DOUBLE)"
@@ -2042,8 +2047,14 @@ def t_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc fold-equality pytest pins. The list exercises the hard
     cases: a three-step cascade builds 'data' ((a,t) → (d,at) →
     (dat,a) — later rules consume earlier rules' outputs) plus an
-    independent (s,t) rule."""
-    docs = load(spark, sf_dir, "documents")
+    independent (s,t) rule.
+
+    spread_on doc_id (tables.spread, guide §2.5): parallelizes the
+    16-deep per-document replace cascade off the bench layout's single
+    populated scan task (measured −38% on this query); no-op when the
+    layout splits. Per-row deterministic rewrite — partitioning cannot
+    change any value."""
+    docs = load(spark, sf_dir, "documents", spread_on="doc_id")
     return bpe_encode(docs, _BPE_FIXED_MERGES).select(
         "doc_id", F.array_join("tokens", " ").alias("encoded")
     )
@@ -2059,8 +2070,13 @@ def t_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves all THREE implementations agree on the corpus: the Spark
     fold, the Python fold in the Arrow worker, and the delimiter-
     rewrite SQL — the strongest cross-implementation pin the encoder
-    family has."""
-    docs = load(spark, sf_dir, "documents")
+    family has.
+
+    spread_on doc_id: same guide-§2.5 redistribution as the fold twin —
+    here it additionally parallelizes the Arrow worker pool (one Python
+    worker per populated partition; a single-task scan would feed ONE
+    worker). Per-row deterministic; no-op when the layout splits."""
+    docs = load(spark, sf_dir, "documents", spread_on="doc_id")
     return bpe_encode_pandas(docs, _BPE_FIXED_MERGES).select(
         "doc_id", F.array_join("tokens", " ").alias("encoded")
     )

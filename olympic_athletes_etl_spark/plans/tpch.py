@@ -75,8 +75,16 @@ def flagship_region_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     (F2), left-join chain on single keys (J1) with broadcast dims (J5),
     group aggregation (A1), partitioned window rank (W1/O3), deterministic
     tie-break (SURVEY §7 decision log).
+
+    The fact scan is ``spread_on`` its join key (tables.spread — the
+    guide-§2.5 unsplittable-input remedy): the bench layout packs each
+    table into one parquet row group, so the scan stage — and the four
+    broadcast-join probes pipelined into it — would run as ONE populated
+    task. Safe: every aggregate downstream is an exact integer sum
+    (partition-order-insensitive); a no-op on any layout that already
+    splits.
     """
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = load(spark, sf_dir, "lineitem", spread_on="l_orderkey")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -151,8 +159,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-side partial aggregation + final hash agg — Catalyst does both; at
     100 TB the shuffle carries only (2-key × 8-agg) partials.
+
+    ``spread_on`` (guide §2.5): the bench layout's single-row-group file
+    pins the scan + partial aggregation to one populated task; the
+    redistribution parallelizes the 8-aggregate arithmetic and is a
+    no-op on a layout that splits. Aggregates are partition-order-proof:
+    integer-unit money sums, counts, and sums/avgs of integer-valued
+    quantity doubles (exact far below 2^53).
     """
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = load(spark, sf_dir, "lineitem", spread_on="l_orderkey")
     disc_price = _revenue()
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
@@ -211,7 +226,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
     customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # spread_on the group/join key (guide §2.5): parallelizes the join
+    # probes + partial agg off the single-row-group scan task; exact
+    # integer revenue sums are partition-order-proof. No-op when the
+    # layout splits. The pushed l_shipdate filter still reaches the scan
+    # (repartition sits above the filtered read).
+    lineitem = load(spark, sf_dir, "lineitem", spread_on="l_orderkey").filter(
+        F.col("l_shipdate") > cutoff
+    )
     return (
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "inner")
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
@@ -241,8 +263,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: multi-way join chain with broadcast dims (J1/J5/A1)."""
-    lineitem = load(spark, sf_dir, "lineitem")
+    """TPC-H Q5 shape: multi-way join chain with broadcast dims (J1/J5/A1).
+
+    ``spread_on`` the supplier join key (guide §2.5): parallelizes the
+    broadcast-join probes + partial agg off the single-row-group scan
+    task; exact integer revenue sums are partition-order-proof. No-op
+    when the layout splits."""
+    lineitem = load(spark, sf_dir, "lineitem", spread_on="l_suppkey")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -277,10 +304,19 @@ def q_order_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a positive total in this schema (price >= 1 cent, discount
     <= 100%), so DIV==// and the denominator is never zero."""
     lineitem = load(spark, sf_dir, "lineitem")
+    # rev_int is computed ONCE, below the window's exchange (guide §2.3
+    # "project before the exchange"): the shuffle carries (l_orderkey,
+    # l_linenumber, rev_int) instead of the two raw money doubles PLUS
+    # the derived window operand, and the post-window projection reuses
+    # the shuffled value instead of re-deriving it from the raws (the
+    # before-plan shipped 5 columns and evaluated the cents expression
+    # twice). Integer arithmetic — values bit-identical.
     return lineitem.selectExpr(
+        "l_orderkey", "l_linenumber", f"{_REV_INT} AS rev_int"
+    ).selectExpr(
         "l_orderkey",
         "l_linenumber",
-        f"CAST(({_REV_INT} * 1000000)"
-        f" DIV sum({_REV_INT}) OVER (PARTITION BY l_orderkey)"
+        "CAST((rev_int * 1000000)"
+        " DIV sum(rev_int) OVER (PARTITION BY l_orderkey)"
         " AS DOUBLE) / 1000000.0 AS order_share",
     )

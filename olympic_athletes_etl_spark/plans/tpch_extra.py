@@ -123,8 +123,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q7 shape: shipping volume between nation pairs by year — the
     nation dim broadcasts twice under different aliases; the fact side
-    never shuffles until the final group."""
-    lineitem = load(spark, sf_dir, "lineitem")
+    never shuffles until the final group.
+
+    ``spread_on`` the orders join key (guide §2.5): the bench layout's
+    single-row-group fact scan would run the five join probes in one
+    populated task; redistribution parallelizes them and is a no-op on
+    a layout that splits. Exact integer revenue sums are
+    partition-order-proof."""
+    lineitem = load(spark, sf_dir, "lineitem", spread_on="l_orderkey")
     supplier = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -254,10 +260,17 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q18: large-volume orders — the HAVING subquery aggregates the fact
     once and semi-joins back (threshold tuned to the synthetic data's
-    quantity scale)."""
+    quantity scale).
+
+    ``spread_on`` l_orderkey (guide §2.5): both consumers key on it, so
+    the one redistribution parallelizes the HAVING aggregate (its
+    groupBy reuses the exchange's partitioning — §2.4) AND the main
+    join probes off the single-row-group scan task; no-op on a layout
+    that splits. sum(l_quantity) over integer-valued doubles is exact,
+    partition-order-proof."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = load(spark, sf_dir, "lineitem", spread_on="l_orderkey")
     big = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))

@@ -40,24 +40,30 @@ def _vitals(spark, name):
 
 
 # name -> constraints; each is (metric, op, bound) with op in {"<=", ">=", "=="}
+# NOTE r13: queries carrying tables.spread (the layout-adaptive
+# unsplittable-input redistribution) show ONE extra exchange at the
+# single-row-group test layout — deliberate (guide §2.5), a no-op on
+# layouts that split; their shuffle bounds are one higher than the
+# production-shape bound.
 _PINS = {
-    # 4 dims broadcast, fact unshuffled until the agg + top-3 window
+    # 4 dims broadcast, fact unshuffled after its spread exchange until
+    # the agg + top-3 window
     "flagship_region_top_customers": [
-        ("shuffles", "<=", 2),
+        ("shuffles", "<=", 3),
         ("bhj", ">=", 4),
         ("smj", "==", 0),
         ("python", "==", 0),
     ],
-    # single map-side-combinable aggregate over the pruned scan
+    # single map-side-combinable aggregate over the pruned scan (+ spread)
     "q1_pricing_summary": [
-        ("shuffles", "<=", 1),
+        ("shuffles", "<=", 2),
         ("smj", "==", 0),
         ("python", "==", 0),
         ("pushed", ">=", 1),
     ],
-    # supplier + both nation aliases broadcast; one fact shuffle
+    # supplier + both nation aliases broadcast; one fact shuffle (+ spread)
     "q7_nation_volume": [
-        ("shuffles", "<=", 2),
+        ("shuffles", "<=", 3),
         ("bhj", ">=", 4),
         ("smj", "==", 0),
         ("python", "==", 0),
@@ -66,7 +72,7 @@ _PINS = {
     "d_minhash_lsh": [
         ("bnlj", "==", 0),
         ("python", "==", 0),
-        ("shuffles", "<=", 3),
+        ("shuffles", "<=", 4),
     ],
     # one user-keyed shuffle shared by the session windows
     "e_sessionize": [("shuffles", "<=", 1), ("python", "==", 0)],
@@ -79,10 +85,11 @@ _PINS = {
         ("python", "==", 0),
     ],
     "j_pit_features": [("shuffles", "<=", 1), ("python", "==", 0)],
-    # brute-force top-k: broadcast probe set, zero shuffles before top-k
-    "s_knn_bruteforce": [("shuffles", "<=", 1), ("python", "==", 0)],
-    # pure narrow expression pipeline — no exchange at all
-    "t_quality_score": [("shuffles", "==", 0), ("python", "==", 0)],
+    # brute-force top-k: broadcast probe set, no shuffle after the
+    # spread exchange before top-k
+    "s_knn_bruteforce": [("shuffles", "<=", 2), ("python", "==", 0)],
+    # pure narrow expression pipeline — no exchange beyond the spread
+    "t_quality_score": [("shuffles", "<=", 1), ("python", "==", 0)],
     # round-4b/c single-fact-shuffle contracts
     "t_feature_hashing": [("shuffles", "<=", 1), ("python", "==", 0)],
     "v_rapid_repeat_orders": [("shuffles", "<=", 1), ("python", "==", 0)],
