@@ -24,7 +24,7 @@ O(log² n) rounds instead of O(diameter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -706,16 +706,24 @@ def connected_components_star(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).unionByName(df.select(F.col("b").alias("u"), F.col("a").alias("v")))
 
+    # Each phase computes min(v) PER u while keeping every (u, v) row —
+    # a window min over partitionBy(u), not the groupBy+join-back form:
+    # the aggregate+join pays the same 2|E|-row exchange on u for the
+    # join's sym side PLUS the aggregate's own exchange (and at scale
+    # the per-u min table is |V| rows — beyond broadcast, so the join
+    # adds a second full sort), whereas the window computes the min in
+    # place after the one exchange (guide §2.4 — operations keyed the
+    # same way share one exchange). Measured at sf0.1: ~20% off the
+    # whole loop, identical edge sets every round
+    # (tools/probe_star_ab.py; OPTIMIZATION_r13.md).
+    _w_u = Window.partitionBy("u")
+
     def _large_star(df: DataFrame) -> DataFrame:
-        sym = _sym(df)
-        m = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", "u").alias("m"))
+        withm = _sym(df).withColumn(
+            "m", F.least(F.min("v").over(_w_u), F.col("u"))
         )
         out = (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
+            withm.filter(F.col("v") > F.col("u"))
             .select(
                 F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
             )
@@ -726,15 +734,18 @@ def connected_components_star(
 
     def _small_star(df: DataFrame) -> DataFrame:
         # neighbors v <= u only (orient every edge toward the larger id)
-        sym = _sym(df).filter(F.col("v") < F.col("u"))
-        m = sym.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        withm = _sym(df).filter(F.col("v") < F.col("u")).withColumn(
+            "m", F.min("v").over(_w_u)  # m < u always
+        )
         out = (
-            sym.join(m, "u")
-            .select(
+            withm.select(
                 F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
             )
             .unionByName(
-                m.select(F.col("m").alias("a"), F.col("u").alias("b"))
+                # center link for every u that HAS a v < u neighbor —
+                # one (m, u) row per (u, v) input row; the dropDuplicates
+                # collapses them to the old aggregate's row set
+                withm.select(F.col("m").alias("a"), F.col("u").alias("b"))
             )
             .filter(F.col("a") != F.col("b"))
             .dropDuplicates()

@@ -271,7 +271,7 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_cid = [
         (
             f"(({_DOT.format(a='v', b=_arr_lit_sql(r['cv']))})"
-            f" / (nrm * CAST('{float(r['cnrm'])!r}' AS DOUBLE)))",
+            f" / (nrm * {_dlit(r['cnrm'])}))",
             int(r["c_id"]),
         )
         for r in cent_rows
@@ -338,14 +338,26 @@ def _km_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("qnrm", F.sqrt(F.expr(_DOT.format(a="vq", b="vq"))))
 
 
+def _dlit(x: float) -> str:
+    """An exact double literal: ``repr(x)`` is the shortest string that
+    round-trips in Python's correctly-rounded parser, and Spark's
+    ``...D`` literal goes through Double.parseDouble — also correctly
+    rounded — so the engine sees the identical bits the old
+    CAST('...' AS DOUBLE) string form produced, at ONE AST node instead
+    of a Cast+Literal pair (these literals appear thousands of times per
+    centroid/codebook expression tree; the plain form halves
+    construction+parse time — OPTIMIZATION_r13.md). Non-finite values
+    keep the cast form ('NaN'/'Infinity' are not lexable as D-literals);
+    they never occur in quantized components."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    return f"{v!r}D"
+
+
 def _arr_lit_sql(comps: list) -> str:
-    """A literal double-array SQL fragment (string round-trip cast —
-    Double.parseDouble restores the exact bits repr() emitted)."""
-    return (
-        "array("
-        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in comps)
-        + ")"
-    )
+    """A literal double-array SQL fragment (exact: see _dlit)."""
+    return "array(" + ", ".join(_dlit(x) for x in comps) + ")"
 
 
 def _ieee_self_dot(comps: list) -> float:
@@ -432,7 +444,7 @@ def _km_sim_sql(c_comps: list[int]) -> str:
     interprets worse than the tight HOF loop."""
     dot = _DOT.format(a="vq", b=_arr_lit_sql(c_comps))
     cdot = _ieee_self_dot(c_comps)
-    return f"(({dot}) / (qnrm * sqrt(CAST('{cdot!r}' AS DOUBLE))))"
+    return f"(({dot}) / (qnrm * sqrt({_dlit(cdot)})))"
 
 
 def _km_entries(cents: list[tuple[int, list[int]]]) -> F.Column:
@@ -869,17 +881,43 @@ def _pq_sub_sql(j: int, col: str = "vq") -> str:
     return f"slice({col}, {j * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
 
 
+def _pq_hoist_cols() -> tuple[dict[str, F.Column], dict[str, F.Column]]:
+    """(sq_cols, sqn_cols): each subspace's subvector slice ``sq{j}``
+    and its norm ``sqn{j}`` hoisted into REAL columns, so the 16
+    codebook-entry sims of a code column share one slice + one sqrt per
+    row instead of re-evaluating both per entry (the measured serve-path
+    hot spot was exactly this 16x re-work: 0.74 → 0.54 s on the 16-code
+    encode at sf0.1, values bit-identical — OPTIMIZATION_r13.md).
+    CollapseProject cannot inline them back: both are non-cheap and
+    multiply-referenced. The fold/slice arithmetic is unchanged, so
+    every downstream value is bit-for-bit the pre-hoist one."""
+    sq = {f"sq{j}": F.expr(_pq_sub_sql(j)) for j in range(_PQ_M)}
+    sqn = {
+        f"sqn{j}": F.expr(f"sqrt({_DOT.format(a=f'sq{j}', b=f'sq{j}')})")
+        for j in range(_PQ_M)
+    }
+    return sq, sqn
+
+
+def _with_pq_hoist(df: DataFrame) -> DataFrame:
+    """Add the shared PQ subvector/norm columns (see _pq_hoist_cols);
+    required before any column built by _pq_sim_sql/_pq_code_col is
+    evaluated. Downstream selects prune them, so they never appear in
+    results."""
+    sq, sqn = _pq_hoist_cols()
+    return df.withColumns(sq).withColumns(sqn)
+
+
 def _pq_sim_sql(comps: list[int], j: int) -> str:
     """cos(subvector_j, codebook-entry literal) as a SQL string — the
     same (dot) / (sqn * sqrt(cdot)) expression shape and fold order as
-    the previous Column form (only the entry's constant self-dot moves
-    driver-side; see _ieee_self_dot), built as one string for cheap
-    construction."""
-    sq = _pq_sub_sql(j)
-    sqn = f"sqrt({_DOT.format(a=sq, b=sq)})"
-    dot = _DOT.format(a=sq, b=_arr_lit_sql(comps))
+    the original inline form (only the entry's constant self-dot moves
+    driver-side; see _ieee_self_dot), referencing the hoisted ``sq{j}``
+    / ``sqn{j}`` columns (_pq_hoist_cols) so the per-row slice and norm
+    are evaluated once per subspace, not once per entry."""
+    dot = _DOT.format(a=f"sq{j}", b=_arr_lit_sql(comps))
     cdot = _ieee_self_dot(comps)
-    return f"(({dot}) / ({sqn} * sqrt(CAST('{cdot!r}' AS DOUBLE))))"
+    return f"(({dot}) / (sqn{j} * sqrt({_dlit(cdot)})))"
 
 
 def _pq_code_sql(cents: list[tuple[int, list[int]]], j: int) -> str:
@@ -937,12 +975,12 @@ def _pq_fit(
         entries = [
             F.expr(
                 f"named_struct('j', {j}, 'code', {_pq_code_sql(books[j], j)},"
-                f" 'sq', {_pq_sub_sql(j)})"
+                f" 'sq', sq{j})"
             )
             for j in range(_PQ_M)
         ]
         sums = (
-            n.select(F.explode(F.array(*entries)).alias("e"))
+            _with_pq_hoist(n).select(F.explode(F.array(*entries)).alias("e"))
             .select("e.j", "e.code", F.posexplode("e.sq").alias("d", "x"))
             .groupBy("j", "code", "d")
             .agg(F.sum("x").alias("s"))
@@ -1083,12 +1121,12 @@ def _pq_adc_exprs(
     for j, cents in sorted(books.items()):
         psub = probe_q[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
         pdot_items = ", ".join(
-            f"{int(c_id)}, CAST("
-            f"'{float(sum(p * c for p, c in zip(psub, comps)))!r}' AS DOUBLE)"
+            f"{int(c_id)}, "
+            f"{_dlit(sum(p * c for p, c in zip(psub, comps)))}"
             for c_id, comps in cents
         )
         cn2_items = ", ".join(
-            f"{int(c_id)}, CAST('{float(sum(c * c for c in comps))!r}' AS DOUBLE)"
+            f"{int(c_id)}, {_dlit(sum(c * c for c in comps))}"
             for c_id, comps in cents
         )
         code_cols[f"code{j}"] = _pq_code_col(cents, j)
@@ -1134,7 +1172,7 @@ def _pq_ann_search(
     ]
 
     code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
-    scored = n.withColumns(code_cols)
+    scored = _with_pq_hoist(n).withColumns(code_cols)
 
     # ADC cosine denominator: PROBE's quantized norm (a constant — exact
     # Python int arithmetic under the sqrt) × the reconstructed-candidate
@@ -1262,10 +1300,12 @@ def _ivfpq_search(
     # Restrict BEFORE encoding: only probed-list rows pay the in-row code
     # assignment (at 100 TB both the codes and list_id are precomputed
     # columns and this is pure partition pruning + a narrow scan).
-    scored = assigned.join(
-        F.broadcast(probe_lists),
-        F.col("list_id") == F.col("probe_list"),
-        "left_semi",
+    scored = _with_pq_hoist(
+        assigned.join(
+            F.broadcast(probe_lists),
+            F.col("list_id") == F.col("probe_list"),
+            "left_semi",
+        )
     ).withColumns(code_cols)
     probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
     adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
@@ -1313,7 +1353,7 @@ def ivfpq_index_build(
     fetched for shortlist rows alone."""
     code_cols = {f"code{j}": _pq_code_col(books[j], j) for j in range(_PQ_M)}
     return (
-        n.withColumn("list_id", _km_argmax_col(cents))
+        _with_pq_hoist(n.withColumn("list_id", _km_argmax_col(cents)))
         .withColumns(code_cols)
         .select(*_IVFPQ_INDEX_COLS, "list_id")
     )
@@ -1457,9 +1497,11 @@ def ivfpq_drift_stats(
     batches against the training batch's own value: the training
     residual is the noise floor, and a sustained climb (we flag ≥ ~2×
     in SCALE.md) says re-train the quantizers and re-encode."""
-    d = idx.withColumn(
-        "vq",
-        F.expr(f"transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE))"),
+    d = _with_pq_hoist(
+        idx.withColumn(
+            "vq",
+            F.expr(f"transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE))"),
+        )
     )
     err: F.Column = F.lit(0).cast("long")
     for j, cents in sorted(books.items()):
