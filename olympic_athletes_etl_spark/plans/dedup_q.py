@@ -1693,7 +1693,7 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ compare cannot flip cross-engine)."""
     from olympic_athletes_etl_spark.plans.similarity_q import (
         _DOT,
-        _km_argmax_col,
+        _km_assign_np_col,
         _km_base,
         _km_fit_for,
     )
@@ -1701,7 +1701,7 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _km_base(spark, sf_dir)
     cents = _km_fit_for(spark, sf_dir)
     assigned = n.withColumn(
-        "cluster", _km_argmax_col(cents).cast("bigint")
+        "cluster", _km_assign_np_col(cents).cast("bigint")
     ).select("vec_id", "cluster", "v", "vnrm")
     a = assigned.select(
         F.col("cluster"),

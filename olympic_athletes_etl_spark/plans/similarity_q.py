@@ -406,6 +406,419 @@ def _argmax_cid_sql(sim_cid: list[tuple[str, int]]) -> str:
     return f"(- (array_max(array({arr}))).nc)"
 
 
+# --------------------------------------------------------------------------
+# Arrow-batched numpy assignment kernels — the vectorized twins of the
+# HOF-expression forms above (guide §4.2: hand whole batches to
+# vectorized native code instead of interpreted per-element lambdas).
+#
+# WHY: `aggregate(zip_with(...))` is a HigherOrderFunction — Spark
+# evaluates it INTERPRETED (CodegenFallback), one lambda closure call
+# per array element. A km assignment therefore runs 16 centroids × 64
+# dims × 2 closures per row, a PQ encode another 16×16×4×2 — ~4k
+# interpreted closure invocations per row, the measured hot spot of
+# every IVF/PQ build and serve plan (r13 probe: the encode projection
+# alone halves when vectorized, and plan construction shrinks from a
+# ~200 KB literal tree to one UDF node).
+#
+# WHY IT IS EXACT (the property every oracle hash rides on): per row the
+# kernel executes the IDENTICAL IEEE-754 operation sequence as the
+# expression form —
+#   * dot  = left fold ((0.0 + x0·c0) + x1·c1) + … : numpy elementwise
+#     mul/add over a column of rows are the same correctly-rounded
+#     binary64 ops, applied in the same order per row (no FMA, no
+#     pairwise reassociation — the fold is unrolled dim-by-dim below);
+#   * norms/similarities: np.sqrt and / are correctly rounded single
+#     ops on identical operands;
+#   * Spark `Divide` yields NULL on a zero divisor; _argmax_cid_sql
+#     coalesces that NULL to -inf — replicated via np.where(denom==0);
+#   * argmax tie-break (sim DESC, c_id ASC) with Spark's total order
+#     (NaN greatest): entries are scanned in ascending c_id with a
+#     strict-greater update, so ties keep the lowest c_id, and the
+#     NaN arm of _gt matches struct-ordering semantics.
+# Equivalence to the expression forms is pinned on real data in
+# test_kmeans/test_pq_recall (exceptAll both ways == 0).
+#
+# The closures capture only plain data (centroid component lists and
+# driver-side-folded self-dots) and import numpy inside, so they pickle
+# by value — no module import needed on executors (the
+# bpe_encode_pandas worker-closure convention).
+# --------------------------------------------------------------------------
+def _np_entry_data(
+    cents: list[tuple[int, list[int]]],
+) -> tuple[list[int], list[list[float]], list[float]]:
+    """(c_ids, float components, driver-folded self-dots), c_id ASC —
+    the plain-data closure payload of every numpy kernel. Raises if any
+    centroid self-dot is 0: the expression forms give such an entry a
+    NULL sim (tie-everywhere under _CMP_SQL's comparator), a
+    non-total ordering the kernel deliberately refuses to emulate —
+    never observed (centroid sums of real corpora are nonzero), and
+    failing loud beats a silent ordering divergence."""
+    ordered = sorted((int(c), [float(x) for x in comps]) for c, comps in cents)
+    c_ids = [c for c, _ in ordered]
+    comps = [cv for _, cv in ordered]
+    cdots = [_ieee_self_dot(cv) for cv in comps]
+    if any(cd == 0.0 for cd in cdots):
+        raise ValueError(
+            "numpy assignment kernel: zero-norm centroid — the "
+            "expression form's NULL-sim ordering is not total; refusing"
+        )
+    return c_ids, comps, cdots
+
+
+def _np_assign_fn(comps: list[list[float]], cdots: list[float]):
+    """Factory for the row-batch assignment routine shared by the fit
+    partial-sum workers: returns ``assign(V, nrm) -> entry INDEX array``
+    (index into the c_id-ascending entry order, NOT the c_id itself).
+    Defined nested so cloudpickle ships it BY VALUE with only plain data
+    captured; the arithmetic is the same fold/divide/argmax sequence as
+    _km_assign_np_col (see the section comment for the exactness
+    argument)."""
+
+    def assign(V, nrm):  # type: ignore[no-untyped-def]
+        import numpy as np
+
+        best = None
+        best_ix = None
+        for ix, (cv, cd) in enumerate(zip(comps, cdots)):
+            acc = np.zeros(V.shape[0], dtype=np.float64)
+            for d, c in enumerate(cv):
+                acc = acc + V[:, d] * c
+            denom = nrm * np.sqrt(cd)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = acc / denom
+            s = np.where(denom == 0.0, -np.inf, s)
+            if best is None:
+                best = s
+                best_ix = np.zeros(V.shape[0], dtype=np.int64)
+            else:
+                take = (s > best) | (np.isnan(s) & ~np.isnan(best))
+                best = np.where(take, s, best)
+                best_ix = np.where(take, ix, best_ix)
+        return best_ix
+
+    return assign
+
+
+def _km_round_sums(
+    n: DataFrame, cents: list[tuple[int, list[int]]]
+) -> list:
+    """One Lloyd round's per-(list_id, dim) component sums as collected
+    rows — the in-worker replacement for the old assignment-projection +
+    posexplode + groupBy pipeline (which materialized rows × dims
+    exploded records through a hash aggregate). The worker assigns each
+    batch with the numpy kernel and scatter-adds the quantized
+    components into a (k, dim) accumulator (np.add.at); the engine then
+    sums the ≤ k·dim partials per partition.
+
+    EXACT by the module-note integer argument: every component is an
+    integer-valued double and every partial/total stays far below 2^53
+    at gated SFs, so float addition never rounds and summation ORDER
+    cannot change a bit — in-worker accumulation, engine partial-agg,
+    and the old exploded sum all produce the identical integers (the
+    same argument that already made the exploded sum layout-invariant).
+    Only lists with ≥ 1 member emit rows, matching groupBy semantics
+    (an emptied list drops out of the next round's centroid set)."""
+    c_ids, comps, cdots = _np_entry_data(cents)
+    ids = [int(c) for c in c_ids]
+    assign = _np_assign_fn(comps, cdots)
+
+    def part(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        cnt = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vq"].to_numpy())
+            ix = assign(V, pdf["qnrm"].to_numpy())
+            if acc is None:
+                acc = np.zeros((len(ids), V.shape[1]), dtype=np.float64)
+                cnt = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(acc, ix, V)
+            np.add.at(cnt, ix, 1)
+        if acc is None:
+            return
+        present = np.nonzero(cnt > 0)[0]
+        dim = acc.shape[1]
+        yield pd.DataFrame(
+            {
+                "list_id": np.repeat(
+                    np.asarray([ids[i] for i in present], dtype=np.int32), dim
+                ),
+                "d": np.tile(np.arange(dim, dtype=np.int32), len(present)),
+                "s": acc[present].reshape(-1),
+            }
+        )
+
+    return (
+        n.select("vq", "qnrm")
+        .mapInPandas(part, "list_id int, d int, s double")
+        .groupBy("list_id", "d")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+
+
+def _pq_round_sums(
+    n: DataFrame, books: dict[int, list[tuple[int, list[int]]]]
+) -> list:
+    """The PQ twin of _km_round_sums: per-(subspace, code, dim)
+    component sums for one codebook Lloyd round, assignments and
+    scatter-adds both in the worker (one pass over vq for all
+    ``_PQ_M`` subspaces). Same exact-integer argument; only codes with
+    members emit rows."""
+    data = {j: _np_entry_data(cents) for j, cents in sorted(books.items())}
+    ids = {j: [int(c) for c in c_ids] for j, (c_ids, _, _) in data.items()}
+    fns = {
+        j: _np_assign_fn(comps, cdots)
+        for j, (_, comps, cdots) in data.items()
+    }
+    subdim = _PQ_SUBDIM
+
+    def part(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        acc: dict[int, object] = {}
+        cnt: dict[int, object] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vq"].to_numpy())
+            for j, fn in fns.items():
+                S = V[:, j * subdim : (j + 1) * subdim]
+                a = np.zeros(S.shape[0], dtype=np.float64)
+                for d in range(subdim):
+                    a = a + S[:, d] * S[:, d]
+                ix = fn(S, np.sqrt(a))
+                if j not in acc:
+                    acc[j] = np.zeros((len(ids[j]), subdim), dtype=np.float64)
+                    cnt[j] = np.zeros(len(ids[j]), dtype=np.int64)
+                np.add.at(acc[j], ix, S)
+                np.add.at(cnt[j], ix, 1)
+        if not acc:
+            return
+        js = []
+        codes = []
+        ds = []
+        ss = []
+        for j in sorted(acc):
+            present = np.nonzero(cnt[j] > 0)[0]
+            js.append(np.full(len(present) * subdim, j, dtype=np.int32))
+            codes.append(
+                np.repeat(
+                    np.asarray(
+                        [ids[j][i] for i in present], dtype=np.int32
+                    ),
+                    subdim,
+                )
+            )
+            ds.append(np.tile(np.arange(subdim, dtype=np.int32), len(present)))
+            ss.append(acc[j][present].reshape(-1))
+        yield pd.DataFrame(
+            {
+                "j": np.concatenate(js),
+                "code": np.concatenate(codes),
+                "d": np.concatenate(ds),
+                "s": np.concatenate(ss),
+            }
+        )
+
+    return (
+        n.select("vq")
+        .mapInPandas(part, "j int, code int, d int, s double")
+        .groupBy("j", "code", "d")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+
+
+def _km_assign_np_col(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """``list_id`` assignment as one Arrow-batched numpy kernel —
+    bit-identical to ``_km_argmax_col(cents)`` over (vq, qnrm); see the
+    section comment for the exactness argument."""
+    c_ids, comps, cdots = _np_entry_data(cents)
+
+    @F.pandas_udf("integer")
+    def _assign(vq, qnrm):  # type: ignore[no-untyped-def]
+        import numpy as np
+
+        V = np.stack(vq.to_numpy())
+        q = qnrm.to_numpy()
+        best = None
+        best_id = None
+        for cid, cv, cd in zip(c_ids, comps, cdots):
+            acc = np.zeros(V.shape[0], dtype=np.float64)
+            for d, c in enumerate(cv):
+                acc = acc + V[:, d] * c
+            denom = q * np.sqrt(cd)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = acc / denom
+            s = np.where(denom == 0.0, -np.inf, s)
+            if best is None:
+                best = s
+                best_id = np.full(V.shape[0], cid, dtype=np.int32)
+            else:
+                take = (s > best) | (np.isnan(s) & ~np.isnan(best))
+                best = np.where(take, s, best)
+                best_id = np.where(take, np.int32(cid), best_id).astype(
+                    np.int32
+                )
+        import pandas as pd
+
+        return pd.Series(best_id)
+
+    return _assign(F.col("vq"), F.col("qnrm"))
+
+
+def _km_probe_ids_np_col(
+    cents: list[tuple[int, list[int]]], nprobe: int
+) -> F.Column:
+    """Top-``nprobe`` list ids by (sim DESC, c_id ASC) per row — the
+    id-only numpy twin of ``_km_probe_slice_col`` (whose consumers read
+    ONLY the c_id field). Sims are computed exactly as in
+    _km_assign_np_col; the per-row ranking is a STABLE argsort of the
+    negated sim matrix over c_id-ascending columns, which is precisely
+    (sim DESC, c_id ASC) — negation of a double is exact, ties stay in
+    column (c_id) order. A qnrm == 0 row (all sims NULL engine-side,
+    where _CMP_SQL ties everywhere and Spark's stable sort keeps the
+    build order) degrades to the same first-nprobe-by-c_id result via
+    the -inf fill."""
+    c_ids, comps, cdots = _np_entry_data(cents)
+
+    @F.pandas_udf("array<integer>")
+    def _probe(vq, qnrm):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(vq.to_numpy())
+        q = qnrm.to_numpy()
+        k = len(c_ids)
+        S = np.empty((V.shape[0], k), dtype=np.float64)
+        for i, (cv, cd) in enumerate(zip(comps, cdots)):
+            acc = np.zeros(V.shape[0], dtype=np.float64)
+            for d, c in enumerate(cv):
+                acc = acc + V[:, d] * c
+            denom = q * np.sqrt(cd)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = acc / denom
+            S[:, i] = np.where(denom == 0.0, -np.inf, s)
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        ids = np.asarray(c_ids, dtype=np.int32)[order]
+        return pd.Series(list(ids))
+
+    return _probe(F.col("vq"), F.col("qnrm"))
+
+
+def _pq_codes_np_col(
+    books: dict[int, list[tuple[int, list[int]]]]
+) -> F.Column:
+    """All ``_PQ_M`` PQ codes as ONE array<int> column — the numpy twin
+    of the 16 per-subspace ``_pq_code_col`` projections (bit-identical
+    per subspace; one Arrow crossing instead of 16 CASE/array_max
+    ladders). ``element_at(codes, j+1)`` is ``code{j}``."""
+    data = {j: _np_entry_data(cents) for j, cents in sorted(books.items())}
+    subdim = _PQ_SUBDIM
+
+    @F.pandas_udf("array<integer>")
+    def _encode(vq):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(vq.to_numpy())
+        m = len(data)
+        out = np.empty((V.shape[0], m), dtype=np.int32)
+        for j, (c_ids, comps, cdots) in data.items():
+            S = V[:, j * subdim : (j + 1) * subdim]
+            acc = np.zeros(V.shape[0], dtype=np.float64)
+            for d in range(subdim):
+                acc = acc + S[:, d] * S[:, d]
+            sqn = np.sqrt(acc)
+            best = None
+            best_id = None
+            for cid, cv, cd in zip(c_ids, comps, cdots):
+                acc = np.zeros(V.shape[0], dtype=np.float64)
+                for d, c in enumerate(cv):
+                    acc = acc + S[:, d] * c
+                denom = sqn * np.sqrt(cd)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = acc / denom
+                s = np.where(denom == 0.0, -np.inf, s)
+                if best is None:
+                    best = s
+                    best_id = np.full(V.shape[0], cid, dtype=np.int32)
+                else:
+                    take = (s > best) | (np.isnan(s) & ~np.isnan(best))
+                    best = np.where(take, s, best)
+                    best_id = np.where(take, np.int32(cid), best_id).astype(
+                        np.int32
+                    )
+            out[:, j] = best_id
+        return pd.Series(list(out))
+
+    return _encode(F.col("vq"))
+
+
+def _pq_drift_err_np_col(
+    books: dict[int, list[tuple[int, list[int]]]]
+) -> F.Column:
+    """Per-row total quantization error of the STORED codes — the numpy
+    twin of ivfpq_drift_stats' per-subspace CASE ladders: for each
+    subspace the ASSIGNED entry's cosine, err_j = 10000 - floor(10000 *
+    sim_j), summed to one BIGINT. NULL propagation matches the
+    expression form exactly: an unknown code or a zero denominator
+    yields a NULL row err (pandas nullable Int64 -> Arrow null), which
+    the engine-side sum skips while count(1) still counts the row — the
+    books/index-mismatch tripwire the docstring pins. vq is derived
+    in-kernel as floor(v * scale), the same single multiply+floor the
+    transform expression executes."""
+    data = {j: _np_entry_data(cents) for j, cents in sorted(books.items())}
+    subdim = _PQ_SUBDIM
+    scale = float(_KM_SCALE)
+
+    @F.pandas_udf("long")
+    def _err(v, codes):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        Vr = np.stack(v.to_numpy())
+        V = np.floor(Vr * scale)
+        C = np.stack(codes.to_numpy())
+        tot = np.zeros(V.shape[0], dtype=np.float64)
+        bad = np.zeros(V.shape[0], dtype=bool)
+        for j, (c_ids, comps, cdots) in data.items():
+            S = V[:, j * subdim : (j + 1) * subdim]
+            acc = np.zeros(V.shape[0], dtype=np.float64)
+            for d in range(subdim):
+                acc = acc + S[:, d] * S[:, d]
+            sqn = np.sqrt(acc)
+            cj = C[:, j]
+            sim = np.zeros(V.shape[0], dtype=np.float64)
+            seen = np.zeros(V.shape[0], dtype=bool)
+            for cid, cv, cd in zip(c_ids, comps, cdots):
+                sel = cj == cid
+                if not sel.any():
+                    continue
+                acc = np.zeros(V.shape[0], dtype=np.float64)
+                for d, c in enumerate(cv):
+                    acc = acc + S[:, d] * c
+                denom = sqn * np.sqrt(cd)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = acc / denom
+                bad |= sel & (denom == 0.0)
+                sim = np.where(sel, s, sim)
+                seen |= sel
+            bad |= ~seen
+            tot = tot + (10000.0 - np.floor(10000.0 * sim))
+        out = pd.array(tot.astype(np.int64), dtype="Int64")
+        out[bad] = None
+        return pd.Series(out)
+
+    return _err(F.col("v"), F.array(*[f"code{j}" for j in range(_PQ_M)]))
+
+
 def _km_entries_sql(cents: list[tuple[int, list[int]]]) -> str:
     return "array(" + ", ".join(
         f"named_struct('sim', {_km_sim_sql(comps)}, 'c_id', {int(c_id)})"
@@ -610,13 +1023,12 @@ def _km_fit(n: DataFrame, train_mod: int = 1) -> list[tuple[int, list[int]]]:
         )
     cents = sorted((int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows)
     for _ in range(_KM_ITERS):
-        asg = n.withColumn("list_id", _km_argmax_col(cents))
-        sums = (
-            asg.select("list_id", F.posexplode("vq").alias("d", "x"))
-            .groupBy("list_id", "d")
-            .agg(F.sum("x").alias("s"))
-            .collect()  # bounded: ≤ k·dim rows regardless of data size
-        )
+        # assignment + per-list scatter-add fused in the worker
+        # (_km_round_sums): bit-identical sums to the old
+        # argmax-projection + posexplode + groupBy round — assignment
+        # pinned in test_kmeans/test_annkernel, sums exact-integer so
+        # accumulation order is immaterial; ≤ k·dim rows collected
+        sums = _km_round_sums(n, cents)
         by_list: dict[int, dict[int, int]] = {}
         for r in sums:
             by_list.setdefault(int(r["list_id"]), {})[int(r["d"])] = int(r["s"])
@@ -680,7 +1092,7 @@ def _km_ann_search(
     search the gated query runs. Train and serve are separate phases by
     design: at scale the fit happens once per index build while this
     search runs per query (bench.py times them separately)."""
-    assigned = n.withColumn("list_id", _km_argmax_col(cents))
+    assigned = n.withColumn("list_id", _km_assign_np_col(cents))
     probe = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("pv"), F.col("vnrm").alias("pnrm")
     )
@@ -758,7 +1170,7 @@ def s_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster op becomes partition-pruned."""
     n = _km_base(spark, sf_dir)
     cents = _km_fit_for(spark, sf_dir)
-    assigned = n.withColumn("cluster", _km_argmax_col(cents).cast("bigint"))
+    assigned = n.withColumn("cluster", _km_assign_np_col(cents).cast("bigint"))
     # centroid_sim is computed against the ORIGINAL vector (not quantized)
     # via a broadcast join of the k-row centroid table — the quality
     # signal users threshold on, at zero shuffles.
@@ -969,23 +1381,12 @@ def _pq_fit(
         for j in range(_PQ_M)
     }
     for _ in range(_PQ_ITERS):
-        # ONE combined job: per subspace a (j, code, subvector) struct,
-        # exploded to (j, code, dim, x) and summed — ≤ M·k·subdim result
-        # rows regardless of table size
-        entries = [
-            F.expr(
-                f"named_struct('j', {j}, 'code', {_pq_code_sql(books[j], j)},"
-                f" 'sq', sq{j})"
-            )
-            for j in range(_PQ_M)
-        ]
-        sums = (
-            _with_pq_hoist(n).select(F.explode(F.array(*entries)).alias("e"))
-            .select("e.j", "e.code", F.posexplode("e.sq").alias("d", "x"))
-            .groupBy("j", "code", "d")
-            .agg(F.sum("x").alias("s"))
-            .collect()
-        )
+        # ONE combined job for all subspaces: assignment + per-code
+        # scatter-add fused in the worker (_pq_round_sums) —
+        # bit-identical sums to the old struct-explode + posexplode +
+        # groupBy round (assignment pinned in test_annkernel, sums
+        # exact-integer); ≤ M·k·subdim rows collected
+        sums = _pq_round_sums(n, books)
         by_j: dict[int, dict[int, dict[int, int]]] = {}
         for r in sums:
             by_j.setdefault(int(r["j"]), {}).setdefault(int(r["code"]), {})[
@@ -1107,7 +1508,9 @@ def _pq_oracle() -> str:
 
 
 def _pq_adc_exprs(
-    books: dict[int, list[tuple[int, list[int]]]], probe_q: list[int]
+    books: dict[int, list[tuple[int, list[int]]]],
+    probe_q: list[int],
+    with_codes: bool = True,
 ) -> tuple[dict[str, F.Column], F.Column, F.Column]:
     """Per-subspace code columns plus the ADC accumulators for a collected
     integer probe vector: returns ``(code_cols, num_expr, cn2_expr)``.
@@ -1129,7 +1532,8 @@ def _pq_adc_exprs(
             f"{int(c_id)}, {_dlit(sum(c * c for c in comps))}"
             for c_id, comps in cents
         )
-        code_cols[f"code{j}"] = _pq_code_col(cents, j)
+        if with_codes:
+            code_cols[f"code{j}"] = _pq_code_col(cents, j)
         num_terms.append(f"element_at(map({pdot_items}), code{j})")
         cn2_terms.append(f"element_at(map({cn2_items}), code{j})")
     # left-associated sums — same fold order as the previous
@@ -1137,6 +1541,19 @@ def _pq_adc_exprs(
     num_expr = F.expr("(" + " + ".join(num_terms) + ")")
     cn2_expr = F.expr("(" + " + ".join(cn2_terms) + ")")
     return code_cols, num_expr, cn2_expr
+
+
+def _with_np_codes(
+    df: DataFrame, books: dict[int, list[tuple[int, list[int]]]]
+) -> DataFrame:
+    """One numpy-kernel ``codes`` column plus the per-subspace
+    ``code{j}`` views the ADC map lookups / index schema read —
+    the vectorized replacement for _with_pq_hoist + 16 _pq_code_col
+    ladders on the in-plan encode paths (values bit-identical; see the
+    kernel section comment)."""
+    return df.withColumn("codes", _pq_codes_np_col(books)).withColumns(
+        {f"code{j}": F.element_at("codes", j + 1) for j in range(_PQ_M)}
+    )
 
 
 @query("s_ann_pq", oracle=_pq_oracle())
@@ -1171,8 +1588,8 @@ def _pq_ann_search(
         .collect()[0]["vq"]
     ]
 
-    code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
-    scored = _with_pq_hoist(n).withColumns(code_cols)
+    _unused, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q, with_codes=False)
+    scored = _with_np_codes(n, books)
 
     # ADC cosine denominator: PROBE's quantized norm (a constant — exact
     # Python int arithmetic under the sqrt) × the reconstructed-candidate
@@ -1284,7 +1701,7 @@ def _ivfpq_search(
     one-per-build training (coarse _km_fit + _PQ_M codebook fits — the
     dominant index-build cost at scale) separately from this per-query
     search, and so the sampled-training knob composes here too."""
-    assigned = n.withColumn("list_id", _km_argmax_col(cents))
+    assigned = n.withColumn("list_id", _km_assign_np_col(cents))
     probe_lists = (
         assigned.filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select(F.explode(_km_probe_slice_col(cents, _N_PROBE)).alias("e"))
@@ -1296,17 +1713,18 @@ def _ivfpq_search(
         .select("vq")
         .collect()[0]["vq"]
     ]
-    code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
+    _unused, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q, with_codes=False)
     # Restrict BEFORE encoding: only probed-list rows pay the in-row code
     # assignment (at 100 TB both the codes and list_id are precomputed
     # columns and this is pure partition pruning + a narrow scan).
-    scored = _with_pq_hoist(
+    scored = _with_np_codes(
         assigned.join(
             F.broadcast(probe_lists),
             F.col("list_id") == F.col("probe_list"),
             "left_semi",
-        )
-    ).withColumns(code_cols)
+        ),
+        books,
+    )
     probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
     adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
     shortlist = (
@@ -1351,10 +1769,8 @@ def ivfpq_index_build(
     exact re-rank; columnar storage means the ADC scan still reads only
     the 1-byte code columns (column pruning), and the raw vectors are
     fetched for shortlist rows alone."""
-    code_cols = {f"code{j}": _pq_code_col(books[j], j) for j in range(_PQ_M)}
     return (
-        _with_pq_hoist(n.withColumn("list_id", _km_argmax_col(cents)))
-        .withColumns(code_cols)
+        _with_np_codes(n.withColumn("list_id", _km_assign_np_col(cents)), books)
         .select(*_IVFPQ_INDEX_COLS, "list_id")
     )
 
@@ -1497,33 +1913,14 @@ def ivfpq_drift_stats(
     batches against the training batch's own value: the training
     residual is the noise floor, and a sustained climb (we flag ≥ ~2×
     in SCALE.md) says re-train the quantizers and re-encode."""
-    d = _with_pq_hoist(
-        idx.withColumn(
-            "vq",
-            F.expr(f"transform(v, x -> CAST(floor(x * {_KM_SCALE}) AS DOUBLE))"),
-        )
-    )
-    err: F.Column = F.lit(0).cast("long")
-    for j, cents in sorted(books.items()):
-        # CASE on the STORED code, one arm per codebook entry: codegen
-        # evaluates only the matching arm, so each ROW pays one 4-dim
-        # dot per subspace instead of the full 16-entry re-encode a
-        # sorted-entries formulation pays (that per-row 16x is what
-        # matters at 100 TB). Each arm is _pq_sim_sql itself (same
-        # sequential dot, entry self-dot folded driver-side — see
-        # _ieee_self_dot), so the cross-engine floor is unchanged.
-        sim: F.Column | None = None
-        for c_id, comps in cents:
-            cos_c = F.expr(_pq_sim_sql(comps, j))
-            cond = F.col(f"code{j}") == F.lit(c_id)
-            sim = F.when(cond, cos_c) if sim is None else sim.when(cond, cos_c)
-        # no otherwise(): an unknown code (books/index mismatch) yields
-        # NULL, which nulls the row's err and flips n_vecs vs sum(err)
-        # consistency — caught by the hash gate and the tests' exact
-        # integer pins rather than silently scoring 0.
-        err = err + (F.lit(10000).cast("long") - F.floor(F.lit(10000.0) * sim))
+    # One numpy-kernel pass over (v, code0..15): per subspace the
+    # ASSIGNED entry's cosine residual, exactly the old per-code CASE
+    # ladder's arithmetic (same fold/floor; an unknown code or zero
+    # denominator still yields a NULL row err, preserving the
+    # n_vecs-vs-sum(err) mismatch tripwire) — see _pq_drift_err_np_col.
     return (
-        d.select((F.col("vec_id") % 2).cast("long").alias("batch"), err.alias("err"))
+        idx.withColumn("err", _pq_drift_err_np_col(books))
+        .select((F.col("vec_id") % 2).cast("long").alias("batch"), "err")
         .groupBy("batch")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
@@ -1659,7 +2056,7 @@ def _ivfpq_search_stored(
     codebook-argmax projection of the in-plan form is gone), shortlist,
     exact re-rank against the stored raw vectors with the probe shipped
     as literals. Zero joins, zero shuffles before the bounded top-ks."""
-    _code_cols, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q)
+    _unused, num_expr, cn2_expr = _pq_adc_exprs(books, probe_q, with_codes=False)
     probe_qnrm = float(sum(x * x for x in probe_q)) ** 0.5
     adc = num_expr / (F.lit(probe_qnrm) * F.sqrt(cn2_expr))
     shortlist = (
@@ -2182,19 +2579,20 @@ def _knn_graph_ivf_build(
     """The graph-build phase of s_knn_graph_ivf against already-fitted
     centroids — factored so bench.py times the one-per-index k-means
     training separately from the per-batch graph construction."""
-    entries = _km_probe_slice_col(cents, _N_PROBE)
     # Materialize the per-vector probe lists ONCE. `t` and `probes` are
     # two branches over the same corpus, and without this checkpoint each
     # branch re-evaluates the k-dot-product assignment — the most
     # expensive map of the build (k ≈ √n centroid dots per row at corpus
     # scale) — plus a second full scan. This is the cluster-scale "write
-    # assignments, then join" IVF shape; element_at(ent, 1) ≡ pls[0], so
-    # keeping only the top-_N_PROBE slice loses nothing either branch uses.
+    # assignments, then join" IVF shape. Both consumers read ONLY the
+    # c_id fields, so the numpy probe-ids kernel (id array, bit-identical
+    # ranking — see _km_probe_ids_np_col) replaces the per-row
+    # array_sort-of-structs ladder: pls[0] ≡ the old pls[0]['c_id'].
     asg = n.select(
         "vec_id",
         "v",
         "vnrm",
-        entries.alias("pls"),
+        _km_probe_ids_np_col(cents, _N_PROBE).alias("pls"),
     ).localCheckpoint(eager=True)
     wl = Window.partitionBy("list_b").orderBy(F.asc("dst"))
     t = (
@@ -2202,7 +2600,7 @@ def _knn_graph_ivf_build(
             F.col("vec_id").alias("dst"),
             F.col("v").alias("vb"),
             F.col("vnrm").alias("nb"),
-            F.col("pls")[0]["c_id"].alias("list_b"),
+            F.col("pls")[0].alias("list_b"),
         )
         .withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") <= _GRAPH_BUCKET_CAP)
@@ -2212,8 +2610,8 @@ def _knn_graph_ivf_build(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
         F.col("vnrm").alias("na"),
-        F.explode("pls").alias("e"),
-    ).select("src", "va", "na", F.col("e.c_id").alias("pl"))
+        F.explode("pls").alias("pl"),
+    ).select("src", "va", "na", "pl")
     cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     # no duplicate (src, dst): a target lives in exactly one list, the
     # probe lists are distinct — at most one probe matches.
@@ -2535,7 +2933,7 @@ def s_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast assignment pass + one aggregate keyed on list_id."""
     n = _km_base(spark, sf_dir)
     asg = n.select(
-        "vec_id", _km_argmax_col(_km_fit_for(spark, sf_dir)).alias("list_id")
+        "vec_id", _km_assign_np_col(_km_fit_for(spark, sf_dir)).alias("list_id")
     )
     return asg.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_vectors"),
