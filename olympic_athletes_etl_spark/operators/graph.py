@@ -24,8 +24,34 @@ O(log² n) rounds instead of O(diameter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+
+def _observed_checkpoint(
+    df: DataFrame,
+    metrics: list,
+    keep: list[str] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Eager ``localCheckpoint`` with aggregate ``metrics`` collected
+    DURING the materialization job (``Dataset.observe``), so per-round
+    bookkeeping — convergence probes, row counts, L1 deltas — costs no
+    extra Spark job. The old shape paid one probe job per round on the
+    already-materialized blocks (and a converged ``limit(1).count()``
+    probe pays 2+ jobs: CollectLimit escalates through partition
+    batches before concluding the frame is empty); ``observe`` folds
+    the same aggregate into the checkpoint's own pass (guide §2.4/§5 —
+    measured 3 jobs → 1 per label-CC round, tools/probe_observe.py).
+    ``keep`` projects the checkpointed output ABOVE the observe node,
+    so metric-only columns are never materialized into the checkpoint.
+    CollectMetrics is a row-level pass-through: the checkpointed rows
+    are bit-identical to an unobserved checkpoint's."""
+    obs = Observation()
+    out = df.observe(obs, *metrics)
+    if keep is not None:
+        out = out.select(*keep)
+    ck = out.localCheckpoint(eager=True)
+    return ck, obs.get
 
 
 def _release_checkpoint(df: DataFrame) -> None:
@@ -87,32 +113,37 @@ def connected_components(
             .groupBy(F.col("a").alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        # Carry the OLD label through the round's checkpoint so the
-        # fixpoint probe is a scan of the materialized blocks instead of
-        # a vertex-keyed JOIN of new-vs-old labels — one full shuffle
-        # join per round removed (guide §2.4); at scale the probe was
-        # the same size as the round's real work. Labels are identical:
-        # the extra column is projected away before the next round.
-        new_full = (
-            labels.join(neighbor_min, on="vertex", how="left")
-            .select(
+        # The fixpoint probe rides the round's OWN checkpoint
+        # materialization: count(label changed) is collected as an
+        # observed metric during the checkpoint job, so convergence
+        # detection costs no extra job at all (r13 carried the prev
+        # label through the checkpoint and paid one probe-scan job per
+        # round — and 2+ jobs on the converged round, where the
+        # limit(1).count() CollectLimit escalates through every
+        # partition batch before finding nothing). The checkpoint is
+        # also one column NARROWER: prev is consumed by the metric
+        # below the ``keep`` projection and never materialized. Labels
+        # are bit-identical — CollectMetrics passes rows through
+        # untouched.
+        new_ckpt, got = _observed_checkpoint(
+            labels.join(neighbor_min, on="vertex", how="left").select(
                 "vertex",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
                 F.col("component").alias("prev"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_full.filter(F.col("component") != F.col("prev"))
-            .limit(1)
-            .count()
+            ),
+            [
+                F.count(
+                    F.when(F.col("component") != F.col("prev"), True)
+                ).alias("changed")
+            ],
+            keep=["vertex", "component"],
         )
         _release_checkpoint(prev_ckpt)  # superseded — keep ONE label table
-        prev_ckpt = new_full
-        labels = new_full.select("vertex", "component")
-        if changed == 0:
+        prev_ckpt = new_ckpt
+        labels = new_ckpt
+        if got["changed"] == 0:
             break
     else:
         raise RuntimeError(
@@ -345,10 +376,11 @@ def kcore(
 
     ``max_iter`` is a runaway backstop, not a tuning knob; hitting it
     raises rather than silently returning a partial peel."""
-    e = edges.select(
-        F.col(src).alias("pa"), F.col(dst).alias("pb")
-    ).localCheckpoint(eager=True)
-    n_edges = e.count()
+    e, got = _observed_checkpoint(
+        edges.select(F.col(src).alias("pa"), F.col(dst).alias("pb")),
+        [F.count(F.lit(1)).alias("n")],
+    )
+    n_edges = int(got["n"])
     for _ in range(max_iter):
         if n_edges == 0:
             break
@@ -360,15 +392,17 @@ def kcore(
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
         prev = e
-        e = (
+        # the surviving-edge count rides the round checkpoint's own
+        # materialization (observed metric — no per-round count job)
+        e, got = _observed_checkpoint(
             e.join(keep.withColumnRenamed("node", "pa"), "pa", "leftsemi")
-            .join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi")
-            .localCheckpoint(eager=True)
+            .join(keep.withColumnRenamed("node", "pb"), "pb", "leftsemi"),
+            [F.count(F.lit(1)).alias("n")],
         )
         # superseded checkpoint — keep ONE edge list in block-manager
         # storage, not one per peel round (deep peels run hundreds)
         _release_checkpoint(prev)
-        n_next = e.count()
+        n_next = int(got["n"])
         # n_next == 0 is a fixpoint by definition — break NOW rather
         # than on the next pass's n_edges == 0 check, so a peel that
         # empties the graph on exactly the last allowed iteration
@@ -419,14 +453,16 @@ def bfs_depths(
     visited = frontier.withColumn("depth", F.lit(0).cast("long"))
     for i in range(1, max_iter + 1):
         prev_frontier = frontier
-        frontier = (
+        # frontier size rides the checkpoint materialization (observed
+        # metric — no per-round count job)
+        frontier, got = _observed_checkpoint(
             sym.join(frontier.select(F.col("node").alias("s")), "s")
             .select(F.col("t").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(visited.select("node"), "node", "left_anti"),
+            [F.count(F.lit(1)).alias("n")],
         )
-        if frontier.count() == 0:
+        if int(got["n"]) == 0:
             # the last non-empty frontier is dead IF visited is already
             # a self-contained checkpoint (every round but the first —
             # round 1's visited still references the depth-0 frontier)
@@ -599,9 +635,15 @@ def pagerank_converged(
             .groupBy(F.col("t").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
-        new_ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
+        # Derive the new ranks from the CURRENT rank table (same node
+        # set as ``nodes`` — ranks is nodes × rank by construction), so
+        # the old rank is available as ``prev`` and the L1 delta rides
+        # the round checkpoint's own materialization as an observed
+        # metric: the old shape's whole node-keyed old⋈new delta join +
+        # aggregate job per round is gone (guide §2.4). Ranks are
+        # bit-identical — the update expression never reads prev.
+        new_ranks, got = _observed_checkpoint(
+            ranks.join(inflow, "node", "left").select(
                 "node",
                 (
                     F.lit(teleport)
@@ -610,19 +652,16 @@ def pagerank_converged(
                         f" div {damping_den}"
                     )
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        delta = (
-            ranks.select("node", F.col("rank").alias("prev"))
-            .join(new_ranks, "node")
-            .agg(
+                F.col("rank").alias("prev"),
+            ),
+            [
                 F.sum(
                     F.abs(F.col("rank") - F.col("prev")).cast("decimal(38,0)")
                 ).alias("d")
-            )
-            .collect()[0]["d"]
+            ],
+            keep=["node", "rank"],
         )
+        delta = got["d"]
         # the superseded round's checkpoint is dead once the delta is
         # computed — unpersist it so storage holds ONE rank table, not
         # up to max_iter of them
@@ -755,12 +794,16 @@ def connected_components_star(
     n_edges = e.count()
     for _ in range(max_iter):
         after_large = _large_star(e).localCheckpoint(eager=True)
-        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # the per-round size rides the small-star checkpoint's own
+        # materialization as an observed metric (no separate count job
+        # per round — see _observed_checkpoint)
+        after_small, got = _observed_checkpoint(
+            _small_star(after_large), [F.count(F.lit(1)).alias("n")]
+        )
         _release_checkpoint(after_large)
         # both sides are distinct sets: equal counts + one empty
-        # difference direction is full set equality, and the count of
-        # the already-materialized checkpoint is nearly free
-        n_next = after_small.count()
+        # difference direction is full set equality
+        n_next = int(got["n"])
         unchanged = (
             n_next == n_edges
             and after_small.exceptAll(e).limit(1).count() == 0

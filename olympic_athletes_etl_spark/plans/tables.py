@@ -41,25 +41,35 @@ TABLES = (
 
 
 @lru_cache(maxsize=None)
-def _scan_row_groups(path: str) -> int:
-    """Total parquet row groups under ``path`` — the atomic unit of scan
-    parallelism. Spark splits files by BYTE range, but a parquet reader
-    only emits rows for the split containing a row group's midpoint, so a
-    single-row-group file executes as ONE populated task no matter how
-    many splits cover it. Driver-side, one footer read per file, cached
-    for the life of the process (the bench re-plans each query every
-    iteration)."""
+def _scan_row_groups(path: str, stop_at: int) -> int:
+    """Parquet row groups under ``path`` — the atomic unit of scan
+    parallelism — counted only UP TO ``stop_at``. Spark splits files by
+    BYTE range, but a parquet reader only emits rows for the split
+    containing a row group's midpoint, so a single-row-group file
+    executes as ONE populated task no matter how many splits cover it.
+
+    The sum SHORT-CIRCUITS the moment it reaches ``stop_at`` (the
+    caller's spread threshold): at a production layout — thousands to
+    millions of files per table — the spread decision is already known
+    after ~cores/2 row groups, and reading every remaining footer would
+    be an O(files) driver-side listing+IO pass per table per process
+    (the r13 VERDICT scale-safety item). The directory walk itself is
+    lazy (``os.scandir``), so neither the listing nor the footer reads
+    run past the threshold. Driver-side, cached for the life of the
+    process (the bench re-plans each query every iteration)."""
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        files = [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
-    else:
-        files = [path]
-    return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    if not os.path.isdir(path):
+        return pq.ParquetFile(path).metadata.num_row_groups
+    total = 0
+    with os.scandir(path) as entries:
+        for entry in entries:
+            if not entry.name.endswith(".parquet"):
+                continue
+            total += pq.ParquetFile(entry.path).metadata.num_row_groups
+            if total >= stop_at:
+                return total
+    return total
 
 
 def spread(
@@ -87,7 +97,8 @@ def spread(
     partition-order-insensitive (exact integer/min/max/count aggregates,
     keyed windows, set-shaped output) — each call site documents why."""
     par = spark.sparkContext.defaultParallelism
-    if _scan_row_groups(path) >= max(2, par // 2):
+    threshold = max(2, par // 2)
+    if _scan_row_groups(path, threshold) >= threshold:
         return df
     return df.repartition(par, *[F.col(k) for k in keys])
 
