@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olympic_athletes_etl_spark.operators.graph import (
+    _release_checkpoint as _release_ckpt,
+)
 from olympic_athletes_etl_spark.operators.store import GenStore, TableSpec
 from olympic_athletes_etl_spark.plans.registry import query
 from olympic_athletes_etl_spark.plans.tables import load
@@ -1013,29 +1016,52 @@ def _km_fit(n: DataFrame, train_mod: int = 1) -> list[tuple[int, list[int]]]:
     (a bounded TakeOrdered collect); the default full fit keeps the
     literal ``vec_id < k`` init the oracles unroll."""
     n = _train_sample(n, train_mod)
-    if train_mod == 1:
-        cent_rows = (
-            n.filter(F.col("vec_id") < _N_CENTROIDS).select("vec_id", "vq").collect()
-        )
-    else:
-        cent_rows = (
-            n.orderBy(F.asc("vec_id")).limit(_N_CENTROIDS).select("vec_id", "vq").collect()
-        )
-    cents = sorted((int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows)
-    for _ in range(_KM_ITERS):
-        # assignment + per-list scatter-add fused in the worker
-        # (_km_round_sums): bit-identical sums to the old
-        # argmax-projection + posexplode + groupBy round — assignment
-        # pinned in test_kmeans/test_annkernel, sums exact-integer so
-        # accumulation order is immaterial; ≤ k·dim rows collected
-        sums = _km_round_sums(n, cents)
-        by_list: dict[int, dict[int, int]] = {}
-        for r in sums:
-            by_list.setdefault(int(r["list_id"]), {})[int(r["d"])] = int(r["s"])
+    # Materialize the quantized training projection ONCE for the whole
+    # fit (r14, guide §5 localCheckpoint): the init collect and every
+    # Lloyd round otherwise re-run the full scan + v→double transform +
+    # vq quantization + interpreted-HOF self-dot per pass — 1 + _KM_ITERS
+    # derivations of the identical frame. In-plan intermediate, computed
+    # fresh from parquet on every fit call (never cached across runs);
+    # released as soon as the fit returns. Fits are bit-identical — the
+    # checkpoint replays the same rows (tools/probe_fitbase.py:
+    # identical=True on all pairs, km round −12–18%).
+    base = n.select("vec_id", "vq", "qnrm").localCheckpoint(eager=True)
+    try:
+        if train_mod == 1:
+            cent_rows = (
+                base.filter(F.col("vec_id") < _N_CENTROIDS)
+                .select("vec_id", "vq")
+                .collect()
+            )
+        else:
+            cent_rows = (
+                base.orderBy(F.asc("vec_id"))
+                .limit(_N_CENTROIDS)
+                .select("vec_id", "vq")
+                .collect()
+            )
         cents = sorted(
-            (c_id, [comp[d] for d in range(_DIM)]) for c_id, comp in by_list.items()
+            (int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in cent_rows
         )
-    return cents
+        for _ in range(_KM_ITERS):
+            # assignment + per-list scatter-add fused in the worker
+            # (_km_round_sums): bit-identical sums to the old
+            # argmax-projection + posexplode + groupBy round — assignment
+            # pinned in test_kmeans/test_annkernel, sums exact-integer so
+            # accumulation order is immaterial; ≤ k·dim rows collected
+            sums = _km_round_sums(base, cents)
+            by_list: dict[int, dict[int, int]] = {}
+            for r in sums:
+                by_list.setdefault(int(r["list_id"]), {})[int(r["d"])] = int(
+                    r["s"]
+                )
+            cents = sorted(
+                (c_id, [comp[d] for d in range(_DIM)])
+                for c_id, comp in by_list.items()
+            )
+        return cents
+    finally:
+        _release_ckpt(base)
 
 
 # Harness-level training memo. The centroids/codebooks are DETERMINISTIC
@@ -1361,45 +1387,59 @@ def _pq_fit(
     default full fit keeps the literal ``vec_id < ksub`` init the
     oracles unroll."""
     n = _train_sample(n, train_mod)
-    # ONE init job for all subspaces: the per-subspace init rows are the
-    # same vec_ids for every j (first ksub by vec_id), so collect those
-    # rows' full quantized vectors once and slice driver-side
-    if train_mod == 1:
-        init_rows = (
-            n.filter(F.col("vec_id") < _PQ_KSUB).select("vec_id", "vq").collect()
-        )
-    else:
-        init_rows = (
-            n.orderBy(F.asc("vec_id")).limit(_PQ_KSUB).select("vec_id", "vq").collect()
-        )
-    init = sorted((int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in init_rows)
-    books: dict[int, list[tuple[int, list[int]]]] = {
-        j: [
-            (vid, full[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM])
-            for vid, full in init
-        ]
-        for j in range(_PQ_M)
-    }
-    for _ in range(_PQ_ITERS):
-        # ONE combined job for all subspaces: assignment + per-code
-        # scatter-add fused in the worker (_pq_round_sums) —
-        # bit-identical sums to the old struct-explode + posexplode +
-        # groupBy round (assignment pinned in test_annkernel, sums
-        # exact-integer); ≤ M·k·subdim rows collected
-        sums = _pq_round_sums(n, books)
-        by_j: dict[int, dict[int, dict[int, int]]] = {}
-        for r in sums:
-            by_j.setdefault(int(r["j"]), {}).setdefault(int(r["code"]), {})[
-                int(r["d"])
-            ] = int(r["s"])
-        books = {
-            j: sorted(
-                (c_id, [comp[d] for d in range(_PQ_SUBDIM)])
-                for c_id, comp in by_j[j].items()
+    # One eager checkpoint of the quantized training projection for the
+    # whole fit — the same §5 rationale (and bit-identity evidence) as
+    # _km_fit's; the PQ rounds only need vq, the init only vec_id+vq.
+    base = n.select("vec_id", "vq").localCheckpoint(eager=True)
+    try:
+        # ONE init job for all subspaces: the per-subspace init rows are
+        # the same vec_ids for every j (first ksub by vec_id), so collect
+        # those rows' full quantized vectors once and slice driver-side
+        if train_mod == 1:
+            init_rows = (
+                base.filter(F.col("vec_id") < _PQ_KSUB)
+                .select("vec_id", "vq")
+                .collect()
             )
+        else:
+            init_rows = (
+                base.orderBy(F.asc("vec_id"))
+                .limit(_PQ_KSUB)
+                .select("vec_id", "vq")
+                .collect()
+            )
+        init = sorted(
+            (int(r["vec_id"]), [int(x) for x in r["vq"]]) for r in init_rows
+        )
+        books: dict[int, list[tuple[int, list[int]]]] = {
+            j: [
+                (vid, full[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM])
+                for vid, full in init
+            ]
             for j in range(_PQ_M)
         }
-    return books
+        for _ in range(_PQ_ITERS):
+            # ONE combined job for all subspaces: assignment + per-code
+            # scatter-add fused in the worker (_pq_round_sums) —
+            # bit-identical sums to the old struct-explode + posexplode +
+            # groupBy round (assignment pinned in test_annkernel, sums
+            # exact-integer); ≤ M·k·subdim rows collected
+            sums = _pq_round_sums(base, books)
+            by_j: dict[int, dict[int, dict[int, int]]] = {}
+            for r in sums:
+                by_j.setdefault(int(r["j"]), {}).setdefault(
+                    int(r["code"]), {}
+                )[int(r["d"])] = int(r["s"])
+            books = {
+                j: sorted(
+                    (c_id, [comp[d] for d in range(_PQ_SUBDIM)])
+                    for c_id, comp in by_j[j].items()
+                )
+                for j in range(_PQ_M)
+            }
+        return books
+    finally:
+        _release_ckpt(base)
 
 
 def _pq_train_ctes(base: str) -> str:
@@ -2148,6 +2188,7 @@ def knn_graph(
     bucket_cap: int = _GRAPH_BUCKET_CAP,
     multiprobe: bool = False,
     raw_scores: bool = False,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, cos_sim, rank) — top-``k`` cosine neighbors for EVERY
     vector of ``emb`` (columns ``vec_id``, ``v: array<double>``), the
@@ -2195,8 +2236,14 @@ def knn_graph(
     # branches below otherwise each re-scan the input and re-run the
     # norm + n_planes-dot-product bucket map — the most expensive map of
     # the build, doubled (the same fix as the IVF twin's assignment
-    # checkpoint).
-    n = _bucketed_corpus(emb, n_planes)
+    # checkpoint). ``bucketed`` lets a composing caller (the stored
+    # build→merge lifecycle) hand in an ALREADY-bucketed frame — e.g. a
+    # filter over one shared corpus checkpoint — so the corpus is
+    # scanned and bucket-mapped once per lifecycle instead of once per
+    # stage; the bucket map is a per-row deterministic function, so
+    # bucketing-then-filtering equals filtering-then-bucketing row for
+    # row (r14; guide §2.4).
+    n = _bucketed_corpus(emb, n_planes) if bucketed is None else bucketed
     t = _capped_targets(n, bucket_cap)
     probes = _graph_probes(n, n_planes, multiprobe)
     # no duplicate (src, dst) pairs possible: a target lives in exactly
@@ -2304,6 +2351,7 @@ def knn_graph_merge(
     bucket_cap: int = _GRAPH_BUCKET_CAP,
     raw_scores: bool = False,
     multiprobe: bool = False,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL kNN-graph maintenance: merge a NEW vector batch into
     an existing graph without re-running the old×old candidate join —
@@ -2363,7 +2411,9 @@ def knn_graph_merge(
         raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n = _bucketed_corpus(emb, n_planes)
+    # ``bucketed``: the knn_graph escape hatch — reuse a caller-shared
+    # bucketed-corpus checkpoint instead of re-scanning + re-bucketing
+    n = _bucketed_corpus(emb, n_planes) if bucketed is None else bucketed
     new_n = n.filter(is_new)
     t_bound = _target_bound(n_planes, bucket_cap)
     if old_graph is None:
@@ -2742,12 +2792,23 @@ def s_knn_graph_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent sweeps)."""
     emb = _emb_double(spark, sf_dir)
     is_new = F.col("vec_id") % _INCR_MOD == 0
-    old = knn_graph(emb.filter(~is_new), raw_scores=True)
+    # ONE bucketed-corpus checkpoint for the whole lifecycle: the old
+    # build consumes a filter over it, the merge consumes it whole —
+    # r13 paid the corpus scan + norm/bucket map + checkpoint twice
+    # (once inside knn_graph on the old side, once inside
+    # knn_graph_merge on the full corpus). Bucketing is per-row
+    # deterministic, so filter-after-bucket equals bucket-after-filter
+    # row for row and the stored bytes are identical (oracle-hash
+    # pinned).
+    n = _bucketed_corpus(emb, _N_PLANES)
+    old = knn_graph(emb, raw_scores=True, bucketed=n.filter(~is_new))
     path = os.path.join(
         tempfile.mkdtemp(prefix="s_knn_graph_stored_"), "graph"
     )
     knn_graph_store(old, path)
-    return knn_graph_merge(emb, is_new, old_graph=knn_graph_load(spark, path))
+    return knn_graph_merge(
+        emb, is_new, old_graph=knn_graph_load(spark, path), bucketed=n
+    )
 
 
 # --------------------------------------------------------------------------
