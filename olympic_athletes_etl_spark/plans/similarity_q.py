@@ -647,7 +647,10 @@ def _km_assign_np_col(cents: list[tuple[int, list[int]]]) -> F.Column:
     @F.pandas_udf("integer")
     def _assign(vq, qnrm):  # type: ignore[no-untyped-def]
         import numpy as np
+        import pandas as pd
 
+        if len(vq) == 0:  # np.stack rejects zero arrays (r13 ADVICE)
+            return pd.Series([], dtype="int32")
         V = np.stack(vq.to_numpy())
         q = qnrm.to_numpy()
         best = None
@@ -696,6 +699,8 @@ def _km_probe_ids_np_col(
         import numpy as np
         import pandas as pd
 
+        if len(vq) == 0:  # np.stack rejects zero arrays (r13 ADVICE)
+            return pd.Series([], dtype=object)
         V = np.stack(vq.to_numpy())
         q = qnrm.to_numpy()
         k = len(c_ids)
@@ -723,6 +728,14 @@ def _pq_codes_np_col(
     per subspace; one Arrow crossing instead of 16 CASE/array_max
     ladders). ``element_at(codes, j+1)`` is ``code{j}``."""
     data = {j: _np_entry_data(cents) for j, cents in sorted(books.items())}
+    if sorted(data) != list(range(len(data))):
+        # out[:, j] below indexes by the subspace key directly — a
+        # sparse or re-keyed books dict would write out of bounds or
+        # encode the wrong column (r13 ADVICE tripwire, driver-side)
+        raise ValueError(
+            f"_pq_codes_np_col: books keys must be 0..{len(data) - 1} "
+            f"contiguous, got {sorted(data)}"
+        )
     subdim = _PQ_SUBDIM
 
     @F.pandas_udf("array<integer>")
@@ -730,6 +743,8 @@ def _pq_codes_np_col(
         import numpy as np
         import pandas as pd
 
+        if len(vq) == 0:  # np.stack rejects zero arrays (r13 ADVICE)
+            return pd.Series([], dtype=object)
         V = np.stack(vq.to_numpy())
         m = len(data)
         out = np.empty((V.shape[0], m), dtype=np.int32)
@@ -778,6 +793,15 @@ def _pq_drift_err_np_col(
     in-kernel as floor(v * scale), the same single multiply+floor the
     transform expression executes."""
     data = {j: _np_entry_data(cents) for j, cents in sorted(books.items())}
+    if sorted(data) != list(range(_PQ_M)):
+        # C[:, j] below indexes the code array (built for j in
+        # 0.._PQ_M-1) by the subspace key directly — a sparse or
+        # re-keyed books dict would score the wrong column (r13 ADVICE
+        # tripwire, driver-side)
+        raise ValueError(
+            f"_pq_drift_err_np_col: books keys must be 0..{_PQ_M - 1} "
+            f"contiguous, got {sorted(data)}"
+        )
     subdim = _PQ_SUBDIM
     scale = float(_KM_SCALE)
 
@@ -786,6 +810,8 @@ def _pq_drift_err_np_col(
         import numpy as np
         import pandas as pd
 
+        if len(v) == 0:  # np.stack rejects zero arrays (r13 ADVICE)
+            return pd.Series([], dtype="Int64")
         Vr = np.stack(v.to_numpy())
         V = np.floor(Vr * scale)
         C = np.stack(codes.to_numpy())
@@ -815,7 +841,13 @@ def _pq_drift_err_np_col(
                 seen |= sel
             bad |= ~seen
             tot = tot + (10000.0 - np.floor(10000.0 * sim))
-        out = pd.array(tot.astype(np.int64), dtype="Int64")
+        # bad rows can carry inf/NaN through tot; zero them BEFORE the
+        # int cast (undefined-value casting emits RuntimeWarnings on
+        # newer numpy) — the values are masked to NULL anyway (r13
+        # ADVICE)
+        out = pd.array(
+            np.where(bad, 0.0, tot).astype(np.int64), dtype="Int64"
+        )
         out[bad] = None
         return pd.Series(out)
 
